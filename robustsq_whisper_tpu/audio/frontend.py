@@ -1,0 +1,121 @@
+"""Whisper log-mel frontend as pure JAX, MXU-friendly (matmul DFT, no FFT op).
+
+Numerically matches the reference frontend at
+``/root/reference/model/whisper_encoder.py:99-129``:
+
+- ``torch.stft(audio, n_fft=400, hop=160, window=hann(400, periodic),
+  center=True, pad_mode='reflect', onesided=True)``
+- drop the last STFT frame,
+- power spectrum -> mel (80 slaney filters) -> ``log10(clamp(., 1e-10))``,
+- floor at (per-utterance global max - 8.0), then ``(x + 4) / 4``.
+
+TPU-first design note: instead of an FFT we evaluate the windowed real DFT as
+a strided convolution with 2*(n_fft//2+1) channels (cos and sin banks). For
+n_fft=400 this is a dense [400 x 402] contraction per frame that maps straight
+onto the MXU and fuses with the surrounding elementwise ops under XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mel import mel_filter_bank
+
+SAMPLE_RATE = 16000
+N_FFT = 400
+HOP_LENGTH = 160
+N_MELS = 80
+CHUNK_LENGTH = 30  # seconds
+N_SAMPLES = CHUNK_LENGTH * SAMPLE_RATE  # 480_000
+N_FRAMES = N_SAMPLES // HOP_LENGTH  # 3000 mel frames for a 30s window
+
+
+def _hann_periodic(n: int) -> np.ndarray:
+    # torch.hann_window(n) is periodic: 0.5 - 0.5*cos(2*pi*k/n)
+    k = np.arange(n, dtype=np.float64)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * k / n)).astype(np.float64)
+
+
+@functools.lru_cache(maxsize=4)
+def _dft_bank(n_fft: int = N_FFT) -> np.ndarray:
+    """Windowed DFT bank, shape (2*(n_fft//2+1), n_fft): rows = cos then sin."""
+    n_bins = n_fft // 2 + 1
+    k = np.arange(n_bins, dtype=np.float64)[:, None]
+    t = np.arange(n_fft, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * k * t / n_fft
+    win = _hann_periodic(n_fft)[None, :]
+    cos_bank = np.cos(ang) * win
+    sin_bank = -np.sin(ang) * win  # torch.stft real/imag convention (e^{-i w t})
+    return np.concatenate([cos_bank, sin_bank], axis=0).astype(np.float32)
+
+
+def stft_power(audio: jax.Array, n_fft: int = N_FFT, hop: int = HOP_LENGTH) -> jax.Array:
+    """Power spectrogram |STFT|^2 with torch.stft center/reflect semantics.
+
+    Args:
+        audio: (batch, samples) float32.
+    Returns:
+        (batch, n_fft//2+1, 1 + samples//hop) power spectrum.
+    """
+    n_bins = n_fft // 2 + 1
+    pad = n_fft // 2
+    x = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
+    bank = jnp.asarray(_dft_bank(n_fft))  # (2*n_bins, n_fft)
+
+    # Strided conv == framing + matmul; XLA lowers this onto the MXU.
+    out = jax.lax.conv_general_dilated(
+        x[:, None, :].astype(jnp.float32),
+        bank[:, None, :],
+        window_strides=(hop,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )  # (batch, 2*n_bins, frames)
+    real, imag = out[:, :n_bins, :], out[:, n_bins:, :]
+    return real * real + imag * imag
+
+
+def log_mel_spectrogram(
+    audio: jax.Array,
+    ilens: Optional[jax.Array] = None,
+    n_mels: int = N_MELS,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Whisper-scaled log-mel features.
+
+    Args:
+        audio: (batch, samples) float32 waveform in [-1, 1].
+        ilens: optional (batch,) int32 valid sample counts.
+    Returns:
+        (batch, n_mels, samples // hop) features and optional (batch,) frame
+        lengths ``ilens // hop`` (the reference's olens, whisper_encoder.py:119).
+    """
+    power = stft_power(audio)
+    # Whisper drops the final STFT frame (reference whisper_encoder.py:111).
+    power = power[..., :-1]
+
+    filters = jnp.asarray(mel_filter_bank(n_freqs=N_FFT // 2 + 1, n_mels=n_mels))
+    mel = jnp.einsum("mf,bft->bmt", filters, power)
+
+    log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
+    global_max = jnp.max(log_spec, axis=(1, 2), keepdims=True)
+    log_spec = jnp.maximum(log_spec, global_max - 8.0)
+    log_spec = (log_spec + 4.0) / 4.0
+
+    olens = None if ilens is None else ilens // HOP_LENGTH
+    return log_spec, olens
+
+
+def pad_or_trim(audio: jax.Array, length: int = N_SAMPLES, axis: int = -1) -> jax.Array:
+    """Zero-pad or truncate along ``axis`` (reference whisper_encoder.py:77-97)."""
+    size = audio.shape[axis]
+    if size > length:
+        audio = jax.lax.slice_in_dim(audio, 0, length, axis=axis)
+    elif size < length:
+        pads = [(0, 0)] * audio.ndim
+        pads[axis] = (0, length - size)
+        audio = jnp.pad(audio, pads)
+    return audio
