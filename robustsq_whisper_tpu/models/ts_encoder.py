@@ -1,0 +1,298 @@
+"""Target-speaker Whisper encoders (flax), TPU-first.
+
+Capabilities match the reference encoder family in
+/root/reference/model/whisper_encoder.py:
+
+- ``QFormerTSEncoder`` — the main path (QFormerTgtSpkWhisperEncoder_V2,
+  whisper_encoder.py:392-530): conv stem on speech (with sinusoid positions)
+  AND enrollment (without positions, :464-472), Qformer producing a speaker
+  prompt + enrollment embeddings, optional ``prompt_proj`` when Qformer hidden
+  differs from the encoder width (:430-433), prompt concatenated ahead of the
+  speech frames (:489-494), then the full Whisper block stack + ln_post.
+- ``SpkAdapterTSEncoder`` — embedding-enrollment variant (TgtSpkWhisperEncoder,
+  whisper_encoder.py:195-334): a fixed speaker embedding injected into the
+  FIRST block via ``cat`` / ``additive`` / ``film`` adapters (SpkAdapter,
+  :337-389) or conditional layernorm patching of block 0 (:234-253, 283-287).
+
+TPU design: everything is static-shape; frame lengths ride along as int32
+arrays and turn into masks only where needed. The prompt length is a static
+config value so the concat is a compile-time shape. Mel extraction is done by
+the caller (see robustsq_whisper_tpu.audio.frontend) so the encoder stays a
+pure feats->feats function, cleanly jit- and shard-able.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .qformer import QFormerAdapter, QformerConfig
+from .whisper.config import WhisperDims
+from .whisper.modules import AudioEncoder
+
+Dtype = Any
+
+
+class FiLM(nn.Module):
+    """Feature-wise linear modulation conditioned on a speaker embedding.
+
+    Equivalent of the external ``espnet2.asr.adapter.film_adapter`` the
+    reference imports (whisper_encoder.py:363-364): per-channel scale and
+    shift predicted from the enrollment embedding, ``adapter_layer`` stacked
+    Linear+GELU trunk layers before the two heads.
+    """
+
+    hidden_size: int
+    n_layers: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, enroll: jax.Array) -> jax.Array:
+        h = enroll.astype(self.dtype)
+        for i in range(self.n_layers - 1):
+            h = jax.nn.gelu(
+                nn.Dense(self.hidden_size, dtype=self.dtype, name=f"trunk_{i}")(h),
+                approximate=False,
+            )
+        gamma = nn.Dense(self.hidden_size, dtype=self.dtype, name="gamma")(h)
+        beta = nn.Dense(self.hidden_size, dtype=self.dtype, name="beta")(h)
+        return x * (1.0 + gamma) + beta
+
+
+class ConditionalLayerNorm(nn.Module):
+    """LayerNorm whose scale/bias are modulated by the speaker embedding.
+
+    Equivalent of ``espnet2.asr.adapter.cln_adapter`` as used at
+    whisper_encoder.py:234-253: normalized activations scaled by
+    ``(w + dw(enroll))`` and shifted by ``(b + db(enroll))`` where (w, b) are
+    initialised from the pretrained block-0 layernorm (weight converter maps
+    them in) and dw/db are zero-init linear heads on the enrollment embedding.
+    """
+
+    hidden_size: int
+    modulate_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, enroll: jax.Array) -> jax.Array:
+        w = self.param("scale", nn.initializers.ones, (self.hidden_size,))
+        b = self.param("bias", nn.initializers.zeros, (self.hidden_size,))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        normed = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+        dw = nn.Dense(
+            self.hidden_size,
+            kernel_init=nn.initializers.zeros,
+            dtype=jnp.float32,
+            name="delta_scale",
+        )(enroll.astype(jnp.float32))[:, None, :]
+        scale = w + dw
+        shift = b
+        if self.modulate_bias:
+            db = nn.Dense(
+                self.hidden_size,
+                kernel_init=nn.initializers.zeros,
+                dtype=jnp.float32,
+                name="delta_bias",
+            )(enroll.astype(jnp.float32))[:, None, :]
+            shift = b + db
+        return (normed * scale + shift).astype(x.dtype)
+
+
+class SpkAdapter(nn.Module):
+    """Speaker-embedding fusion adapter (reference SpkAdapter,
+    whisper_encoder.py:337-389): ``cat`` = Linear on [x; enroll] added
+    residually, ``additive`` = MLP(enroll) added residually, ``film`` = FiLM;
+    optional output LayerNorm."""
+
+    enroll_size: int
+    hidden_size: int
+    adapter_method: str = "cat"
+    adapter_normalize: bool = True
+    adapter_layer: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, enroll: jax.Array) -> jax.Array:
+        enroll = jnp.broadcast_to(
+            enroll[:, None, :].astype(self.dtype),
+            (x.shape[0], x.shape[1], enroll.shape[-1]),
+        )
+        if self.adapter_method == "cat":
+            fused = jnp.concatenate([x, enroll], axis=-1)
+            x = x + nn.Dense(self.hidden_size, dtype=self.dtype, name="proj")(fused)
+        elif self.adapter_method == "additive":
+            h = nn.Dense(2 * self.enroll_size, dtype=self.dtype, name="fc1")(enroll)
+            h = jax.nn.gelu(h, approximate=False)
+            x = x + nn.Dense(self.hidden_size, dtype=self.dtype, name="fc2")(h)
+        elif self.adapter_method == "film":
+            x = FiLM(
+                self.hidden_size, self.adapter_layer, dtype=self.dtype, name="film"
+            )(x, enroll)
+        else:
+            raise ValueError(f"Not supported adapter: {self.adapter_method}")
+        if self.adapter_normalize:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="adapter_norm")(
+                x
+            ).astype(self.dtype)
+        return x
+
+
+@dataclasses.dataclass(frozen=True)
+class TSEncoderConfig:
+    """Knobs of QFormerTgtSpkWhisperEncoder_V2 (whisper_encoder.py:395-435)."""
+
+    num_query_tokens: int = 16
+    num_hidden_layers: int = 2
+    use_spk_prompt: bool = True
+    qformer_hidden_size: int = 768
+    qformer_heads: int = 12
+    qformer_intermediate_size: int = 3072
+
+
+class QFormerTSEncoder(nn.Module):
+    """Qformer-conditioned target-speaker Whisper encoder (main path).
+
+    ``__call__`` consumes log-mel features (speech + enrollment) and returns
+    ``(encoder_out, out_lens, spk_prompt, enroll_embedding)`` exactly like the
+    reference's 4-tuple (whisper_encoder.py:504). ``encoder_out`` has static
+    length ``num_query_tokens + n_frames//2``; the prompt frames occupy the
+    first ``num_query_tokens`` positions (strip them for CTC, see
+    losses/ts_model.py).
+    """
+
+    dims: WhisperDims
+    ts: TSEncoderConfig = TSEncoderConfig()
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = AudioEncoder(self.dims, dtype=self.dtype, name="encoder")
+        qcfg = QformerConfig(
+            encoder_width=self.dims.n_audio_state,
+            hidden_size=self.ts.qformer_hidden_size,
+            num_attention_heads=self.ts.qformer_heads,
+            intermediate_size=self.ts.qformer_intermediate_size,
+            num_hidden_layers=self.ts.num_hidden_layers,
+            num_query_tokens=self.ts.num_query_tokens,
+        )
+        self.qformer = QFormerAdapter(qcfg, dtype=self.dtype, name="qformer")
+        if qcfg.hidden_size != self.dims.n_audio_state:
+            self.prompt_proj = nn.Dense(
+                self.dims.n_audio_state, dtype=self.dtype, name="prompt_proj"
+            )
+        else:
+            self.prompt_proj = None
+
+    def __call__(
+        self,
+        feats: jax.Array,  # (batch, n_mels, frames) speech log-mel
+        feats_lens: Optional[jax.Array],  # (batch,) valid mel frames
+        enroll_feats: jax.Array,  # (batch, n_mels, enr_frames) enrollment mel
+        enroll_feats_lens: Optional[jax.Array],
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, Optional[jax.Array], jax.Array, jax.Array]:
+        max_ctx = self.dims.n_audio_ctx
+
+        # 1-2. conv stems: speech with positions, enrollment without
+        # (whisper_encode steps 1-2, whisper_encoder.py:445-480).
+        x = self.encoder.conv_stem(feats, add_positions=True)
+        enroll = self.encoder.conv_stem(enroll_feats, add_positions=False)
+
+        x_lens = None
+        if feats_lens is not None:
+            x_lens = AudioEncoder.output_lengths(feats_lens, max_ctx)
+        enroll_lens = None
+        if enroll_feats_lens is not None:
+            enroll_lens = AudioEncoder.output_lengths(enroll_feats_lens, max_ctx)
+
+        # 3. speaker prompt via Qformer (+ optional projection, :483-486).
+        spk_prompt, enroll_embedding = self.qformer(
+            x, x_lens, enroll, enroll_lens, deterministic
+        )
+        if self.prompt_proj is not None:
+            spk_prompt = self.prompt_proj(spk_prompt)
+            enroll_embedding = self.prompt_proj(enroll_embedding)
+
+        # 4. concat prompt ahead of speech frames (:489-494).
+        if self.ts.use_spk_prompt:
+            x = jnp.concatenate([spk_prompt.astype(x.dtype), x], axis=1)
+            if x_lens is not None:
+                x_lens = x_lens + self.ts.num_query_tokens
+
+        # 5. whisper blocks + ln_post (:497-502).
+        x = self.encoder.run_blocks(x)
+        return x, x_lens, spk_prompt, enroll_embedding
+
+    @property
+    def prompt_len(self) -> int:
+        return self.ts.num_query_tokens if self.ts.use_spk_prompt else 0
+
+
+class SpkAdapterTSEncoder(nn.Module):
+    """Embedding-enrollment TS encoder (TgtSpkWhisperEncoder,
+    whisper_encoder.py:195-334): fixed speaker embedding injected at block 0
+    via SpkAdapter or conditional layernorm."""
+
+    dims: WhisperDims
+    enroll_size: int = 256
+    adapter_method: str = "cat"  # cat | additive | film | cln
+    adapter_normalize: bool = True
+    adapter_layer: int = 1
+    modulate_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = AudioEncoder(self.dims, dtype=self.dtype, name="encoder")
+        if self.adapter_method in ("cat", "additive", "film"):
+            self.adapter = SpkAdapter(
+                self.enroll_size,
+                self.dims.n_audio_state,
+                adapter_method=self.adapter_method,
+                adapter_normalize=self.adapter_normalize,
+                adapter_layer=self.adapter_layer,
+                dtype=self.dtype,
+                name="adapter",
+            )
+        elif self.adapter_method == "cln":
+            self.attn_cln = ConditionalLayerNorm(
+                self.dims.n_audio_state, self.modulate_bias, name="attn_cln"
+            )
+            self.mlp_cln = ConditionalLayerNorm(
+                self.dims.n_audio_state, self.modulate_bias, name="mlp_cln"
+            )
+        else:
+            raise ValueError(f"Not supported adapter: {self.adapter_method}")
+
+    def __call__(
+        self,
+        feats: jax.Array,  # (batch, n_mels, frames)
+        feats_lens: Optional[jax.Array],
+        enroll_emb: jax.Array,  # (batch, enroll_size) speaker embedding
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        x = self.encoder.conv_stem(feats, add_positions=True)
+
+        block0 = self.encoder.blocks[0]
+        if self.adapter_method == "cln":
+            # block 0 with its layernorms swapped for conditional ones
+            # (whisper_encoder.py:283-287).
+            h = self.attn_cln(x, enroll_emb).astype(self.dtype)
+            x = x + block0.attn(h)
+            x = x + block0._mlp(self.mlp_cln(x, enroll_emb).astype(self.dtype))
+        else:
+            x = self.adapter(x, enroll_emb)
+            x = block0(x)
+
+        for block in self.encoder.blocks[1:]:
+            x = block(x)
+        x = self.encoder.ln_post(x).astype(self.dtype)
+
+        olens = None
+        if feats_lens is not None:
+            olens = AudioEncoder.output_lengths(feats_lens, self.dims.n_audio_ctx)
+        return x, olens

@@ -7,7 +7,9 @@ TPU hardware. Must run before the first ``import jax``.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the environment pre-sets JAX_PLATFORMS=axon (a tunneled TPU
+# with ~seconds of per-op latency); the test suite must run on local CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
