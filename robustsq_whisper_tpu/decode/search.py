@@ -1,0 +1,220 @@
+"""Batched KV-cache greedy and beam search for TS-Whisper decode.
+
+This replaces the reference's decode stack — ESPnet's Python ``BeamSearch``
+driving a cacheless ``forward_one_step`` that re-runs the whole prefix
+through every block per emitted token
+(/root/reference/model/whisper_decoder.py:174-176, 297-352; SURVEY.md §3.2).
+That path is O(steps · L²); this one is a single jit-compiled ``lax.scan``
+over decode steps with a preallocated per-layer KV cache updated in place via
+``lax.dynamic_update_slice`` — O(L²) total, batched over utterances, with the
+speaker prompt prefix ([<|startofprev|>; spk_prompt]) prefilled once.
+
+Beam search flattens (batch, beam) into the leading axis so every step is one
+MXU-shaped matmul batch; hypothesis reordering is a ``jnp.take`` gather of the
+cache. Scoring follows ESPnet/Whisper beam=1..k attention-decoder semantics:
+accumulated log-probs, finished beams frozen by forcing eot with score 0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.ts_decoder import TSDecoder
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeConfig:
+    max_new_tokens: int = 200
+    eot: int = 50257
+    # init sequence after the speaker-prompt prefix, e.g.
+    # [<|startoftranscript|>, <|en|>, <|transcribe|>, <|notimestamps|>]
+    init_tokens: Tuple[int, ...] = (50258,)
+    beam_size: int = 1
+    length_penalty: float = 0.0  # 0 = pure sum of log-probs
+
+
+def _cache_len(cfg: DecodeConfig, prompt_len: int) -> int:
+    return prompt_len + len(cfg.init_tokens) + cfg.max_new_tokens
+
+
+def build_greedy_decoder(
+    dec: TSDecoder,
+    variables: Any,
+    cfg: DecodeConfig = DecodeConfig(),
+) -> Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]:
+    """Returns jitted ``run(memory, spk_prompt) -> (tokens, scores)``.
+
+    tokens: (batch, max_new_tokens) int32, eot-padded after stop.
+    scores: (batch,) summed log-probs of emitted tokens (up to eot).
+    """
+
+    n_q = None  # resolved from spk_prompt shape at trace time
+
+    @jax.jit
+    def run(memory: jax.Array, spk_prompt: jax.Array):
+        b = memory.shape[0]
+        prompt_len = 1 + spk_prompt.shape[1] if dec.use_spk_prompt else 0
+        total = prompt_len + len(cfg.init_tokens) + cfg.max_new_tokens
+
+        m = lambda method, *a: dec.apply(variables, *a, method=method)
+        cross = m(TSDecoder.cross_kv, memory)
+        cache = m(TSDecoder.init_cache, b, total)
+        init = jnp.tile(
+            jnp.asarray(cfg.init_tokens, jnp.int32)[None, :], (b, 1)
+        )
+        logits, cache = m(TSDecoder.prefill, init, spk_prompt, cache, cross)
+
+        def step(carry, i):
+            logits, cache, done, score = carry
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            tok = jnp.argmax(logp, axis=-1).astype(jnp.int32)  # (b,)
+            tok = jnp.where(done, cfg.eot, tok)
+            tok_logp = jnp.take_along_axis(logp, tok[:, None], axis=-1)[:, 0]
+            score = score + jnp.where(done, 0.0, tok_logp)
+            done = done | (tok == cfg.eot)
+            pos = prompt_len + len(cfg.init_tokens) + i
+            new_logits, cache2 = m(
+                TSDecoder.step, tok[:, None], pos, cache, cross
+            )
+            return (new_logits, cache2, done, score), tok
+
+        carry = (
+            logits,
+            cache,
+            jnp.zeros((b,), bool),
+            jnp.zeros((b,), jnp.float32),
+        )
+        (_, _, _, scores), tokens = jax.lax.scan(
+            step, carry, jnp.arange(cfg.max_new_tokens)
+        )
+        return tokens.T, scores  # (b, max_new), (b,)
+
+    return run
+
+
+def build_beam_decoder(
+    dec: TSDecoder,
+    variables: Any,
+    cfg: DecodeConfig = DecodeConfig(),
+) -> Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]:
+    """Returns jitted ``run(memory, spk_prompt) -> (tokens, scores)`` for
+    ``cfg.beam_size`` beams; the best hypothesis per utterance is returned.
+
+    The (batch, beam) axes are flattened for every decoder call; the KV cache
+    is gathered per step with the beam backpointers.
+    """
+    k = cfg.beam_size
+    if k == 1:
+        return build_greedy_decoder(dec, variables, cfg)
+
+    @jax.jit
+    def run(memory: jax.Array, spk_prompt: jax.Array):
+        b = memory.shape[0]
+        prompt_len = 1 + spk_prompt.shape[1] if dec.use_spk_prompt else 0
+        total = prompt_len + len(cfg.init_tokens) + cfg.max_new_tokens
+        vocab = dec.dims.n_vocab
+
+        # expand memory/prompt across beams -> (b*k, ...)
+        def expand(x):
+            return jnp.repeat(x, k, axis=0)
+
+        mem_e, prompt_e = expand(memory), expand(spk_prompt)
+        m = lambda method, *a: dec.apply(variables, *a, method=method)
+        cross = m(TSDecoder.cross_kv, mem_e)
+        cache = m(TSDecoder.init_cache, b * k, total)
+        init = jnp.tile(
+            jnp.asarray(cfg.init_tokens, jnp.int32)[None, :], (b * k, 1)
+        )
+        logits, cache = m(TSDecoder.prefill, init, prompt_e, cache, cross)
+
+        neg_inf = jnp.float32(-1e30)
+        # beam 0 active, others dead at start so the first step picks top-k
+        # distinct continuations of the single initial hypothesis.
+        scores = jnp.tile(
+            jnp.concatenate(
+                [jnp.zeros((1,)), jnp.full((k - 1,), neg_inf)]
+            )[None, :],
+            (b, 1),
+        )  # (b, k)
+
+        def step(carry, i):
+            logits, cache, scores, done = carry
+            logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, vocab)
+
+            # finished beams: only eot allowed, at zero cost
+            eot_only = jnp.full((vocab,), neg_inf).at[cfg.eot].set(0.0)
+            logp = jnp.where(done[..., None], eot_only[None, None, :], logp)
+
+            cand = scores[..., None] + logp  # (b, k, vocab)
+            flat = cand.reshape(b, k * vocab)
+            top_scores, top_idx = jax.lax.top_k(flat, k)  # (b, k)
+            src_beam = top_idx // vocab  # (b, k)
+            tok = (top_idx % vocab).astype(jnp.int32)  # (b, k)
+
+            # gather carry state along beams
+            gather_idx = (
+                jnp.arange(b)[:, None] * k + src_beam
+            ).reshape(-1)  # (b*k,)
+            cache2 = jax.tree_util.tree_map(
+                lambda x: jnp.take(x, gather_idx, axis=0), cache
+            )
+            done2 = jnp.take_along_axis(done, src_beam, axis=1) | (
+                tok == cfg.eot
+            )
+            pos = prompt_len + len(cfg.init_tokens) + i
+            new_logits, cache3 = m(
+                TSDecoder.step, tok.reshape(-1, 1), pos, cache2, cross
+            )
+            return (new_logits, cache3, top_scores, done2), (tok, src_beam)
+
+        carry = (logits, cache, scores, jnp.zeros((b, k), bool))
+        (_, _, final_scores, _), (toks, backptr) = jax.lax.scan(
+            step, carry, jnp.arange(cfg.max_new_tokens)
+        )
+        # toks/backptr: (steps, b, k). Backtrace best beam per utterance.
+        if cfg.length_penalty > 0.0:
+            lengths = jnp.sum(
+                jnp.cumsum(
+                    (toks == cfg.eot).astype(jnp.int32), axis=0
+                ) == 0,
+                axis=0,
+            ).astype(jnp.float32) + 1.0  # (b, k)
+            norm = final_scores / lengths**cfg.length_penalty
+        else:
+            norm = final_scores
+        best = jnp.argmax(norm, axis=-1)  # (b,)
+
+        def backtrace(carry, step_data):
+            beam = carry  # (b,)
+            tok_s, ptr_s = step_data  # (b, k) each
+            t = jnp.take_along_axis(tok_s, beam[:, None], axis=1)[:, 0]
+            prev = jnp.take_along_axis(ptr_s, beam[:, None], axis=1)[:, 0]
+            return prev, t
+
+        _, rev_tokens = jax.lax.scan(
+            backtrace, best, (toks, backptr), reverse=True
+        )
+        # rev_tokens is time-ordered already (scan reverse collects in original
+        # order), shape (steps, b)
+        best_scores = jnp.take_along_axis(
+            final_scores, best[:, None], axis=1
+        )[:, 0]
+        return rev_tokens.T, best_scores
+
+    return run
+
+
+def strip_eot(tokens, eot: int) -> List[List[int]]:
+    """Host-side: cut each row at the first eot."""
+    out = []
+    for row in tokens:
+        row = list(int(t) for t in row)
+        if eot in row:
+            row = row[: row.index(eot)]
+        out.append(row)
+    return out

@@ -17,6 +17,7 @@ DataParallel at :203 — unnecessary and shape-unstable under XLA).
 
 from __future__ import annotations
 
+import math
 from typing import Any, Optional, Tuple
 
 import jax
@@ -84,7 +85,7 @@ def label_smoothing_loss(
     true_off = off_value
 
     def xlogx(v: float) -> float:
-        return 0.0 if v == 0.0 else v * float(jnp.log(v))
+        return 0.0 if v == 0.0 else v * math.log(v)
 
     entropy_const = xlogx(true_on) + (vocab - 1) * xlogx(true_off)
     on_logp = jnp.take_along_axis(logp, safe_t[..., None], axis=-1)[..., 0]

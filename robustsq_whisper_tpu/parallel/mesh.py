@@ -1,0 +1,119 @@
+"""Device mesh + sharding helpers.
+
+The reference's only model parallelism is torch DataParallel over 4 GPUs
+(/root/reference/run_tswhisper.sh:14-15, ts_qformer_espnet_model.py:250-251)
+with NCCL arriving implicitly through ESPnet. The TPU-native replacement is a
+``jax.sharding.Mesh`` with a ``data`` axis (DP, grads all-reduced over ICI by
+XLA) and an optional ``model`` axis (tensor parallelism over attention heads
+and FFN hidden — beyond-parity, free on TPU via pjit).
+
+No hand-written collectives: shardings are declared, XLA inserts
+psum/all-gather/reduce-scatter over ICI (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[Any]] = None,
+) -> Mesh:
+    """Build a (data, model) mesh. Defaults to all devices on the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
+    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+# ---- tensor-parallel parameter partitioning rules ----
+#
+# Path-regex -> PartitionSpec for the kernel's sharded dimension. Everything
+# not matched is replicated. Designed for the flax param trees of
+# models/whisper/modules.py, models/qformer.py, models/ts_encoder.py:
+#  - attention q/k/v kernels (in, out): shard out (heads) over MODEL
+#  - attention out kernel (in, out): shard in over MODEL
+#  - mlp fc1 kernel: shard out; fc2 kernel: shard in
+#  - token embedding (vocab, d): shard vocab over MODEL (logits become a
+#    MODEL-sharded matmul followed by an all-gather XLA schedules on ICI)
+
+_TP_RULES: Tuple[Tuple[str, P], ...] = (
+    (r".*(attn|attention|crossattention|cross_attn)/(query|key|value)/kernel$", P(None, MODEL_AXIS)),
+    (r".*(attn|attention|crossattention|cross_attn)/(query|key|value)/bias$", P(MODEL_AXIS)),
+    (r".*(attn|attention|crossattention|cross_attn)/out/kernel$", P(MODEL_AXIS, None)),
+    (r".*(mlp_fc1|fc1)/kernel$", P(None, MODEL_AXIS)),
+    (r".*(mlp_fc1|fc1)/bias$", P(MODEL_AXIS)),
+    (r".*(mlp_fc2|fc2)/kernel$", P(MODEL_AXIS, None)),
+    (r".*token_embedding/embedding$", P(MODEL_AXIS, None)),
+    (r".*aam/classifier$", P(MODEL_AXIS, None)),
+)
+
+
+def param_pspec(path: str, value: Any, tp: bool = True) -> P:
+    """PartitionSpec for one parameter, by its '/'-joined tree path."""
+    if tp:
+        for pattern, spec in _TP_RULES:
+            if re.match(pattern, path):
+                if len(spec) == getattr(value, "ndim", 0) or (
+                    len(spec) <= getattr(value, "ndim", 0)
+                ):
+                    return spec
+    return P()
+
+
+def tree_paths(tree: Any):
+    """Yield ('/'-joined path, leaf) pairs."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    for kp, leaf in flat:
+        path = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in kp
+        )
+        yield path, leaf
+
+
+def params_shardings(mesh: Mesh, params: Any, tp: bool = True) -> Any:
+    """NamedShardings for a param tree (TP rules or fully replicated)."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for kp, leaf in flat:
+        path = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in kp
+        )
+        spec = param_pspec(path, leaf, tp=tp and mesh.shape[MODEL_AXIS] > 1)
+        # Guard: only keep the spec if the dims divide evenly.
+        ok = True
+        for dim, axis in enumerate(spec):
+            if axis is None:
+                continue
+            if leaf.shape[dim] % mesh.shape[axis] != 0:
+                ok = False
+        out.append(NamedSharding(mesh, spec if ok else P()))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def batch_shardings(mesh: Mesh, batch: Any) -> Any:
+    """Shard every batch leaf along its leading (batch) dim over DATA."""
+
+    def spec(leaf: Any) -> NamedSharding:
+        ndim = getattr(leaf, "ndim", 0)
+        if ndim >= 1 and leaf.shape[0] % mesh.shape[DATA_AXIS] == 0:
+            return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, batch)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,67 @@
+"""Optimizer and LR schedule factory.
+
+The reference trains with ESPnet's Adam + warmuplr at lr 5e-5 (config name
+``..._lr5e-5`` at /root/reference/README.md:53; trainer external to the repo).
+Here: optax AdamW with Noam-style warmup (ESPnet ``WarmupLR``), global-norm
+clipping, and an optional trainable-mask for LoRA / frozen-backbone modes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    lr: float = 5e-5
+    warmup_steps: int = 1500
+    schedule: str = "warmuplr"  # warmuplr | linear | constant
+    total_steps: int = 100_000
+    weight_decay: float = 0.0
+    betas: tuple = (0.9, 0.98)
+    eps: float = 1e-8
+    clip_norm: float = 1.0
+
+
+def make_schedule(cfg: OptimConfig) -> optax.Schedule:
+    if cfg.schedule == "warmuplr":
+        # ESPnet WarmupLR: lr * warmup^0.5 * min(step^-0.5, step * warmup^-1.5)
+        def sched(step):
+            step = jax.numpy.maximum(step, 1).astype(jax.numpy.float32)
+            w = float(cfg.warmup_steps)
+            return cfg.lr * (w**0.5) * jax.numpy.minimum(
+                step**-0.5, step * w**-1.5
+            )
+
+        return sched
+    if cfg.schedule == "linear":
+        return optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
+    return optax.constant_schedule(cfg.lr)
+
+
+def make_optimizer(
+    cfg: OptimConfig,
+    trainable_mask: Optional[Any] = None,
+) -> optax.GradientTransformation:
+    """AdamW + clip; ``trainable_mask`` is a bool pytree (True = train) used
+    to freeze the backbone for LoRA / adapter-only fine-tuning."""
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.clip_norm),
+        optax.adamw(
+            make_schedule(cfg),
+            b1=cfg.betas[0],
+            b2=cfg.betas[1],
+            eps=cfg.eps,
+            weight_decay=cfg.weight_decay,
+        ),
+    )
+    if trainable_mask is not None:
+        tx = optax.chain(
+            optax.masked(tx, trainable_mask),
+            # hard-zero the frozen grads so set_to_zero semantics hold
+        )
+    return tx

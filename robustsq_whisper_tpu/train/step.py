@@ -1,0 +1,176 @@
+"""The pjit-compiled training step.
+
+Replaces the external ESPnet trainer the reference delegates to
+(SURVEY.md §3.1): one pure function (state, batch, rng, epoch) -> (state,
+stats), jit-compiled once over a ``Mesh`` with the batch sharded on the
+``data`` axis and params replicated or tensor-sharded (parallel/mesh.py).
+Gradient all-reduce is emitted by XLA from the shardings — the TPU-native
+equivalent of DataParallel + NCCL (reference run_tswhisper.sh:14-15,
+force_gatherable at ts_qformer_espnet_model.py:656).
+
+Supports three fine-tuning modes (the reference's three absent yaml configs,
+README.md:53-56): ``full``, ``lora`` (rank-16 q/k/v/o adapters; base frozen),
+``frozen_backbone`` (only Qformer/heads/adapters train).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..parallel.mesh import (
+    DATA_AXIS,
+    Mesh,
+    batch_shardings,
+    params_shardings,
+    replicated,
+)
+from .lora import LoraConfig, init_lora, merge_lora
+from .optim import OptimConfig, make_optimizer
+
+FROZEN_BACKBONE_TRAINABLE = (
+    r".*(qformer|prompt_proj|ctc|asp|aam|adapter|cln|query_tokens).*"
+)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    lora: Any  # {} when mode != lora
+    opt_state: Any
+
+    def trainables(self, mode: str) -> Any:
+        return self.lora if mode == "lora" else self.params
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    mode: str = "full"  # full | lora | frozen_backbone
+    optim: OptimConfig = OptimConfig()
+    lora: LoraConfig = LoraConfig()
+
+
+def trainable_mask(params: Any, pattern: str) -> Any:
+    regex = re.compile(pattern)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for kp, _ in flat:
+        path = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        out.append(bool(regex.match(path)))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def create_train_state(
+    rng: jax.Array,
+    params: Any,
+    cfg: TrainConfig = TrainConfig(),
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    if cfg.mode == "lora":
+        lora = init_lora(rng, params, cfg.lora)
+        tx = make_optimizer(cfg.optim)
+        opt_state = tx.init(lora)
+    elif cfg.mode == "frozen_backbone":
+        lora = {}
+        mask = trainable_mask(params, FROZEN_BACKBONE_TRAINABLE)
+        tx = make_optimizer(cfg.optim, trainable_mask=mask)
+        opt_state = tx.init(params)
+    else:
+        lora = {}
+        tx = make_optimizer(cfg.optim)
+        opt_state = tx.init(params)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, lora=lora, opt_state=opt_state
+    )
+    return state, tx
+
+
+def make_train_step(
+    model: Any,  # TSASRModel (flax module)
+    tx: optax.GradientTransformation,
+    cfg: TrainConfig = TrainConfig(),
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+) -> Callable[[TrainState, Dict[str, jax.Array], jax.Array, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Build the jitted step. With ``mesh``, in/out shardings are attached so
+    XLA lays the batch over DATA and (optionally) tensors over MODEL."""
+
+    def loss_fn(trainables, state, batch, rng, epoch):
+        if cfg.mode == "lora":
+            params = merge_lora(state.params, trainables, cfg.lora)
+        else:
+            params = trainables
+        loss, stats = model.apply(
+            {"params": params}, batch, rng, epoch, train=True
+        )
+        return loss, stats
+
+    def step_fn(state: TrainState, batch, rng, epoch):
+        trainables = state.trainables(cfg.mode)
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainables, state, batch, rng, epoch
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, trainables)
+        new_trainables = optax.apply_updates(trainables, updates)
+        stats = dict(stats)
+        stats["grad_norm"] = optax.global_norm(grads)
+        if cfg.mode == "lora":
+            state = state.replace(
+                step=state.step + 1, lora=new_trainables, opt_state=new_opt
+            )
+        else:
+            state = state.replace(
+                step=state.step + 1, params=new_trainables, opt_state=new_opt
+            )
+        return state, stats
+
+    # Sharding is input-driven: place state/batch with place_train_state /
+    # place_batch and jit propagates. No per-mesh recompile logic needed here.
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def place_train_state(mesh: Mesh, state: TrainState, tp: bool = True) -> TrainState:
+    """device_put the state onto the mesh: params (and their optimizer
+    moments, which mirror the param tree) per the TP rules, everything else
+    replicated."""
+    p_sh = params_shardings(mesh, state.params, tp=tp)
+
+    # optax chain state: walk and place param-structured subtrees (adam
+    # moments mirror the param tree and must share its sharding)
+    def place_opt(subtree: Any) -> Any:
+        try:
+            same = jax.tree_util.tree_structure(
+                subtree
+            ) == jax.tree_util.tree_structure(state.params)
+        except Exception:
+            same = False
+        if same:
+            return jax.device_put(subtree, p_sh)
+        if hasattr(subtree, "_fields"):  # NamedTuple optax states
+            return type(subtree)(
+                **{f: place_opt(getattr(subtree, f)) for f in subtree._fields}
+            )
+        if isinstance(subtree, (tuple, list)):
+            return type(subtree)(place_opt(s) for s in subtree)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, replicated(mesh)), subtree
+        )
+
+    return TrainState(
+        step=jax.device_put(state.step, replicated(mesh)),
+        params=jax.device_put(state.params, p_sh),
+        lora=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, replicated(mesh)), state.lora
+        ),
+        opt_state=place_opt(state.opt_state),
+    )
+
+
+def place_batch(mesh: Mesh, batch: Any) -> Any:
+    """device_put a host batch sharded along DATA."""
+    return jax.device_put(batch, batch_shardings(mesh, batch))

@@ -1,0 +1,127 @@
+"""Decode tests: KV-cache greedy/beam vs naive full-recompute decode, WER."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from robustsq_whisper_tpu.decode.scorer import cer, edit_distance, wer
+from robustsq_whisper_tpu.decode.search import (
+    DecodeConfig,
+    build_beam_decoder,
+    build_greedy_decoder,
+    strip_eot,
+)
+from robustsq_whisper_tpu.models import TSDecoder, WhisperDims
+from robustsq_whisper_tpu.tokenizer.whisper_tokenizer import (
+    ByteTokenizer,
+    special_tokens,
+)
+
+DIMS = WhisperDims(
+    n_mels=80, n_vocab=50, n_audio_ctx=16, n_audio_state=32,
+    n_audio_head=2, n_audio_layer=1, n_text_ctx=64, n_text_state=32,
+    n_text_head=2, n_text_layer=2,
+)
+CFG = DecodeConfig(max_new_tokens=8, eot=2, init_tokens=(1,), beam_size=1)
+
+
+@pytest.fixture(scope="module")
+def dec_and_params():
+    dec = TSDecoder(DIMS, startofprev_token=3)
+    rng = np.random.default_rng(0)
+    memory = jnp.asarray(rng.standard_normal((2, 10, 32)), jnp.float32)
+    prompt = jnp.asarray(rng.standard_normal((2, 2, 32)), jnp.float32)
+    ys = jnp.asarray(rng.integers(0, 50, (2, 4)))
+    variables = dec.init(jax.random.PRNGKey(0), memory, ys, prompt)
+    return dec, variables, memory, prompt
+
+
+def naive_greedy(dec, variables, memory, prompt, cfg):
+    """Reference decode: re-run the full prefix per step (the reference's
+    cacheless forward_one_step semantics, whisper_decoder.py:297-352)."""
+    b = memory.shape[0]
+    tokens = np.tile(np.asarray(cfg.init_tokens, np.int32), (b, 1))
+    out = []
+    done = np.zeros(b, bool)
+    for _ in range(cfg.max_new_tokens):
+        logits = dec.apply(
+            variables, memory, jnp.asarray(tokens), prompt
+        )  # (b, t, V) sliced to targets
+        nxt = np.asarray(jnp.argmax(logits[:, -1], axis=-1), np.int32)
+        nxt = np.where(done, cfg.eot, nxt)
+        out.append(nxt)
+        done |= nxt == cfg.eot
+        tokens = np.concatenate([tokens, nxt[:, None]], axis=1)
+    return np.stack(out, axis=1)
+
+
+def test_greedy_matches_naive(dec_and_params):
+    dec, variables, memory, prompt = dec_and_params
+    run = build_greedy_decoder(dec, variables, CFG)
+    tokens, scores = run(memory, prompt)
+    ref = naive_greedy(dec, variables, memory, prompt, CFG)
+    np.testing.assert_array_equal(np.asarray(tokens), ref)
+    assert np.all(np.isfinite(np.asarray(scores)))
+
+
+def test_beam1_equals_greedy(dec_and_params):
+    dec, variables, memory, prompt = dec_and_params
+    g = build_greedy_decoder(dec, variables, CFG)
+    b = build_beam_decoder(dec, variables, CFG)
+    tg, _ = g(memory, prompt)
+    tb, _ = b(memory, prompt)
+    np.testing.assert_array_equal(np.asarray(tg), np.asarray(tb))
+
+
+def test_beam_score_not_worse_than_greedy(dec_and_params):
+    dec, variables, memory, prompt = dec_and_params
+    cfg4 = DecodeConfig(max_new_tokens=8, eot=2, init_tokens=(1,), beam_size=4)
+    g = build_greedy_decoder(dec, variables, CFG)
+    bm = build_beam_decoder(dec, variables, cfg4)
+    _, sg = g(memory, prompt)
+    tb, sb = bm(memory, prompt)
+    assert tb.shape[1] == 8
+    # summed log-prob of the returned beam hypothesis >= greedy's
+    assert np.all(np.asarray(sb) >= np.asarray(sg) - 1e-4)
+
+
+def test_strip_eot():
+    toks = np.asarray([[4, 5, 2, 2, 2], [6, 7, 8, 9, 10]])
+    assert strip_eot(toks, 2) == [[4, 5], [6, 7, 8, 9, 10]]
+
+
+def test_wer_cer():
+    assert edit_distance("abc", "abc") == (0, 0, 0, 3)
+    r = wer(["the cat sat"], ["the cat sat"])
+    assert r["wer"] == 0.0
+    r = wer(["the cat sat"], ["the bat sat down"])
+    assert r["wer"] == pytest.approx(2 / 3)  # 1 sub + 1 ins over 3 words
+    assert r["sub"] == pytest.approx(1 / 3)
+    assert r["ins"] == pytest.approx(1 / 3)
+    c = cer(["abc"], ["abd"])
+    assert c["cer"] == pytest.approx(1 / 3)
+
+
+def test_tokenizer_special_layout():
+    st = special_tokens(multilingual=True)
+    assert st.eot == 50257
+    assert st.sot == 50258
+    assert st.lang("en") == 50259
+    assert st.transcribe == 50359
+    assert st.startofprev == 50361  # reference whisper_decoder.py:240
+    assert st.notimestamps == 50363
+    assert st.n_vocab == 51865
+    assert st.sot_sequence("en", "transcribe", True) == (
+        50258, 50259, 50359, 50363,
+    )
+
+
+def test_byte_tokenizer_roundtrip():
+    tok = ByteTokenizer()
+    text = "hello world! café"
+    assert tok.decode(tok.encode(text)) == text
+    # special ids pass through decode unharmed
+    ids = tok.encode("hi") + [tok.special.eot]
+    assert tok.decode(ids) == "hi"
