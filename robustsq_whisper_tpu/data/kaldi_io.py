@@ -1,0 +1,256 @@
+"""Kaldi data-dir IO: readers/writers/validators for the manifest format the
+reference trains from (README tree, /root/reference/README.md:64-69).
+
+Python equivalents of the vendored Kaldi shell/Perl tooling (SURVEY.md §2.3):
+
+- ``read_scp``/``write_scp``: the two-column ``key value`` text maps
+  (wav.scp, utt2spk, text, enroll.scp, utt2num_samples, ...)
+- ``utt2spk_to_spk2utt`` / ``spk2utt_to_utt2spk`` (utils/*.pl)
+- ``validate_data_dir`` (utils/validate_data_dir.sh): sorting, key
+  consistency, required files
+- ``fix_data_dir`` (utils/data/fix_data_dir.sh): filter all files to the
+  common utterance set and sort
+- ``filter_scp`` / ``subset_scp`` (utils/filter_scp.pl, subset_scp.pl)
+- lazy-enrollment rows ``*<utt_id> <spk_id>``
+  (/root/reference/datapre/create_enrollment_scp.py:76-78) resolved against a
+  ``spk2enroll.json`` ({spk: [[utt, path], ...]},
+  create_enrollment_json.py)
+- WAV read/write via scipy (16-bit PCM <-> float32 in [-1, 1]).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+REQUIRED_FILES = ("wav.scp", "utt2spk")
+
+
+# ---------------- scp maps ----------------
+
+
+def read_scp(path: str) -> Dict[str, str]:
+    """Ordered {key: rest-of-line}."""
+    out: Dict[str, str] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line.strip():
+                continue
+            parts = line.split(maxsplit=1)
+            out[parts[0]] = parts[1] if len(parts) > 1 else ""
+    return out
+
+
+def write_scp(path: str, mapping: Dict[str, str], sort: bool = True) -> None:
+    keys = sorted(mapping) if sort else list(mapping)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        for k in keys:
+            f.write(f"{k} {mapping[k]}\n")
+
+
+def utt2spk_to_spk2utt(utt2spk: Dict[str, str]) -> Dict[str, List[str]]:
+    out: Dict[str, List[str]] = {}
+    for utt, spk in utt2spk.items():
+        out.setdefault(spk, []).append(utt)
+    return {k: sorted(v) for k, v in sorted(out.items())}
+
+
+def spk2utt_to_utt2spk(spk2utt: Dict[str, Sequence[str]]) -> Dict[str, str]:
+    out = {}
+    for spk, utts in spk2utt.items():
+        for u in utts:
+            out[u] = spk
+    return dict(sorted(out.items()))
+
+
+def read_spk2utt(path: str) -> Dict[str, List[str]]:
+    return {k: v.split() for k, v in read_scp(path).items()}
+
+
+def write_spk2utt(path: str, spk2utt: Dict[str, Sequence[str]]) -> None:
+    write_scp(path, {k: " ".join(v) for k, v in spk2utt.items()})
+
+
+def filter_scp(keys: Iterable[str], mapping: Dict[str, str]) -> Dict[str, str]:
+    """utils/filter_scp.pl: keep rows whose key is in ``keys``."""
+    keyset = set(keys)
+    return {k: v for k, v in mapping.items() if k in keyset}
+
+
+def subset_scp(mapping: Dict[str, str], n: int, first: bool = True) -> Dict[str, str]:
+    """utils/subset_scp.pl: head/tail subset of n rows (sorted order)."""
+    keys = sorted(mapping)
+    keys = keys[:n] if first else keys[-n:]
+    return {k: mapping[k] for k in keys}
+
+
+# ---------------- data dirs ----------------
+
+_ALL_UTT_FILES = (
+    "wav.scp",
+    "utt2spk",
+    "text",
+    "enroll.scp",
+    "resnet.scp",
+    "utt2num_samples",
+    "utt2dur",
+)
+
+
+def validate_data_dir(
+    path: str,
+    require_text: bool = True,
+    check_wav_exists: bool = False,
+) -> List[str]:
+    """Return a list of problems (empty = valid), mirroring
+    utils/validate_data_dir.sh checks: required files, sorted keys, identical
+    utterance sets, spk2utt consistency."""
+    problems: List[str] = []
+    maps: Dict[str, Dict[str, str]] = {}
+    for name in REQUIRED_FILES + (("text",) if require_text else ()):
+        p = os.path.join(path, name)
+        if not os.path.exists(p):
+            problems.append(f"missing required file: {name}")
+    for name in _ALL_UTT_FILES:
+        p = os.path.join(path, name)
+        if os.path.exists(p):
+            maps[name] = read_scp(p)
+            keys = list(maps[name])
+            if keys != sorted(keys):
+                problems.append(f"{name}: keys not sorted")
+    base = maps.get("wav.scp")
+    if base is not None:
+        base_keys = set(base)
+        for name, m in maps.items():
+            if name == "wav.scp":
+                continue
+            if set(m) != base_keys:
+                missing = len(base_keys - set(m))
+                extra = len(set(m) - base_keys)
+                problems.append(
+                    f"{name}: utterance set mismatch vs wav.scp "
+                    f"({missing} missing, {extra} extra)"
+                )
+    s2u_path = os.path.join(path, "spk2utt")
+    if os.path.exists(s2u_path) and "utt2spk" in maps:
+        derived = utt2spk_to_spk2utt(maps["utt2spk"])
+        if read_spk2utt(s2u_path) != derived:
+            problems.append("spk2utt inconsistent with utt2spk")
+    if check_wav_exists and base:
+        for utt, p in list(base.items())[:5]:
+            if not p.startswith("|") and not os.path.exists(p.split()[0]):
+                problems.append(f"wav.scp: missing file for {utt}")
+    return problems
+
+
+def fix_data_dir(path: str) -> int:
+    """Filter all per-utterance files to the common key set, sort, and
+    regenerate spk2utt (utils/data/fix_data_dir.sh). Returns kept count."""
+    maps = {}
+    for name in _ALL_UTT_FILES:
+        p = os.path.join(path, name)
+        if os.path.exists(p):
+            maps[name] = read_scp(p)
+    if not maps:
+        return 0
+    common = None
+    for m in maps.values():
+        common = set(m) if common is None else (common & set(m))
+    common = common or set()
+    for name, m in maps.items():
+        write_scp(os.path.join(path, name), filter_scp(common, m))
+    if "utt2spk" in maps:
+        write_spk2utt(
+            os.path.join(path, "spk2utt"),
+            utt2spk_to_spk2utt(filter_scp(common, maps["utt2spk"])),
+        )
+    return len(common)
+
+
+# ---------------- enrollment ----------------
+
+
+def read_spk2enroll(path: str) -> Dict[str, List[Tuple[str, str]]]:
+    """spk2enroll.json: {spk: [[utt_id, wav_path], ...]}
+    (reference create_enrollment_json.py)."""
+    with open(path) as f:
+        return {k: [tuple(x) for x in v] for k, v in json.load(f).items()}
+
+
+def write_spk2enroll(path: str, spk2enroll: Dict[str, List[Tuple[str, str]]]) -> None:
+    with open(path, "w") as f:
+        json.dump({k: [list(x) for x in v] for k, v in spk2enroll.items()}, f)
+
+
+def is_lazy_enrollment(value: str) -> bool:
+    """Train-mode rows are ``*<utt_id> <spk_id>`` — enrollment chosen lazily
+    at load time (reference create_enrollment_scp.py:76-78)."""
+    return value.startswith("*")
+
+
+def parse_lazy_enrollment(value: str) -> Tuple[str, str]:
+    utt, spk = value.split()
+    return utt[1:], spk
+
+
+def resolve_enrollment(
+    value: str,
+    spk2enroll: Optional[Dict[str, List[Tuple[str, str]]]],
+    rng: Optional[np.random.Generator] = None,
+    exclude_utt: Optional[str] = None,
+) -> str:
+    """Turn an enroll.scp row into a concrete wav path. Lazy rows pick a
+    random enrollment of the speaker, excluding the mixture's own utterance
+    (SpeakerBeam convention)."""
+    if not is_lazy_enrollment(value):
+        return value
+    src_utt, spk = parse_lazy_enrollment(value)
+    if spk2enroll is None or spk not in spk2enroll:
+        raise KeyError(f"no enrollment pool for speaker {spk}")
+    pool = [
+        p for u, p in spk2enroll[spk] if u != (exclude_utt or src_utt)
+    ] or [p for _, p in spk2enroll[spk]]
+    rng = rng or np.random.default_rng()
+    return pool[int(rng.integers(len(pool)))]
+
+
+# ---------------- wav IO ----------------
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Read a wav file to float32 [-1, 1]; returns (audio, sample_rate)."""
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float32)
+    if data.ndim > 1:
+        data = data.mean(axis=1)
+    return data, int(sr)
+
+
+def write_wav(path: str, audio: np.ndarray, sr: int = 16000) -> None:
+    """Write float32 [-1, 1] as 16-bit PCM."""
+    from scipy.io import wavfile
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    pcm = np.clip(audio, -1.0, 1.0)
+    wavfile.write(path, sr, (pcm * 32767.0).astype(np.int16))
+
+
+def get_num_samples(path: str) -> int:
+    """utt2num_samples helper (replaces the ``soxi -s`` calls at
+    /root/reference/datapre/data.sh:246-251)."""
+    audio, _ = read_wav(path)
+    return int(audio.shape[0])

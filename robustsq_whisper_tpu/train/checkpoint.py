@@ -1,0 +1,81 @@
+"""Orbax checkpoint/resume.
+
+The reference delegates checkpointing entirely to the external ESPnet trainer
+(SURVEY.md §5): checkpoints under ``exp/``, and the one state-dependent
+schedule — ``set_epoch`` driving margin/γ warm-ups
+(/root/reference/model/ts_qformer_espnet_model.py:738-750) — means resume
+must restore the epoch. Here a checkpoint carries (train_state, epoch, rng)
+and restores onto an arbitrary mesh (orbax handles resharding).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+def save_checkpoint(
+    ckpt_dir: str,
+    step: int,
+    state: Any,
+    epoch: int,
+    rng: jax.Array,
+    keep: int = 3,
+) -> str:
+    ocp = _ocp()
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    with ocp.CheckpointManager(
+        ckpt_dir, options=ocp.CheckpointManagerOptions(max_to_keep=keep)
+    ) as mgr:
+        mgr.save(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(state),
+                meta=ocp.args.JsonSave(
+                    {"epoch": int(epoch), "rng": np.asarray(rng).tolist()}
+                ),
+            ),
+        )
+        mgr.wait_until_finished()
+    return os.path.join(ckpt_dir, str(step))
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    ocp = _ocp()
+    if not os.path.isdir(ckpt_dir):
+        return None
+    with ocp.CheckpointManager(os.path.abspath(ckpt_dir)) as mgr:
+        return mgr.latest_step()
+
+
+def restore_checkpoint(
+    ckpt_dir: str,
+    state_template: Any,
+    step: Optional[int] = None,
+) -> Tuple[Any, int, jax.Array]:
+    """Restore (state, epoch, rng). ``state_template`` provides the tree
+    structure/shardings (abstract or concrete)."""
+    ocp = _ocp()
+    with ocp.CheckpointManager(os.path.abspath(ckpt_dir)) as mgr:
+        step = step if step is not None else mgr.latest_step()
+        restored = mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(state_template),
+                meta=ocp.args.JsonRestore(),
+            ),
+        )
+    rng = jax.numpy.asarray(
+        np.asarray(restored["meta"]["rng"], dtype=np.uint32)
+    )
+    return restored["state"], int(restored["meta"]["epoch"]), rng
