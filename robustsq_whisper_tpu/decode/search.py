@@ -156,12 +156,13 @@ def build_beam_decoder(
             src_beam = top_idx // vocab  # (b, k)
             tok = (top_idx % vocab).astype(jnp.int32)  # (b, k)
 
-            # gather carry state along beams
+            # gather carry state along beams; cache leaves are stacked
+            # (layers, batch*beam, ...) so the beam axis is 1
             gather_idx = (
                 jnp.arange(b)[:, None] * k + src_beam
             ).reshape(-1)  # (b*k,)
             cache2 = jax.tree_util.tree_map(
-                lambda x: jnp.take(x, gather_idx, axis=0), cache
+                lambda x: jnp.take(x, gather_idx, axis=1), cache
             )
             done2 = jnp.take_along_axis(done, src_beam, axis=1) | (
                 tok == cfg.eot

@@ -247,7 +247,12 @@ class SpkAdapterTSEncoder(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.encoder = AudioEncoder(self.dims, dtype=self.dtype, name="encoder")
+        # unrolled blocks: this variant patches block 0 individually
+        # (reference whisper_encoder.py:277-291), which needs per-layer
+        # addressing rather than the scan-stacked fast path.
+        self.encoder = AudioEncoder(
+            self.dims, dtype=self.dtype, scan_layers=False, name="encoder"
+        )
         if self.adapter_method in ("cat", "additive", "film"):
             self.adapter = SpkAdapter(
                 self.enroll_size,

@@ -55,10 +55,40 @@ def _attn_from(sd: Mapping[str, Any], p: str, names: Tuple[str, str, str, str]) 
     }
 
 
+# ---------------- layer stacking ----------------
+
+
+def stack_blocks(params: Dict, n_layers: int) -> Dict:
+    """Convert per-layer ``blocks_{i}`` subtrees into one ``block`` subtree
+    with a leading layer axis on every leaf — the layout of the
+    ``nn.scan``-ed stacks in modules.py (scan_layers=True)."""
+    import jax
+
+    layers = [params.pop(f"blocks_{i}") for i in range(n_layers)]
+    params["block"] = jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs, axis=0), *layers
+    )
+    return params
+
+
+def unstack_blocks(params: Dict, n_layers: int) -> Dict:
+    """Inverse of stack_blocks (for scan_layers=False debugging)."""
+    import jax
+
+    stacked = params.pop("block")
+    for i in range(n_layers):
+        params[f"blocks_{i}"] = jax.tree_util.tree_map(
+            lambda x: x[i], stacked
+        )
+    return params
+
+
 # ---------------- OpenAI whisper checkpoints ----------------
 
 
-def encoder_params_from_openai(sd: Mapping[str, Any], n_layers: int) -> Dict:
+def encoder_params_from_openai(
+    sd: Mapping[str, Any], n_layers: int, stack: bool = True
+) -> Dict:
     params: Dict[str, Any] = {
         "conv1": _conv(sd["encoder.conv1.weight"], sd["encoder.conv1.bias"]),
         "conv2": _conv(sd["encoder.conv2.weight"], sd["encoder.conv2.bias"]),
@@ -73,10 +103,12 @@ def encoder_params_from_openai(sd: Mapping[str, Any], n_layers: int) -> Dict:
             "mlp_fc1": _dense(sd[f"{p}.mlp.0.weight"], sd[f"{p}.mlp.0.bias"]),
             "mlp_fc2": _dense(sd[f"{p}.mlp.2.weight"], sd[f"{p}.mlp.2.bias"]),
         }
-    return params
+    return stack_blocks(params, n_layers) if stack else params
 
 
-def decoder_params_from_openai(sd: Mapping[str, Any], n_layers: int) -> Dict:
+def decoder_params_from_openai(
+    sd: Mapping[str, Any], n_layers: int, stack: bool = True
+) -> Dict:
     params: Dict[str, Any] = {
         "token_embedding": {"embedding": _np(sd["decoder.token_embedding.weight"])},
         "positional_embedding": _np(sd["decoder.positional_embedding"]),
@@ -97,10 +129,10 @@ def decoder_params_from_openai(sd: Mapping[str, Any], n_layers: int) -> Dict:
             "mlp_fc1": _dense(sd[f"{p}.mlp.0.weight"], sd[f"{p}.mlp.0.bias"]),
             "mlp_fc2": _dense(sd[f"{p}.mlp.2.weight"], sd[f"{p}.mlp.2.bias"]),
         }
-    return params
+    return stack_blocks(params, n_layers) if stack else params
 
 
-def load_openai_checkpoint(path: str) -> Tuple[WhisperDims, Dict, Dict]:
+def load_openai_checkpoint(path: str, stack: bool = True) -> Tuple[WhisperDims, Dict, Dict]:
     """Read an OpenAI whisper .pt file -> (dims, encoder_params, decoder_params)."""
     import torch
 
@@ -110,15 +142,17 @@ def load_openai_checkpoint(path: str) -> Tuple[WhisperDims, Dict, Dict]:
     dims = WhisperDims(**{k: v for k, v in dims_d.items() if k in WhisperDims.__dataclass_fields__})
     return (
         dims,
-        encoder_params_from_openai(sd, dims.n_audio_layer),
-        decoder_params_from_openai(sd, dims.n_text_layer),
+        encoder_params_from_openai(sd, dims.n_audio_layer, stack),
+        decoder_params_from_openai(sd, dims.n_text_layer, stack),
     )
 
 
 # ---------------- HuggingFace transformers ----------------
 
 
-def encoder_params_from_hf(sd: Mapping[str, Any], n_layers: int) -> Dict:
+def encoder_params_from_hf(
+    sd: Mapping[str, Any], n_layers: int, stack: bool = True
+) -> Dict:
     pre = "encoder." if any(k.startswith("encoder.") for k in sd) else ""
     params: Dict[str, Any] = {
         "conv1": _conv(sd[f"{pre}conv1.weight"], sd[f"{pre}conv1.bias"]),
@@ -141,10 +175,12 @@ def encoder_params_from_hf(sd: Mapping[str, Any], n_layers: int) -> Dict:
             "mlp_fc1": _dense(sd[f"{p}.fc1.weight"], sd[f"{p}.fc1.bias"]),
             "mlp_fc2": _dense(sd[f"{p}.fc2.weight"], sd[f"{p}.fc2.bias"]),
         }
-    return params
+    return stack_blocks(params, n_layers) if stack else params
 
 
-def decoder_params_from_hf(sd: Mapping[str, Any], n_layers: int) -> Dict:
+def decoder_params_from_hf(
+    sd: Mapping[str, Any], n_layers: int, stack: bool = True
+) -> Dict:
     pre = "decoder." if any(k.startswith("decoder.") for k in sd) else ""
     params: Dict[str, Any] = {
         "token_embedding": {"embedding": _np(sd[f"{pre}embed_tokens.weight"])},
@@ -174,7 +210,7 @@ def decoder_params_from_hf(sd: Mapping[str, Any], n_layers: int) -> Dict:
             "mlp_fc1": _dense(sd[f"{p}.fc1.weight"], sd[f"{p}.fc1.bias"]),
             "mlp_fc2": _dense(sd[f"{p}.fc2.weight"], sd[f"{p}.fc2.bias"]),
         }
-    return params
+    return stack_blocks(params, n_layers) if stack else params
 
 
 # ---------------- vocab adaptation ----------------

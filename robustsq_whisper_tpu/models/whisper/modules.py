@@ -10,15 +10,20 @@ TPU choices:
 - static shapes everywhere; lengths travel as separate int arrays,
 - params live in fp32, matmuls run in a configurable compute dtype (bf16 on
   TPU), layernorms and softmax in fp32,
-- decoding uses a preallocated per-layer KV cache updated with
+- the layer stack is ``nn.scan``-ed over stacked per-layer params
+  (``scan_layers=True``): XLA compiles ONE block body instead of 24/32
+  unrolled copies — an order of magnitude faster compile at identical
+  runtime, and the layer axis is a natural pipeline-parallel axis later,
+- decoding uses a preallocated per-layer KV cache, shape
+  (layers, batch, max_len, heads, head_dim), updated with
   ``lax.dynamic_update_slice`` (the reference deliberately re-runs the whole
-  prefix each step, whisper_decoder.py:174-176 — this is the main perf gap the
-  TPU build closes).
+  prefix each step, whisper_decoder.py:174-176 — the main perf gap the TPU
+  build closes).
 """
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,9 +34,24 @@ from .config import WhisperDims, sinusoids
 
 Dtype = Any
 
+# KV cache of one stack: (self_k, self_v), each (layers, batch, len, heads, hd)
+Cache = Tuple[jax.Array, jax.Array]
+CrossKV = Tuple[jax.Array, jax.Array]
+
 
 def _gelu(x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=False)
+
+
+def _scan(body, length: int):
+    """nn.scan over stacked per-layer params; broadcast closure constants."""
+    return nn.scan(
+        body,
+        variable_axes={"params": 0},
+        split_rngs={"params": True},
+        length=length,
+        metadata_params={nn.meta.PARTITION_NAME: None},
+    )
 
 
 class MultiHeadAttention(nn.Module):
@@ -117,11 +137,32 @@ class ResidualAttentionBlock(nn.Module):
         x = x + self._mlp(self._cast(self.mlp_ln(x)))
         return x
 
+    def prefill(
+        self,
+        x: jax.Array,
+        cache_k: jax.Array,
+        cache_v: jax.Array,
+        mask: jax.Array,
+        cross_k: jax.Array,
+        cross_v: jax.Array,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Multi-token prefix through one block, writing cache[:, :L]."""
+        h = self._cast(self.attn_ln(x))
+        k_new, v_new = self.attn.kv(h)
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k_new, (0, 0, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v_new, (0, 0, 0, 0))
+        x = x + self.attn.attend(h, k_new, v_new, mask=mask)
+        x = x + self.cross_attn.attend(
+            self._cast(self.cross_attn_ln(x)), cross_k, cross_v
+        )
+        x = x + self._mlp(self._cast(self.mlp_ln(x)))
+        return x, cache_k, cache_v
+
     def step(
         self,
         x: jax.Array,
-        self_k: jax.Array,
-        self_v: jax.Array,
+        cache_k: jax.Array,
+        cache_v: jax.Array,
         pos: jax.Array,
         cross_k: jax.Array,
         cross_v: jax.Array,
@@ -130,24 +171,24 @@ class ResidualAttentionBlock(nn.Module):
 
         Args:
             x: (batch, 1, n_state) current-position hidden state.
-            self_k/self_v: (batch, max_len, heads, head_dim) cache buffers.
+            cache_k/cache_v: (batch, max_len, heads, head_dim) buffers.
             pos: scalar int32 write/attend position.
             cross_k/cross_v: precomputed encoder-memory projections.
-        Returns:
-            (new_x, updated self_k, updated self_v).
         """
         h = self._cast(self.attn_ln(x))
         k_new, v_new = self.attn.kv(h)
-        self_k = jax.lax.dynamic_update_slice(self_k, k_new, (0, pos, 0, 0))
-        self_v = jax.lax.dynamic_update_slice(self_v, v_new, (0, pos, 0, 0))
-        max_len = self_k.shape[1]
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k_new, (0, pos, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v_new, (0, pos, 0, 0))
+        max_len = cache_k.shape[1]
         step_mask = jnp.where(
-            jnp.arange(max_len)[None, :] <= pos, 0.0, -1e9
-        ).astype(jnp.float32)[None, None, :, :]
-        x = x + self.attn.attend(h, self_k, self_v, mask=step_mask)
-        x = x + self.cross_attn.attend(self._cast(self.cross_attn_ln(x)), cross_k, cross_v)
+            jnp.arange(max_len) <= pos, 0.0, -1e9
+        ).astype(jnp.float32)[None, None, None, :]  # (1, heads, q, kv) bcast
+        x = x + self.attn.attend(h, cache_k, cache_v, mask=step_mask)
+        x = x + self.cross_attn.attend(
+            self._cast(self.cross_attn_ln(x)), cross_k, cross_v
+        )
         x = x + self._mlp(self._cast(self.mlp_ln(x)))
-        return x, self_k, self_v
+        return x, cache_k, cache_v
 
 
 class AudioEncoder(nn.Module):
@@ -157,6 +198,7 @@ class AudioEncoder(nn.Module):
 
     dims: WhisperDims
     dtype: Dtype = jnp.float32
+    scan_layers: bool = True
 
     def setup(self):
         d = self.dims
@@ -167,12 +209,18 @@ class AudioEncoder(nn.Module):
             d.n_audio_state, (3,), strides=(2,), padding=((1, 1),),
             dtype=self.dtype, name="conv2",
         )
-        self.blocks = [
-            ResidualAttentionBlock(
-                d.n_audio_state, d.n_audio_head, dtype=self.dtype, name=f"blocks_{i}"
+        if self.scan_layers:
+            self.block = ResidualAttentionBlock(
+                d.n_audio_state, d.n_audio_head, dtype=self.dtype, name="block"
             )
-            for i in range(d.n_audio_layer)
-        ]
+        else:
+            self.blocks = [
+                ResidualAttentionBlock(
+                    d.n_audio_state, d.n_audio_head, dtype=self.dtype,
+                    name=f"blocks_{i}",
+                )
+                for i in range(d.n_audio_layer)
+            ]
         self.ln_post = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")
 
     def conv_stem(self, mel: jax.Array, add_positions: bool = True) -> jax.Array:
@@ -191,8 +239,14 @@ class AudioEncoder(nn.Module):
 
     def run_blocks(self, x: jax.Array) -> jax.Array:
         x = x.astype(self.dtype)
-        for block in self.blocks:
-            x = block(x)
+        if self.scan_layers:
+            def body(block, carry, _):
+                return block(carry), None
+
+            x, _ = _scan(body, self.dims.n_audio_layer)(self.block, x, None)
+        else:
+            for block in self.blocks:
+                x = block(x)
         return self.ln_post(x).astype(self.dtype)
 
     def __call__(self, mel: jax.Array) -> jax.Array:
@@ -210,6 +264,7 @@ class TextDecoder(nn.Module):
 
     dims: WhisperDims
     dtype: Dtype = jnp.float32
+    scan_layers: bool = True
 
     def setup(self):
         d = self.dims
@@ -219,14 +274,22 @@ class TextDecoder(nn.Module):
             nn.initializers.normal(0.02),
             (d.n_text_ctx, d.n_text_state),
         )
-        self.blocks = [
-            ResidualAttentionBlock(
+        if self.scan_layers:
+            self.block = ResidualAttentionBlock(
                 d.n_text_state, d.n_text_head, cross_attention=True,
-                dtype=self.dtype, name=f"blocks_{i}",
+                dtype=self.dtype, name="block",
             )
-            for i in range(d.n_text_layer)
-        ]
+        else:
+            self.blocks = [
+                ResidualAttentionBlock(
+                    d.n_text_state, d.n_text_head, cross_attention=True,
+                    dtype=self.dtype, name=f"blocks_{i}",
+                )
+                for i in range(d.n_text_layer)
+            ]
         self.ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln")
+
+    # ---- embedding / logits ----
 
     def embed(self, tokens: jax.Array) -> jax.Array:
         return self.token_embedding(tokens)
@@ -241,6 +304,8 @@ class TextDecoder(nn.Module):
             preferred_element_type=jnp.float32,
         ).astype(jnp.float32)
 
+    # ---- full-sequence forward ----
+
     def forward_embedded(
         self, x_emb: jax.Array, memory: jax.Array, mask: Optional[jax.Array] = None
     ) -> jax.Array:
@@ -251,8 +316,14 @@ class TextDecoder(nn.Module):
         if mask is None:
             mask = causal_mask(length)
         memory = memory.astype(self.dtype)
-        for block in self.blocks:
-            x = block(x, xa=memory, mask=mask)
+        if self.scan_layers:
+            def body(block, carry, _):
+                return block(carry, xa=memory, mask=mask), None
+
+            x, _ = _scan(body, self.dims.n_text_layer)(self.block, x, None)
+        else:
+            for block in self.blocks:
+                x = block(x, xa=memory, mask=mask)
         return self.ln(x).astype(self.dtype)
 
     def __call__(self, tokens: jax.Array, memory: jax.Array) -> jax.Array:
@@ -262,49 +333,62 @@ class TextDecoder(nn.Module):
 
     # ---- KV-cache decode path ----
 
-    def cross_kv(self, memory: jax.Array) -> List[Tuple[jax.Array, jax.Array]]:
+    def cross_kv(self, memory: jax.Array) -> CrossKV:
+        """Per-layer K/V of the encoder memory, stacked:
+        2x (layers, batch, src, heads, head_dim)."""
         memory = memory.astype(self.dtype)
-        return [block.cross_attn.kv(memory) for block in self.blocks]
+        if self.scan_layers:
+            def body(block, carry, _):
+                k, v = block.cross_attn.kv(memory)
+                return carry, (k, v)
 
-    def init_cache(self, batch: int, max_len: int) -> List[Tuple[jax.Array, jax.Array]]:
+            _, (ks, vs) = _scan(body, self.dims.n_text_layer)(self.block, 0, None)
+            return ks, vs
+        ks, vs = zip(*(b.cross_attn.kv(memory) for b in self.blocks))
+        return jnp.stack(ks), jnp.stack(vs)
+
+    def init_cache(self, batch: int, max_len: int) -> Cache:
         d = self.dims
-        shape = (batch, max_len, d.n_text_head, d.n_text_state // d.n_text_head)
-        zeros = jnp.zeros(shape, dtype=self.dtype)
-        return [(zeros, zeros) for _ in range(d.n_text_layer)]
+        shape = (
+            d.n_text_layer, batch, max_len, d.n_text_head,
+            d.n_text_state // d.n_text_head,
+        )
+        return jnp.zeros(shape, self.dtype), jnp.zeros(shape, self.dtype)
 
     def prefill(
-        self,
-        x_emb: jax.Array,
-        cache: List[Tuple[jax.Array, jax.Array]],
-        cross: List[Tuple[jax.Array, jax.Array]],
-    ) -> Tuple[jax.Array, List[Tuple[jax.Array, jax.Array]]]:
-        """Run a multi-token prefix through the decoder, filling cache[0:L].
+        self, x_emb: jax.Array, cache: Cache, cross: CrossKV
+    ) -> Tuple[jax.Array, Cache]:
+        """Run a multi-token prefix through the decoder, filling cache[:, :, :L].
 
         Returns fp32 logits of the last position and the updated cache.
         """
         length = x_emb.shape[1]
         x = (x_emb + self.positional_embedding[:length]).astype(self.dtype)
         mask = causal_mask(length)
-        new_cache = []
-        for block, (ck, cv), (xk, xv) in zip(self.blocks, cross, cache):
-            h = block._cast(block.attn_ln(x))
-            k_new, v_new = block.attn.kv(h)
-            xk = jax.lax.dynamic_update_slice(xk, k_new, (0, 0, 0, 0))
-            xv = jax.lax.dynamic_update_slice(xv, v_new, (0, 0, 0, 0))
-            x = x + block.attn.attend(h, k_new, v_new, mask=mask)
-            x = x + block.cross_attn.attend(block._cast(block.cross_attn_ln(x)), ck, cv)
-            x = x + block._mlp(block._cast(block.mlp_ln(x)))
-            new_cache.append((xk, xv))
+        ck, cv = cache
+        xk, xv = cross
+        if self.scan_layers:
+            def body(block, carry, layer_in):
+                lk, lv, lxk, lxv = layer_in
+                y, lk, lv = block.prefill(carry, lk, lv, mask, lxk, lxv)
+                return y, (lk, lv)
+
+            x, (ck, cv) = _scan(body, self.dims.n_text_layer)(
+                self.block, x, (ck, cv, xk, xv)
+            )
+        else:
+            new_k, new_v = [], []
+            for i, block in enumerate(self.blocks):
+                x, k_i, v_i = block.prefill(x, ck[i], cv[i], mask, xk[i], xv[i])
+                new_k.append(k_i)
+                new_v.append(v_i)
+            ck, cv = jnp.stack(new_k), jnp.stack(new_v)
         x = self.ln(x[:, -1:]).astype(self.dtype)
-        return self.logits(x)[:, 0], new_cache
+        return self.logits(x)[:, 0], (ck, cv)
 
     def step(
-        self,
-        token_emb: jax.Array,
-        pos: jax.Array,
-        cache: List[Tuple[jax.Array, jax.Array]],
-        cross: List[Tuple[jax.Array, jax.Array]],
-    ) -> Tuple[jax.Array, List[Tuple[jax.Array, jax.Array]]]:
+        self, token_emb: jax.Array, pos: jax.Array, cache: Cache, cross: CrossKV
+    ) -> Tuple[jax.Array, Cache]:
         """One decode step. token_emb: (batch, 1, n_state); pos: scalar int.
 
         Returns fp32 logits (batch, n_vocab) and the updated cache.
@@ -313,9 +397,23 @@ class TextDecoder(nn.Module):
             self.positional_embedding, pos, 1, axis=0
         )
         x = (token_emb + pos_emb[None]).astype(self.dtype)
-        new_cache = []
-        for block, (ck, cv), (sk, sv) in zip(self.blocks, cross, cache):
-            x, sk, sv = block.step(x, sk, sv, pos, ck, cv)
-            new_cache.append((sk, sv))
+        ck, cv = cache
+        xk, xv = cross
+        if self.scan_layers:
+            def body(block, carry, layer_in):
+                lk, lv, lxk, lxv = layer_in
+                y, lk, lv = block.step(carry, lk, lv, pos, lxk, lxv)
+                return y, (lk, lv)
+
+            x, (ck, cv) = _scan(body, self.dims.n_text_layer)(
+                self.block, x, (ck, cv, xk, xv)
+            )
+        else:
+            new_k, new_v = [], []
+            for i, block in enumerate(self.blocks):
+                x, k_i, v_i = block.step(x, ck[i], cv[i], pos, xk[i], xv[i])
+                new_k.append(k_i)
+                new_v.append(v_i)
+            ck, cv = jnp.stack(new_k), jnp.stack(new_v)
         x = self.ln(x).astype(self.dtype)
-        return self.logits(x)[:, 0], new_cache
+        return self.logits(x)[:, 0], (ck, cv)

@@ -62,14 +62,18 @@ _TP_RULES: Tuple[Tuple[str, P], ...] = (
 
 
 def param_pspec(path: str, value: Any, tp: bool = True) -> P:
-    """PartitionSpec for one parameter, by its '/'-joined tree path."""
+    """PartitionSpec for one parameter, by its '/'-joined tree path.
+
+    Rules are written for unstacked 2-D kernels; scan-stacked params carry a
+    leading layer axis, so specs are left-padded with None to the leaf rank
+    (the layer axis is never sharded — it is the scan/pipeline axis).
+    """
+    ndim = getattr(value, "ndim", 0)
     if tp:
         for pattern, spec in _TP_RULES:
-            if re.match(pattern, path):
-                if len(spec) == getattr(value, "ndim", 0) or (
-                    len(spec) <= getattr(value, "ndim", 0)
-                ):
-                    return spec
+            if re.match(pattern, path) and len(spec) <= ndim:
+                pad = ndim - len(spec)
+                return P(*([None] * pad), *spec)
     return P()
 
 
