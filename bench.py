@@ -84,7 +84,9 @@ def main():
     jax.block_until_ready((enc_vars, dec_vars))
     log(f"init done in {time.time()-t0:.1f}s")
 
-    # full pipeline: mel -> encoder -> greedy decode
+    # full pipeline: mel -> encoder -> greedy decode. Weights are jit
+    # ARGUMENTS (closed-over device arrays lower as per-leaf constants,
+    # fetched device->host — minutes over a tunneled TPU).
     dcfg = DecodeConfig(
         max_new_tokens=new_tokens,
         eot=st.eot,
@@ -92,25 +94,27 @@ def main():
         beam_size=1,
     )
     greedy = build_greedy_decoder(dec, dec_vars, dcfg)
+    encode = jax.jit(
+        lambda v, m, fl, em, el: enc.apply(v, m, fl, em, el)
+    )
 
-    @jax.jit
-    def pipeline(mel, feats_lens, emel, emel_lens):
-        memory, out_lens, spk_prompt, _ = enc.apply(
+    def pipeline():
+        memory, out_lens, spk_prompt, _ = encode(
             enc_vars, mel, feats_lens, emel, emel_lens
         )
         return greedy(memory, spk_prompt)
 
     t0 = time.time()
     log("compiling pipeline ...")
-    tokens, scores = pipeline(mel, feats_lens, emel, emel_lens)
-    jax.block_until_ready((tokens, scores))
-    log(f"compile+first run {time.time()-t0:.1f}s")
+    tokens, scores = pipeline()
+    np.asarray(tokens)  # device->host fetch: the only reliable completion
+    log(f"compile+first run {time.time()-t0:.1f}s")  # barrier on a tunneled TPU
 
     times = []
     for i in range(iters):
         t0 = time.time()
-        tokens, scores = pipeline(mel, feats_lens, emel, emel_lens)
-        jax.block_until_ready((tokens, scores))
+        tokens, scores = pipeline()
+        np.asarray(tokens)
         times.append(time.time() - t0)
         log(f"iter {i}: {times[-1]*1000:.1f} ms")
 

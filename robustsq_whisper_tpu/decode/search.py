@@ -51,12 +51,15 @@ def build_greedy_decoder(
 
     tokens: (batch, max_new_tokens) int32, eot-padded after stop.
     scores: (batch,) summed log-probs of emitted tokens (up to eot).
+
+    The weights enter the jit as an ARGUMENT (bound via partial), never as a
+    closure: closed-over device arrays lower as per-leaf HLO constants, each
+    fetched device->host during lowering — minutes of wall time on a
+    tunneled TPU.
     """
 
-    n_q = None  # resolved from spk_prompt shape at trace time
-
-    @jax.jit
-    def run(memory: jax.Array, spk_prompt: jax.Array):
+    @functools.partial(jax.jit, donate_argnums=())
+    def run(variables: Any, memory: jax.Array, spk_prompt: jax.Array):
         b = memory.shape[0]
         prompt_len = 1 + spk_prompt.shape[1] if dec.use_spk_prompt else 0
         total = prompt_len + len(cfg.init_tokens) + cfg.max_new_tokens
@@ -94,7 +97,7 @@ def build_greedy_decoder(
         )
         return tokens.T, scores  # (b, max_new), (b,)
 
-    return run
+    return functools.partial(run, variables)
 
 
 def build_beam_decoder(
@@ -112,8 +115,8 @@ def build_beam_decoder(
     if k == 1:
         return build_greedy_decoder(dec, variables, cfg)
 
-    @jax.jit
-    def run(memory: jax.Array, spk_prompt: jax.Array):
+    @functools.partial(jax.jit, donate_argnums=())
+    def run(variables: Any, memory: jax.Array, spk_prompt: jax.Array):
         b = memory.shape[0]
         prompt_len = 1 + spk_prompt.shape[1] if dec.use_spk_prompt else 0
         total = prompt_len + len(cfg.init_tokens) + cfg.max_new_tokens
@@ -207,7 +210,7 @@ def build_beam_decoder(
         )[:, 0]
         return rev_tokens.T, best_scores
 
-    return run
+    return functools.partial(run, variables)
 
 
 def strip_eot(tokens, eot: int) -> List[List[int]]:

@@ -178,6 +178,14 @@ class QFormerAdapter(nn.Module):
         self.emb_ln = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="emb_ln"
         )
+        # non-trainable buffer (see AudioEncoder.pos_table note)
+        self.pos_table = self.variable(
+            "buffers",
+            "position_embeddings",
+            lambda: jnp.asarray(
+                sinusoids(self.cfg.max_position_embeddings, self.cfg.hidden_size)
+            ),
+        )
         self.layers = [
             QformerLayer(
                 cfg,
@@ -203,10 +211,7 @@ class QFormerAdapter(nn.Module):
         # Embeddings: Linear word-emb on continuous feats + sinusoid positions,
         # queries prepended, joint LayerNorm (Qformer.py:69-87).
         e = self.word_embeddings(enroll.astype(self.dtype))
-        pos = jnp.asarray(
-            sinusoids(cfg.max_position_embeddings, cfg.hidden_size)
-        )[:n_enroll]
-        e = e + pos.astype(e.dtype)
+        e = e + self.pos_table.value[:n_enroll].astype(e.dtype)
         q = jnp.broadcast_to(
             self.query_tokens.astype(self.dtype), (b, nq, cfg.hidden_size)
         )
@@ -241,3 +246,11 @@ class QFormerAdapter(nn.Module):
     @property
     def output_size(self) -> int:
         return self.cfg.hidden_size
+
+    @staticmethod
+    def make_buffers(cfg: QformerConfig) -> dict:
+        return {
+            "position_embeddings": jnp.asarray(
+                sinusoids(cfg.max_position_embeddings, cfg.hidden_size)
+            )
+        }

@@ -232,6 +232,20 @@ class QFormerTSEncoder(nn.Module):
     def prompt_len(self) -> int:
         return self.ts.num_query_tokens if self.ts.use_spk_prompt else 0
 
+    @staticmethod
+    def make_buffers(dims: WhisperDims, ts: TSEncoderConfig) -> dict:
+        from .qformer import QformerConfig as _QC
+
+        qcfg = _QC(
+            encoder_width=dims.n_audio_state,
+            hidden_size=ts.qformer_hidden_size,
+            num_query_tokens=ts.num_query_tokens,
+        )
+        return {
+            "encoder": AudioEncoder.make_buffers(dims),
+            "qformer": QFormerAdapter.make_buffers(qcfg),
+        }
+
 
 class SpkAdapterTSEncoder(nn.Module):
     """Embedding-enrollment TS encoder (TgtSpkWhisperEncoder,

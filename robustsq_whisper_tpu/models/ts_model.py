@@ -239,3 +239,7 @@ class TSASRModel(nn.Module):
 
         stats["loss"] = loss
         return loss, stats
+
+    @staticmethod
+    def make_buffers(dims: WhisperDims, ts: TSEncoderConfig) -> dict:
+        return {"encoder": QFormerTSEncoder.make_buffers(dims, ts)}

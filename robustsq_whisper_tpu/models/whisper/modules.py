@@ -209,6 +209,17 @@ class AudioEncoder(nn.Module):
             d.n_audio_state, (3,), strides=(2,), padding=((1, 1),),
             dtype=self.dtype, name="conv2",
         )
+        # Fixed sinusoid positions as a non-trainable buffer (reference keeps
+        # them as a torch buffer). As a flax variable they enter the jit as an
+        # argument instead of a multi-MB inlined HLO constant — inlining them
+        # made medium-size traces take minutes.
+        self.pos_table = self.variable(
+            "buffers",
+            "positional_embedding",
+            lambda: jnp.asarray(
+                sinusoids(self.dims.n_audio_ctx, self.dims.n_audio_state)
+            ),
+        )
         if self.scan_layers:
             self.block = ResidualAttentionBlock(
                 d.n_audio_state, d.n_audio_head, dtype=self.dtype, name="block"
@@ -233,8 +244,7 @@ class AudioEncoder(nn.Module):
         x = _gelu(self.conv1(x))
         x = _gelu(self.conv2(x))
         if add_positions:
-            pos = jnp.asarray(sinusoids(self.dims.n_audio_ctx, self.dims.n_audio_state))
-            x = x + pos[: x.shape[1]].astype(x.dtype)
+            x = x + self.pos_table.value[: x.shape[1]].astype(x.dtype)
         return x
 
     def run_blocks(self, x: jax.Array) -> jax.Array:
@@ -257,6 +267,16 @@ class AudioEncoder(nn.Module):
         """Conv2 length formula (reference whisper_encoder.py:158-167):
         1 + (ilens - kernel + 2*padding) // stride, clamped to the pos budget."""
         return jnp.minimum(1 + (ilens - 3 + 2) // 2, max_ctx)
+
+    @staticmethod
+    def make_buffers(dims: WhisperDims) -> dict:
+        """The 'buffers' collection matching setup() — for apply() with
+        converted checkpoints (no init call needed)."""
+        return {
+            "positional_embedding": jnp.asarray(
+                sinusoids(dims.n_audio_ctx, dims.n_audio_state)
+            )
+        }
 
 
 class TextDecoder(nn.Module):

@@ -42,6 +42,7 @@ FROZEN_BACKBONE_TRAINABLE = (
 class TrainState(struct.PyTreeNode):
     step: jax.Array
     params: Any
+    buffers: Any  # non-trainable collections (e.g. sinusoid tables)
     lora: Any  # {} when mode != lora
     opt_state: Any
 
@@ -68,9 +69,17 @@ def trainable_mask(params: Any, pattern: str) -> Any:
 
 def create_train_state(
     rng: jax.Array,
-    params: Any,
+    variables: Any,
     cfg: TrainConfig = TrainConfig(),
 ) -> Tuple[TrainState, optax.GradientTransformation]:
+    """``variables`` is the model.init output ({"params": ..., "buffers":
+    ...}) or a bare param tree (no non-trainable collections)."""
+    variables = dict(variables)
+    if "params" in variables:
+        params = variables.pop("params")
+        buffers = variables
+    else:  # bare param tree
+        params, buffers = variables, {}
     if cfg.mode == "lora":
         lora = init_lora(rng, params, cfg.lora)
         tx = make_optimizer(cfg.optim)
@@ -85,7 +94,8 @@ def create_train_state(
         tx = make_optimizer(cfg.optim)
         opt_state = tx.init(params)
     state = TrainState(
-        step=jnp.zeros((), jnp.int32), params=params, lora=lora, opt_state=opt_state
+        step=jnp.zeros((), jnp.int32), params=params, buffers=buffers,
+        lora=lora, opt_state=opt_state,
     )
     return state, tx
 
@@ -106,7 +116,7 @@ def make_train_step(
         else:
             params = trainables
         loss, stats = model.apply(
-            {"params": params}, batch, rng, epoch, train=True
+            {"params": params, **state.buffers}, batch, rng, epoch, train=True
         )
         return loss, stats
 
@@ -164,6 +174,9 @@ def place_train_state(mesh: Mesh, state: TrainState, tp: bool = True) -> TrainSt
     return TrainState(
         step=jax.device_put(state.step, replicated(mesh)),
         params=jax.device_put(state.params, p_sh),
+        buffers=jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, replicated(mesh)), state.buffers
+        ),
         lora=jax.tree_util.tree_map(
             lambda x: jax.device_put(x, replicated(mesh)), state.lora
         ),

@@ -67,7 +67,7 @@ def model_and_params():
     model = _model()
     batch = _batch()
     rng = jax.random.PRNGKey(0)
-    params = model.init(rng, batch, rng, 0, train=False)["params"]
+    params = model.init(rng, batch, rng, 0, train=False)
     return model, params, batch
 
 
@@ -131,7 +131,7 @@ def test_lora_merge_is_identity_at_init(model_and_params):
 
 def test_frozen_backbone_mask(model_and_params):
     _, params, _ = model_and_params
-    mask = trainable_mask(params, FROZEN_BACKBONE_TRAINABLE)
+    mask = trainable_mask(params["params"], FROZEN_BACKBONE_TRAINABLE)
     flat, _ = jax.tree_util.tree_flatten_with_path(mask)
     paths = {
         "/".join(str(getattr(k, "key", k)) for k in kp): v for kp, v in flat
@@ -151,7 +151,7 @@ def test_multichip_dp_tp_step():
     model = _model()
     batch = _batch(8)
     rng = jax.random.PRNGKey(3)
-    params = model.init(rng, batch, rng, 0, train=False)["params"]
+    params = model.init(rng, batch, rng, 0, train=False)
     tcfg = TrainConfig(optim=OptimConfig(lr=1e-3, schedule="constant"))
 
     # single-device reference

@@ -83,7 +83,8 @@ def test_encoder_matches_hf(hf_model):
         ref = hf_model.encoder(torch.from_numpy(mel)).last_hidden_state.numpy()
 
     enc = AudioEncoder(DIMS)
-    ours = np.asarray(enc.apply({"params": params}, jnp.asarray(mel)))
+    variables = {"params": params, "buffers": AudioEncoder.make_buffers(DIMS)}
+    ours = np.asarray(enc.apply(variables, jnp.asarray(mel)))
     assert ours.shape == ref.shape
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
 
