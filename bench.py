@@ -81,6 +81,18 @@ def main():
             jnp.zeros((batch, ts.num_query_tokens, dims.n_audio_state), compute_dtype),
         )
     )(rng)
+    # Serving keeps weights in bf16: decode is weight-bandwidth-bound
+    # (per-step HBM traffic ~= parameter bytes), so fp32 params would halve
+    # the step rate for no accuracy benefit at inference.
+    def to_bf16(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32
+            else x,
+            tree,
+        )
+
+    enc_vars, dec_vars = to_bf16(enc_vars), to_bf16(dec_vars)
     jax.block_until_ready((enc_vars, dec_vars))
     log(f"init done in {time.time()-t0:.1f}s")
 
