@@ -1,0 +1,132 @@
+"""Decode/eval CLI — the stage-12 equivalent of the reference recipe
+(/root/reference/run_tswhisper.sh:67-90, ``--tgtspk_infer True`` + beam
+config ``decode_asr_whisper_beam1.yaml`` -> espnet2.bin.asr_inference).
+
+Usage::
+
+    python -m robustsq_whisper_tpu.cli.decode \
+        --config conf/tswhisper/train_..._.yaml \
+        --inference_config conf/tswhisper/decode_asr_whisper_beam1.yaml \
+        --data_dir dump/raw/test_sglspk \
+        --expdir exp/tswhisper --output_dir exp/tswhisper/decode_test
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--inference_config", default=None)
+    parser.add_argument("--data_dir", required=True)
+    parser.add_argument("--expdir", default=None)
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--tokenizer_assets", default=None)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--language", default="en")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s: %(message)s",
+    )
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.dataset import KaldiTSDataset
+    from ..decode.pipeline import decode_dataset
+    from ..decode.search import DecodeConfig
+    from ..models import TSDecoder, QFormerTSEncoder
+    from ..tokenizer.whisper_tokenizer import load_tokenizer, special_tokens
+    from ..train.checkpoint import latest_step, restore_checkpoint
+    from ..train.step import TrainConfig, create_train_state
+    from ..utils.config import load_experiment, load_yaml, experiment_from_dict
+
+    exp = load_experiment(args.config)
+    if args.inference_config:
+        inf = load_yaml(args.inference_config)
+        if "decode_conf" in inf:
+            exp = dataclasses.replace(
+                exp,
+                decode=dataclasses.replace(
+                    exp.decode, **{
+                        k: (tuple(v) if k == "init_tokens" else v)
+                        for k, v in inf["decode_conf"].items()
+                    }
+                ),
+            )
+
+    dims = exp.resolved_dims()
+    dtype = jnp.bfloat16 if exp.compute_dtype == "bfloat16" else jnp.float32
+    tokenizer = load_tokenizer(args.tokenizer_assets)
+    st = special_tokens(multilingual=True)
+
+    dataset = KaldiTSDataset(
+        args.data_dir,
+        tokenizer,
+        speech_seconds=exp.speech_seconds,
+        enroll_seconds=exp.enroll_seconds,
+        utt_style=exp.utt_style,
+        seed=args.seed,
+    )
+    logging.info("decoding %d utterances", len(dataset))
+
+    from .train import build_model_and_variables
+
+    rng = jax.random.PRNGKey(args.seed)
+    first = next(dataset.batches(args.batch_size, shuffle=False))
+    first.pop("utt_ids", None)
+    model, variables = build_model_and_variables(exp, rng, dev_batch=first)
+
+    if args.expdir:
+        ckpt_dir = f"{args.expdir}/checkpoints"
+        if latest_step(ckpt_dir) is not None:
+            state_t, _ = create_train_state(rng, variables, exp.train)
+            state, epoch, _ = restore_checkpoint(ckpt_dir, state_t)
+            variables = {"params": state.params, **state.buffers}
+            logging.info(
+                "restored step %d (epoch %d) from %s",
+                int(state.step), epoch, ckpt_dir,
+            )
+
+    # split the combined variables into encoder/decoder scopes
+    enc_vars = {
+        "params": variables["params"]["encoder"],
+        "buffers": variables["buffers"]["encoder"],
+    }
+    dec_vars = {"params": variables["params"]["decoder"]}
+    encoder = QFormerTSEncoder(dims, exp.ts, dtype=dtype)
+    decoder = TSDecoder(
+        dims.replace(n_vocab=exp.model.vocab_size),
+        startofprev_token=exp.model.startofprev,
+        dtype=dtype,
+    )
+
+    dcfg = dataclasses.replace(
+        exp.decode,
+        eot=exp.model.eos,
+        init_tokens=st.sot_sequence(args.language, "transcribe", True)
+        if exp.model.vocab_size >= st.n_vocab
+        else (exp.model.sos,),
+    )
+    result = decode_dataset(
+        encoder, enc_vars, decoder, dec_vars, dataset, tokenizer, dcfg,
+        batch_size=args.batch_size, output_dir=args.output_dir,
+    )
+    logging.info(
+        "decoded %d utts in %.1fs (RTF %.1fx): %s",
+        len(result.hyps), result.wall_seconds, result.rtf,
+        " ".join(f"{k}={v:.4f}" for k, v in sorted(result.metrics.items())),
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,99 @@
+"""End-to-end TS-ASR inference over a Kaldi data dir: the stage-12 decode
+equivalent (reference run_tswhisper.sh:67-90 -> espnet2.bin.asr_inference).
+
+Batched: frontend + TS encoder in one jit, KV-cache greedy/beam decode in a
+second (weights ride as jit arguments), token stripping/detokenization and
+WER/CER scoring on host. Writes ESPnet-style ``text`` (hyp) and ``score.txt``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.frontend import log_mel_spectrogram
+from ..data import kaldi_io
+from ..models.ts_decoder import TSDecoder
+from ..models.ts_encoder import QFormerTSEncoder
+from .scorer import cer, wer
+from .search import DecodeConfig, build_beam_decoder, strip_eot
+
+logger = logging.getLogger("robustsq_whisper_tpu.decode")
+
+
+@dataclasses.dataclass
+class DecodeResult:
+    hyps: Dict[str, str]
+    refs: Dict[str, str]
+    metrics: Dict[str, float]
+    audio_seconds: float
+    wall_seconds: float
+
+    @property
+    def rtf(self) -> float:
+        return self.audio_seconds / max(self.wall_seconds, 1e-9)
+
+
+def decode_dataset(
+    encoder: QFormerTSEncoder,
+    enc_vars: Any,
+    decoder: TSDecoder,
+    dec_vars: Any,
+    dataset: Any,  # KaldiTSDataset
+    tokenizer: Any,
+    dcfg: DecodeConfig,
+    batch_size: int = 8,
+    output_dir: Optional[str] = None,
+) -> DecodeResult:
+    run = build_beam_decoder(decoder, dec_vars, dcfg)
+    encode = jax.jit(
+        lambda v, mel, fl, emel, el: encoder.apply(v, mel, fl, emel, el)
+    )
+
+    hyps: Dict[str, str] = {}
+    refs: Dict[str, str] = {}
+    audio_sec = 0.0
+    t0 = time.time()
+    for batch in dataset.batches(batch_size, shuffle=False, drop_last=False):
+        utts = batch["utt_ids"]
+        feats, feats_lens = log_mel_spectrogram(
+            jnp.asarray(batch["speech"]), jnp.asarray(batch["speech_lens"])
+        )
+        efeats, efeats_lens = log_mel_spectrogram(
+            jnp.asarray(batch["enroll"]), jnp.asarray(batch["enroll_lens"])
+        )
+        memory, _, spk_prompt, _ = encode(
+            enc_vars, feats, feats_lens, efeats, efeats_lens
+        )
+        tokens, _ = run(memory, spk_prompt)
+        for i, utt in enumerate(utts):
+            if utt in hyps:  # drop_last=False wraps; skip duplicates
+                continue
+            ids = strip_eot(np.asarray(tokens[i : i + 1]), dcfg.eot)[0]
+            hyps[utt] = tokenizer.decode(ids).strip()
+            refs[utt] = dataset.text.get(utt, "")
+            audio_sec += float(batch["speech_lens"][i]) / dataset.sample_rate
+    wall = time.time() - t0
+
+    pairs = [(refs[u], hyps[u]) for u in hyps if refs.get(u)]
+    metrics: Dict[str, float] = {}
+    if pairs:
+        r, h = zip(*pairs)
+        metrics.update(wer(list(r), list(h)))
+        metrics.update(cer(list(r), list(h)))
+    metrics["rtf"] = audio_sec / max(wall, 1e-9)
+
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        kaldi_io.write_scp(os.path.join(output_dir, "text"), hyps)
+        with open(os.path.join(output_dir, "score.txt"), "w") as f:
+            for k, v in sorted(metrics.items()):
+                f.write(f"{k} {v}\n")
+    return DecodeResult(hyps, refs, metrics, audio_sec, wall)
