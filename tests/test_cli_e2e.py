@@ -1,0 +1,112 @@
+"""End-to-end CLI test: simulate data -> train (dev-scale) -> decode.
+
+Exercises the full stage-101 -> stage-11 -> stage-12 path the reference
+recipe drives through run_tswhisper.sh, hermetically on CPU with a dev-size
+model and synthetic audio.
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from robustsq_whisper_tpu.data import kaldi_io, simulate
+from robustsq_whisper_tpu.data.dataset import KaldiTSDataset
+from robustsq_whisper_tpu.decode.pipeline import decode_dataset
+from robustsq_whisper_tpu.decode.search import DecodeConfig
+from robustsq_whisper_tpu.models import (
+    QFormerTSEncoder,
+    TSASRModel,
+    TSDecoder,
+    TSEncoderConfig,
+    TSModelConfig,
+    WhisperDims,
+)
+from robustsq_whisper_tpu.tokenizer.whisper_tokenizer import ByteTokenizer
+from robustsq_whisper_tpu.train.loop import LoopConfig, run_training
+from robustsq_whisper_tpu.train.optim import OptimConfig
+from robustsq_whisper_tpu.train.step import TrainConfig
+
+from tests.test_pipeline import _make_clean_dir
+
+SR = 16000
+
+DIMS = WhisperDims(
+    n_mels=80, n_vocab=300, n_audio_ctx=32, n_audio_state=32,
+    n_audio_head=2, n_audio_layer=1, n_text_ctx=64, n_text_state=32,
+    n_text_head=2, n_text_layer=1,
+)
+TS = TSEncoderConfig(
+    num_query_tokens=2, num_hidden_layers=1, qformer_hidden_size=32,
+    qformer_heads=2, qformer_intermediate_size=64,
+)
+
+
+@pytest.mark.slow
+def test_simulate_train_decode(tmp_path):
+    # stage 101: simulate overlapped data from a synthetic clean dir
+    src = _make_clean_dir(tmp_path, n_speakers=4, utts_per_spk=2)
+    data_dir = str(tmp_path / "mix")
+    simulate.generate_overlap_enrollment(
+        src, data_dir, simulate.OverlapConfig(num_mixtures=6, seed=0)
+    )
+    assert kaldi_io.validate_data_dir(data_dir) == []
+
+    tok = ByteTokenizer()
+    cfg = TSModelConfig(
+        vocab_size=300, sos=257, eos=258, startofprev=259, num_speakers=8,
+        num_negatives=2, ctc_weight=0.3,
+    )
+    speech_sec = (DIMS.n_audio_ctx * 2 * 160) / SR  # ~0.64 s windows
+    dataset = KaldiTSDataset(
+        data_dir, tok,
+        speech_seconds=speech_sec, enroll_seconds=speech_sec / 2,
+        text_len=48, num_speakers=8, seed=0,
+    )
+    assert len(dataset) == 12
+
+    # stage 11: a few training steps + checkpointing
+    model = TSASRModel(DIMS, TS, cfg)
+    rng = jax.random.PRNGKey(0)
+    first = next(dataset.batches(4, shuffle=False))
+    first.pop("utt_ids")
+    variables = model.init(rng, first, rng, 0, train=False)
+    tcfg = TrainConfig(optim=OptimConfig(lr=1e-3, schedule="constant"))
+    lcfg = LoopConfig(
+        num_epochs=2, batch_size=4, log_every=2,
+        ckpt_every_steps=0, ckpt_dir=str(tmp_path / "ckpt"),
+    )
+    state = run_training(model, dataset, variables, tcfg, lcfg, rng=rng)
+    assert int(state.step) == 2 * (12 // 4) * 1  # 3 batches x 2 epochs
+
+    # resume: restarting continues from epoch 2 (no extra epochs to run)
+    state2 = run_training(model, dataset, variables, tcfg, lcfg, rng=rng)
+    assert int(state2.step) == int(state.step)
+
+    # stage 12: batched decode + WER scoring on the training data
+    encoder = QFormerTSEncoder(DIMS, TS)
+    decoder = TSDecoder(DIMS.replace(n_vocab=300), startofprev_token=259)
+    enc_vars = {
+        "params": state.params["encoder"],
+        "buffers": state.buffers["buffers"]["encoder"]
+        if "buffers" in state.buffers
+        else state.buffers["encoder"],
+    }
+    dec_vars = {"params": state.params["decoder"]}
+    dcfg = DecodeConfig(
+        max_new_tokens=8, eot=258, init_tokens=(257,), beam_size=2
+    )
+    out_dir = str(tmp_path / "decode")
+    result = decode_dataset(
+        encoder, enc_vars, decoder, dec_vars, dataset, tok, dcfg,
+        batch_size=4, output_dir=out_dir,
+    )
+    assert len(result.hyps) == 12
+    assert "wer" in result.metrics
+    assert os.path.exists(os.path.join(out_dir, "text"))
+    assert os.path.exists(os.path.join(out_dir, "score.txt"))
+    assert result.rtf > 0
