@@ -48,7 +48,11 @@ def main():
 
     dims = whisper_dims(model_name)
     st = special_tokens(multilingual=True)
-    ts = TSEncoderConfig(num_query_tokens=16, num_hidden_layers=2)
+    ts = TSEncoderConfig(
+        num_query_tokens=16,
+        num_hidden_layers=2,
+        use_flash_attention=os.environ.get("BENCH_FLASH", "0") == "1",
+    )
     log(f"devices: {jax.devices()}")
     dev = jax.devices()[0]
 

@@ -153,6 +153,7 @@ class TSEncoderConfig:
     qformer_hidden_size: int = 768
     qformer_heads: int = 12
     qformer_intermediate_size: int = 3072
+    use_flash_attention: bool = False  # Pallas kernel for encoder self-attn
 
 
 class QFormerTSEncoder(nn.Module):
@@ -171,7 +172,10 @@ class QFormerTSEncoder(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.encoder = AudioEncoder(self.dims, dtype=self.dtype, name="encoder")
+        self.encoder = AudioEncoder(
+            self.dims, dtype=self.dtype,
+            use_flash=self.ts.use_flash_attention, name="encoder",
+        )
         qcfg = QformerConfig(
             encoder_width=self.dims.n_audio_state,
             hidden_size=self.ts.qformer_hidden_size,

@@ -55,11 +55,17 @@ def _scan(body, length: int):
 
 
 class MultiHeadAttention(nn.Module):
-    """Whisper-style MHA: q/v/out with bias, k without bias."""
+    """Whisper-style MHA: q/v/out with bias, k without bias.
+
+    ``use_flash`` routes mask-free self/cross attention through the Pallas
+    flash kernel (ops/flash_attention.py) — the long-sequence encoder path;
+    masked decode attention stays on the XLA path (tiny shapes).
+    """
 
     n_state: int
     n_head: int
     dtype: Dtype = jnp.float32
+    use_flash: bool = False
 
     def setup(self):
         self.query = nn.Dense(self.n_state, dtype=self.dtype, name="query")
@@ -87,7 +93,12 @@ class MultiHeadAttention(nn.Module):
         mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         q = self._split(self.query(x))
-        o = dot_product_attention(q, k, v, mask=mask)
+        if self.use_flash and mask is None and q.shape[1] >= 256:
+            from ...ops.flash_attention import flash_attention
+
+            o = flash_attention(q, k, v)
+        else:
+            o = dot_product_attention(q, k, v, mask=mask)
         return self.out(self._merge(o))
 
     def __call__(
@@ -105,11 +116,14 @@ class ResidualAttentionBlock(nn.Module):
     n_head: int
     cross_attention: bool = False
     dtype: Dtype = jnp.float32
+    use_flash: bool = False
 
     def setup(self):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
         self.attn_ln = ln("attn_ln")
-        self.attn = MultiHeadAttention(self.n_state, self.n_head, self.dtype, name="attn")
+        self.attn = MultiHeadAttention(
+            self.n_state, self.n_head, self.dtype, self.use_flash, name="attn"
+        )
         if self.cross_attention:
             self.cross_attn_ln = ln("cross_attn_ln")
             self.cross_attn = MultiHeadAttention(
@@ -199,6 +213,7 @@ class AudioEncoder(nn.Module):
     dims: WhisperDims
     dtype: Dtype = jnp.float32
     scan_layers: bool = True
+    use_flash: bool = False
 
     def setup(self):
         d = self.dims
@@ -222,13 +237,14 @@ class AudioEncoder(nn.Module):
         )
         if self.scan_layers:
             self.block = ResidualAttentionBlock(
-                d.n_audio_state, d.n_audio_head, dtype=self.dtype, name="block"
+                d.n_audio_state, d.n_audio_head, dtype=self.dtype,
+                use_flash=self.use_flash, name="block",
             )
         else:
             self.blocks = [
                 ResidualAttentionBlock(
                     d.n_audio_state, d.n_audio_head, dtype=self.dtype,
-                    name=f"blocks_{i}",
+                    use_flash=self.use_flash, name=f"blocks_{i}",
                 )
                 for i in range(d.n_audio_layer)
             ]
