@@ -172,6 +172,136 @@ def fix_data_dir(path: str) -> int:
     return len(common)
 
 
+# ---------------- data-dir operations (utils/*_data_dir.sh family) --------
+
+
+def copy_data_dir(src: str, dst: str, utt_prefix: str = "") -> int:
+    """utils/copy_data_dir.sh: copy with optional utterance-id prefix."""
+    os.makedirs(dst, exist_ok=True)
+    n = 0
+    for name in _ALL_UTT_FILES:
+        p = os.path.join(src, name)
+        if not os.path.exists(p):
+            continue
+        m = read_scp(p)
+        write_scp(
+            os.path.join(dst, name),
+            {f"{utt_prefix}{k}": v for k, v in m.items()},
+        )
+        n = len(m)
+    u2s_p = os.path.join(dst, "utt2spk")
+    if os.path.exists(u2s_p):
+        write_spk2utt(
+            os.path.join(dst, "spk2utt"), utt2spk_to_spk2utt(read_scp(u2s_p))
+        )
+    for extra in ("feats_type", "spk2gender", "spk2enroll.json"):
+        p = os.path.join(src, extra)
+        if os.path.exists(p):
+            import shutil
+
+            shutil.copy(p, os.path.join(dst, extra))
+    return n
+
+
+def combine_data_dirs(srcs: Sequence[str], dst: str) -> int:
+    """utils/combine_data.sh: concatenate data dirs (keys must not clash)."""
+    os.makedirs(dst, exist_ok=True)
+    for name in _ALL_UTT_FILES:
+        merged: Dict[str, str] = {}
+        found = False
+        for s in srcs:
+            p = os.path.join(s, name)
+            if os.path.exists(p):
+                found = True
+                for k, v in read_scp(p).items():
+                    if k in merged:
+                        raise ValueError(f"duplicate utt id {k} in {name}")
+                    merged[k] = v
+        if found:
+            write_scp(os.path.join(dst, name), merged)
+    u2s_p = os.path.join(dst, "utt2spk")
+    if os.path.exists(u2s_p):
+        write_spk2utt(
+            os.path.join(dst, "spk2utt"), utt2spk_to_spk2utt(read_scp(u2s_p))
+        )
+    return len(read_scp(os.path.join(dst, "wav.scp")))
+
+
+def subset_data_dir(src: str, dst: str, n: int, first: bool = True) -> int:
+    """utils/subset_data_dir.sh: head/tail utterance subset."""
+    wav = read_scp(os.path.join(src, "wav.scp"))
+    keep = set(subset_scp(wav, n, first))
+    copy_data_dir(src, dst)
+    for name in _ALL_UTT_FILES:
+        p = os.path.join(dst, name)
+        if os.path.exists(p):
+            write_scp(p, filter_scp(keep, read_scp(p)))
+    return fix_data_dir(dst)
+
+
+def split_data_dir_tr_cv(
+    src: str, tr_dst: str, cv_dst: str, cv_fraction: float = 0.1, seed: int = 0
+) -> Tuple[int, int]:
+    """utils/subset_data_dir_tr_cv.sh: speaker-disjoint train/cv split."""
+    import numpy as _np
+
+    utt2spk = read_scp(os.path.join(src, "utt2spk"))
+    spk2utt = utt2spk_to_spk2utt(utt2spk)
+    spks = sorted(spk2utt)
+    rng = _np.random.default_rng(seed)
+    rng.shuffle(spks)
+    n_cv = max(1, int(len(spks) * cv_fraction))
+    cv_spks = set(spks[:n_cv])
+    cv_utts = {u for s in cv_spks for u in spk2utt[s]}
+    for dst, keep in (
+        (tr_dst, set(utt2spk) - cv_utts),
+        (cv_dst, cv_utts),
+    ):
+        copy_data_dir(src, dst)
+        for name in _ALL_UTT_FILES:
+            p = os.path.join(dst, name)
+            if os.path.exists(p):
+                write_scp(p, filter_scp(keep, read_scp(p)))
+        fix_data_dir(dst)
+    return len(utt2spk) - len(cv_utts), len(cv_utts)
+
+
+def librimix_to_kaldi(metadata_csv: str, out_dir: str) -> int:
+    """LibriMix metadata CSV -> Kaldi dir (the awk of reference data.sh
+    stage 2, /root/reference/datapre/data.sh:110-162): columns
+    mixture_ID, mixture_path, source_1_path, source_2_path[, noise_path].
+    utt2spk uses '{spk1}_{spk2}' composite speakers like the reference."""
+    import csv
+
+    os.makedirs(out_dir, exist_ok=True)
+    wav, u2s, spk1, spk2, noise = {}, {}, {}, {}, {}
+    with open(metadata_csv) as f:
+        reader = csv.DictReader(f)
+        for row in reader:
+            utt = row["mixture_ID"]
+            wav[utt] = row["mixture_path"]
+            parts = utt.split("_")
+            s1 = parts[0].split("-")[0]
+            s2 = parts[1].split("-")[0] if len(parts) > 1 else s1
+            u2s[utt] = f"{s1}_{s2}"
+            if row.get("source_1_path"):
+                spk1[utt] = row["source_1_path"]
+            if row.get("source_2_path"):
+                spk2[utt] = row["source_2_path"]
+            if row.get("noise_path"):
+                noise[utt] = row["noise_path"]
+    write_scp(os.path.join(out_dir, "wav.scp"), wav)
+    write_scp(os.path.join(out_dir, "utt2spk"), u2s)
+    write_spk2utt(os.path.join(out_dir, "spk2utt"), utt2spk_to_spk2utt(u2s))
+    if spk1:
+        write_scp(os.path.join(out_dir, "spk1.scp"), spk1)
+    if spk2:
+        write_scp(os.path.join(out_dir, "spk2.scp"), spk2)
+    if noise:
+        write_scp(os.path.join(out_dir, "noise1.scp"), noise)
+    return len(wav)
+
+
 # ---------------- enrollment ----------------
 
 

@@ -237,3 +237,76 @@ class TestKaldiIO:
         assert sr == 16000
         np.testing.assert_allclose(back, audio, atol=1e-4)
         assert kaldi_io.get_num_samples(p) == 1600
+
+
+class TestDataDirOps:
+    def _dir(self, tmp_path, name, utts):
+        d = str(tmp_path / name)
+        os.makedirs(d, exist_ok=True)
+        kaldi_io.write_scp(
+            os.path.join(d, "wav.scp"), {u: f"/w/{u}.wav" for u in utts}
+        )
+        kaldi_io.write_scp(
+            os.path.join(d, "utt2spk"), {u: u.split("-")[0] for u in utts}
+        )
+        kaldi_io.write_scp(
+            os.path.join(d, "text"), {u: f"text {u}" for u in utts}
+        )
+        kaldi_io.write_spk2utt(
+            os.path.join(d, "spk2utt"),
+            kaldi_io.utt2spk_to_spk2utt(
+                kaldi_io.read_scp(os.path.join(d, "utt2spk"))
+            ),
+        )
+        return d
+
+    def test_copy_with_prefix(self, tmp_path):
+        src = self._dir(tmp_path, "src", ["s1-1", "s1-2", "s2-1"])
+        dst = str(tmp_path / "dst")
+        kaldi_io.copy_data_dir(src, dst, utt_prefix="aug_")
+        wav = kaldi_io.read_scp(os.path.join(dst, "wav.scp"))
+        assert set(wav) == {"aug_s1-1", "aug_s1-2", "aug_s2-1"}
+
+    def test_combine_and_duplicate_detection(self, tmp_path):
+        a = self._dir(tmp_path, "a", ["s1-1", "s1-2"])
+        b = self._dir(tmp_path, "b", ["s2-1"])
+        dst = str(tmp_path / "comb")
+        n = kaldi_io.combine_data_dirs([a, b], dst)
+        assert n == 3
+        assert kaldi_io.validate_data_dir(dst) == []
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="duplicate"):
+            kaldi_io.combine_data_dirs([a, a], str(tmp_path / "dup"))
+
+    def test_subset(self, tmp_path):
+        src = self._dir(tmp_path, "s", ["s1-1", "s1-2", "s2-1", "s3-1"])
+        dst = str(tmp_path / "sub")
+        n = kaldi_io.subset_data_dir(src, dst, 2)
+        assert n == 2
+        assert kaldi_io.validate_data_dir(dst) == []
+
+    def test_tr_cv_split_speaker_disjoint(self, tmp_path):
+        utts = [f"s{i}-{j}" for i in range(5) for j in range(2)]
+        src = self._dir(tmp_path, "full", utts)
+        tr, cv = str(tmp_path / "tr"), str(tmp_path / "cv")
+        n_tr, n_cv = kaldi_io.split_data_dir_tr_cv(src, tr, cv, 0.2)
+        assert n_tr + n_cv == 10 and n_cv >= 1
+        tr_spk = set(kaldi_io.read_scp(os.path.join(tr, "utt2spk")).values())
+        cv_spk = set(kaldi_io.read_scp(os.path.join(cv, "utt2spk")).values())
+        assert not (tr_spk & cv_spk)
+
+    def test_librimix_csv(self, tmp_path):
+        csv_p = str(tmp_path / "meta.csv")
+        with open(csv_p, "w") as f:
+            f.write(
+                "mixture_ID,mixture_path,source_1_path,source_2_path,noise_path\n"
+                "100-1-0_200-2-0,/m/a.wav,/s1/a.wav,/s2/a.wav,/n/a.wav\n"
+            )
+        out = str(tmp_path / "lm")
+        n = kaldi_io.librimix_to_kaldi(csv_p, out)
+        assert n == 1
+        u2s = kaldi_io.read_scp(os.path.join(out, "utt2spk"))
+        assert u2s["100-1-0_200-2-0"] == "100_200"
+        assert os.path.exists(os.path.join(out, "spk1.scp"))
+        assert os.path.exists(os.path.join(out, "noise1.scp"))
