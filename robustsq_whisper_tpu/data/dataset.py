@@ -69,6 +69,12 @@ class KaldiTSDataset:
         )
         self.utt_ids: List[str] = sorted(set(self.wav) & set(self.text))
 
+        # native batched WAV decode for the fixed-window speech path
+        # (native/wavio.cpp); per-file scipy fallback otherwise
+        from . import native_loader
+
+        self._native = native_loader if native_loader.available() else None
+
     def __len__(self) -> int:
         return len(self.utt_ids)
 
@@ -107,9 +113,19 @@ class KaldiTSDataset:
                     [idx, order[: batch_size - len(idx)]]
                 )
             utts = [self.utt_ids[j] for j in idx]
-            speech = [
-                self._load_audio(self.wav[u].split()[0]) for u in utts
-            ]
+            if self._native is not None:
+                batch_speech, speech_lens = self._native.load_batch(
+                    [self.wav[u].split()[0] for u in utts],
+                    self.speech_samples,
+                    expect_rate=self.sample_rate,
+                )
+                speech = [
+                    batch_speech[i, : speech_lens[i]] for i in range(len(utts))
+                ]
+            else:
+                speech = [
+                    self._load_audio(self.wav[u].split()[0]) for u in utts
+                ]
             enroll = [self._enroll_audio(u) for u in utts]
             texts = [
                 np.asarray(self.tokenizer.encode(self.text[u]), np.int32)

@@ -310,3 +310,39 @@ class TestDataDirOps:
         assert u2s["100-1-0_200-2-0"] == "100_200"
         assert os.path.exists(os.path.join(out, "spk1.scp"))
         assert os.path.exists(os.path.join(out, "noise1.scp"))
+
+
+class TestNativeLoader:
+    def test_matches_scipy_path(self, tmp_path):
+        from robustsq_whisper_tpu.data import native_loader
+
+        if not native_loader.available():
+            pytest.skip("no native toolchain")
+        rng = np.random.default_rng(0)
+        paths, refs = [], []
+        for i in range(4):
+            a = (rng.standard_normal(1000 + 300 * i) * 0.4).astype(np.float32)
+            p = str(tmp_path / f"{i}.wav")
+            kaldi_io.write_wav(p, a, 16000)
+            paths.append(p)
+            refs.append(a)
+        batch, lens = native_loader.load_batch(paths, 1500)
+        for i, a in enumerate(refs):
+            n = min(len(a), 1500)
+            ref, _ = kaldi_io.read_wav(paths[i])
+            np.testing.assert_allclose(batch[i, :n], ref[:n], atol=1e-6)
+            assert lens[i] == n
+            assert np.all(batch[i, n:] == 0)
+        ns, rate = native_loader.num_samples(paths[0])
+        assert (ns, rate) == (1000, 16000)
+
+    def test_bad_file_raises(self, tmp_path):
+        from robustsq_whisper_tpu.data import native_loader
+
+        if not native_loader.available():
+            pytest.skip("no native toolchain")
+        bad = str(tmp_path / "bad.wav")
+        with open(bad, "wb") as f:
+            f.write(b"not a wav at all")
+        with pytest.raises(IOError):
+            native_loader.load_batch([bad], 100)
