@@ -108,6 +108,7 @@ def main():
         eot=st.eot,
         init_tokens=st.sot_sequence("en", "transcribe", True),
         beam_size=1,
+        quantize_cross_kv=os.environ.get("BENCH_INT8_KV", "1") == "1",
     )
     greedy = build_greedy_decoder(dec, dec_vars, dcfg)
     encode = jax.jit(

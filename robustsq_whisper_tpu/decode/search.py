@@ -36,6 +36,9 @@ class DecodeConfig:
     init_tokens: Tuple[int, ...] = (50258,)
     beam_size: int = 1
     length_penalty: float = 0.0  # 0 = pure sum of log-probs
+    # int8-quantize the cross-attention K/V (the decode loop's dominant HBM
+    # traffic; ~2x less per-step memory read at negligible accuracy cost)
+    quantize_cross_kv: bool = False
 
 
 def _cache_len(cfg: DecodeConfig, prompt_len: int) -> int:
@@ -64,8 +67,8 @@ def build_greedy_decoder(
         prompt_len = 1 + spk_prompt.shape[1] if dec.use_spk_prompt else 0
         total = prompt_len + len(cfg.init_tokens) + cfg.max_new_tokens
 
-        m = lambda method, *a: dec.apply(variables, *a, method=method)
-        cross = m(TSDecoder.cross_kv, memory)
+        m = lambda method, *a, **kw: dec.apply(variables, *a, method=method, **kw)
+        cross = m(TSDecoder.cross_kv, memory, quantize=cfg.quantize_cross_kv)
         cache = m(TSDecoder.init_cache, b, total)
         init = jnp.tile(
             jnp.asarray(cfg.init_tokens, jnp.int32)[None, :], (b, 1)
@@ -127,8 +130,8 @@ def build_beam_decoder(
             return jnp.repeat(x, k, axis=0)
 
         mem_e, prompt_e = expand(memory), expand(spk_prompt)
-        m = lambda method, *a: dec.apply(variables, *a, method=method)
-        cross = m(TSDecoder.cross_kv, mem_e)
+        m = lambda method, *a, **kw: dec.apply(variables, *a, method=method, **kw)
+        cross = m(TSDecoder.cross_kv, mem_e, quantize=cfg.quantize_cross_kv)
         cache = m(TSDecoder.init_cache, b * k, total)
         init = jnp.tile(
             jnp.asarray(cfg.init_tokens, jnp.int32)[None, :], (b * k, 1)

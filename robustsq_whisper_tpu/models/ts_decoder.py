@@ -77,8 +77,8 @@ class TSDecoder(nn.Module):
             return 1 + spk_prompt.shape[1]
         return 0
 
-    def cross_kv(self, memory: jax.Array):
-        return self.decoder.cross_kv(memory)
+    def cross_kv(self, memory: jax.Array, quantize: bool = False):
+        return self.decoder.cross_kv(memory, quantize=quantize)
 
     def init_cache(self, batch: int, max_len: int):
         return self.decoder.init_cache(batch, max_len)

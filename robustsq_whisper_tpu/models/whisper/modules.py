@@ -85,6 +85,83 @@ class MultiHeadAttention(nn.Module):
         """Project keys/values of ``src``: 2x (batch, len, heads, head_dim)."""
         return self._split(self.key(src)), self._split(self.value(src))
 
+    def kv_quant(self, src: jax.Array, pad_to: int = 512):
+        """int8-quantized TRANSPOSED K/V with per-(batch, head, channel)
+        scales: (k_q, k_s, v_q, v_s, kv_len) with k_q/v_q of shape
+        (batch, heads, head_dim, T_padded).
+
+        Decode is bound by re-reading the full cross-attention K/V from HBM
+        every step (SURVEY §3.2 perf note); int8 halves that traffic and the
+        fused Pallas decode kernel (ops/decode_attention.py) dequantizes in
+        registers. Scales fold exactly: scores = (q*k_s) @ k_q and
+        out = (p @ v_q^T) * v_s. The time axis is padded ONCE here (pad-per-
+        step would copy the whole tensor every token); ``kv_len`` carries the
+        true length for in-kernel masking.
+        """
+        k, v = self.kv(src)
+        kv_len = k.shape[1]
+        pad = (-kv_len) % pad_to
+
+        def quant(t):
+            tt = t.transpose(0, 2, 3, 1).astype(jnp.float32)  # (b, h, d, T)
+            scale = jnp.max(jnp.abs(tt), axis=-1) / 127.0  # (b, h, d)
+            scale = jnp.maximum(scale, 1e-8)
+            q8 = jnp.round(tt / scale[..., None]).astype(jnp.int8)
+            if pad:
+                q8 = jnp.pad(q8, ((0, 0), (0, 0), (0, 0), (0, pad)))
+            return q8, scale
+
+        k_q, k_s = quant(k)
+        v_q, v_s = quant(v)
+        return k_q, k_s, v_q, v_s, jnp.full((), kv_len, jnp.int32)
+
+    def attend_quant(
+        self,
+        x: jax.Array,  # (batch, q_len, n_state)
+        k_q: jax.Array,  # (batch, heads, head_dim, T) int8, transposed
+        k_s: jax.Array,  # (batch, heads, head_dim)
+        v_q: jax.Array,
+        v_s: jax.Array,
+        kv_len: jax.Array,  # scalar int32 true length
+    ) -> jax.Array:
+        """Quantized cross attention.
+
+        q_len == 1 (the decode loop) takes the fused Pallas kernel; longer
+        queries (prefill, runs once) use a plain XLA einsum with the padded
+        tail masked.
+        """
+        q = self._split(self.query(x))  # (b, q, h, hd)
+        if x.shape[1] == 1:
+            from ...ops.decode_attention import decode_cross_attention
+
+            o = decode_cross_attention(
+                q[:, 0],
+                k_q,
+                v_q,
+                k_s,
+                v_s,
+                kv_len=kv_len,
+                interpret=jax.default_backend() == "cpu",
+            )[:, None]  # (b, 1, h, hd)
+            return self.out(self._merge(o.astype(self.dtype)))
+        qf = q.astype(jnp.float32) * (
+            k_s[:, None] * (q.shape[-1] ** -0.5)
+        )
+        scores = jnp.einsum(
+            "bqhd,bhdk->bhqk", qf.astype(self.dtype), k_q.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.float32)
+        t_pad = k_q.shape[-1]
+        valid = jnp.arange(t_pad) < kv_len
+        scores = jnp.where(valid[None, None, None, :], scores, -1e30)
+        weights = jax.nn.softmax(scores, axis=-1)
+        o = jnp.einsum(
+            "bhqk,bhdk->bqhd", weights.astype(self.dtype),
+            v_q.astype(self.dtype), preferred_element_type=jnp.float32,
+        )
+        o = o * v_s[:, None].astype(o.dtype)
+        return self.out(self._merge(o.astype(self.dtype)))
+
     def attend(
         self,
         x: jax.Array,
@@ -151,14 +228,19 @@ class ResidualAttentionBlock(nn.Module):
         x = x + self._mlp(self._cast(self.mlp_ln(x)))
         return x
 
+    def _cross(self, x: jax.Array, cross: Tuple[jax.Array, ...]) -> jax.Array:
+        h = self._cast(self.cross_attn_ln(x))
+        if len(cross) == 5:  # int8-quantized transposed cross K/V (kv_quant)
+            return x + self.cross_attn.attend_quant(h, *cross)
+        return x + self.cross_attn.attend(h, *cross)
+
     def prefill(
         self,
         x: jax.Array,
         cache_k: jax.Array,
         cache_v: jax.Array,
         mask: jax.Array,
-        cross_k: jax.Array,
-        cross_v: jax.Array,
+        cross: Tuple[jax.Array, ...],
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Multi-token prefix through one block, writing cache[:, :L]."""
         h = self._cast(self.attn_ln(x))
@@ -166,9 +248,7 @@ class ResidualAttentionBlock(nn.Module):
         cache_k = jax.lax.dynamic_update_slice(cache_k, k_new, (0, 0, 0, 0))
         cache_v = jax.lax.dynamic_update_slice(cache_v, v_new, (0, 0, 0, 0))
         x = x + self.attn.attend(h, k_new, v_new, mask=mask)
-        x = x + self.cross_attn.attend(
-            self._cast(self.cross_attn_ln(x)), cross_k, cross_v
-        )
+        x = self._cross(x, cross)
         x = x + self._mlp(self._cast(self.mlp_ln(x)))
         return x, cache_k, cache_v
 
@@ -178,31 +258,53 @@ class ResidualAttentionBlock(nn.Module):
         cache_k: jax.Array,
         cache_v: jax.Array,
         pos: jax.Array,
-        cross_k: jax.Array,
-        cross_v: jax.Array,
+        cross: Tuple[jax.Array, ...],
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        """Single-token decode step against a preallocated KV cache.
+        """Single-token decode step against a READ-ONLY KV-cache prefix.
+
+        The new token's K/V are returned for the caller to write into the
+        cache buffers *outside* the layer scan — routing the full cache
+        through scan outputs would rewrite hundreds of MB per decoded token
+        (the stacked-ys copies dominated early decode profiles). Attention
+        runs over [cache[:pos]; k_new] via score concatenation, so the cache
+        is only ever read here.
 
         Args:
             x: (batch, 1, n_state) current-position hidden state.
-            cache_k/cache_v: (batch, max_len, heads, head_dim) buffers.
-            pos: scalar int32 write/attend position.
-            cross_k/cross_v: precomputed encoder-memory projections.
+            cache_k/cache_v: (batch, max_len, heads, head_dim) buffers whose
+                first ``pos`` positions are valid.
+            pos: scalar int32 current position (also the write slot).
+        Returns:
+            (new_x, k_new, v_new) — k/v of shape (batch, 1, heads, head_dim).
         """
         h = self._cast(self.attn_ln(x))
-        k_new, v_new = self.attn.kv(h)
-        cache_k = jax.lax.dynamic_update_slice(cache_k, k_new, (0, pos, 0, 0))
-        cache_v = jax.lax.dynamic_update_slice(cache_v, v_new, (0, pos, 0, 0))
+        k_new, v_new = self.attn.kv(h)  # (b, 1, heads, hd)
+        q = self.attn._split(self.attn.query(h))  # (b, 1, heads, hd)
+        scale = q.shape[-1] ** -0.5
+
         max_len = cache_k.shape[1]
-        step_mask = jnp.where(
-            jnp.arange(max_len) <= pos, 0.0, -1e9
-        ).astype(jnp.float32)[None, None, None, :]  # (1, heads, q, kv) bcast
-        x = x + self.attn.attend(h, cache_k, cache_v, mask=step_mask)
-        x = x + self.cross_attn.attend(
-            self._cast(self.cross_attn_ln(x)), cross_k, cross_v
+        s_pref = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, cache_k, preferred_element_type=jnp.float32
+        ).astype(jnp.float32) * scale
+        s_pref = jnp.where(
+            (jnp.arange(max_len) < pos)[None, None, None, :], s_pref, -1e30
         )
+        s_new = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k_new, preferred_element_type=jnp.float32
+        ).astype(jnp.float32) * scale  # (b, h, 1, 1)
+        s = jnp.concatenate([s_pref, s_new], axis=-1)
+        w = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum(
+            "bhqk,bkhd->bqhd",
+            w[..., :max_len].astype(cache_v.dtype),
+            cache_v,
+            preferred_element_type=jnp.float32,
+        ) + w[..., max_len:].transpose(0, 2, 1, 3) * v_new.astype(jnp.float32)
+        o = self.attn.out(self.attn._merge(o.astype(self.dtype)))
+        x = x + o
+        x = self._cross(x, cross)
         x = x + self._mlp(self._cast(self.mlp_ln(x)))
-        return x, cache_k, cache_v
+        return x, k_new, v_new
 
 
 class AudioEncoder(nn.Module):
@@ -369,19 +471,27 @@ class TextDecoder(nn.Module):
 
     # ---- KV-cache decode path ----
 
-    def cross_kv(self, memory: jax.Array) -> CrossKV:
-        """Per-layer K/V of the encoder memory, stacked:
-        2x (layers, batch, src, heads, head_dim)."""
+    def cross_kv(self, memory: jax.Array, quantize: bool = False):
+        """Per-layer K/V of the encoder memory, stacked with a leading layer
+        axis. ``quantize=True`` returns int8 tensors + scales (kv_quant) —
+        half the per-step HBM traffic of the decode's dominant term."""
         memory = memory.astype(self.dtype)
         if self.scan_layers:
             def body(block, carry, _):
-                k, v = block.cross_attn.kv(memory)
-                return carry, (k, v)
+                out = (
+                    block.cross_attn.kv_quant(memory)
+                    if quantize
+                    else block.cross_attn.kv(memory)
+                )
+                return carry, out
 
-            _, (ks, vs) = _scan(body, self.dims.n_text_layer)(self.block, 0, None)
-            return ks, vs
-        ks, vs = zip(*(b.cross_attn.kv(memory) for b in self.blocks))
-        return jnp.stack(ks), jnp.stack(vs)
+            _, out = _scan(body, self.dims.n_text_layer)(self.block, 0, None)
+            return out
+        per_layer = [
+            b.cross_attn.kv_quant(memory) if quantize else b.cross_attn.kv(memory)
+            for b in self.blocks
+        ]
+        return tuple(jnp.stack(parts) for parts in zip(*per_layer))
 
     def init_cache(self, batch: int, max_len: int) -> Cache:
         d = self.dims
@@ -402,20 +512,21 @@ class TextDecoder(nn.Module):
         x = (x_emb + self.positional_embedding[:length]).astype(self.dtype)
         mask = causal_mask(length)
         ck, cv = cache
-        xk, xv = cross
         if self.scan_layers:
             def body(block, carry, layer_in):
-                lk, lv, lxk, lxv = layer_in
-                y, lk, lv = block.prefill(carry, lk, lv, mask, lxk, lxv)
+                lk, lv = layer_in[0], layer_in[1]
+                y, lk, lv = block.prefill(carry, lk, lv, mask, layer_in[2:])
                 return y, (lk, lv)
 
             x, (ck, cv) = _scan(body, self.dims.n_text_layer)(
-                self.block, x, (ck, cv, xk, xv)
+                self.block, x, (ck, cv) + tuple(cross)
             )
         else:
             new_k, new_v = [], []
             for i, block in enumerate(self.blocks):
-                x, k_i, v_i = block.prefill(x, ck[i], cv[i], mask, xk[i], xv[i])
+                x, k_i, v_i = block.prefill(
+                    x, ck[i], cv[i], mask, tuple(c[i] for c in cross)
+                )
                 new_k.append(k_i)
                 new_v.append(v_i)
             ck, cv = jnp.stack(new_k), jnp.stack(new_v)
@@ -434,22 +545,27 @@ class TextDecoder(nn.Module):
         )
         x = (token_emb + pos_emb[None]).astype(self.dtype)
         ck, cv = cache
-        xk, xv = cross
         if self.scan_layers:
             def body(block, carry, layer_in):
-                lk, lv, lxk, lxv = layer_in
-                y, lk, lv = block.step(carry, lk, lv, pos, lxk, lxv)
-                return y, (lk, lv)
+                lk, lv = layer_in[0], layer_in[1]
+                y, k_new, v_new = block.step(carry, lk, lv, pos, layer_in[2:])
+                return y, (k_new, v_new)
 
-            x, (ck, cv) = _scan(body, self.dims.n_text_layer)(
-                self.block, x, (ck, cv, xk, xv)
+            x, (k_news, v_news) = _scan(body, self.dims.n_text_layer)(
+                self.block, x, (ck, cv) + tuple(cross)
             )
         else:
             new_k, new_v = [], []
             for i, block in enumerate(self.blocks):
-                x, k_i, v_i = block.step(x, ck[i], cv[i], pos, xk[i], xv[i])
+                x, k_i, v_i = block.step(
+                    x, ck[i], cv[i], pos, tuple(c[i] for c in cross)
+                )
                 new_k.append(k_i)
                 new_v.append(v_i)
-            ck, cv = jnp.stack(new_k), jnp.stack(new_v)
+            k_news, v_news = jnp.stack(new_k), jnp.stack(new_v)
+        # single cache write OUTSIDE the layer scan: only the (L, B, 1, H, D)
+        # new slices move, not the whole cache (see block.step docstring)
+        ck = jax.lax.dynamic_update_slice(ck, k_news, (0, 0, pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v_news, (0, 0, pos, 0, 0))
         x = self.ln(x).astype(self.dtype)
         return self.logits(x)[:, 0], (ck, cv)

@@ -125,3 +125,20 @@ def test_byte_tokenizer_roundtrip():
     # special ids pass through decode unharmed
     ids = tok.encode("hi") + [tok.special.eot]
     assert tok.decode(ids) == "hi"
+
+
+def test_quantized_cross_kv_matches_dense(dec_and_params):
+    """int8 cross-KV decode must reproduce dense-decode tokens on
+    well-conditioned inputs."""
+    dec, variables, memory, prompt = dec_and_params
+    cfg_q = DecodeConfig(
+        max_new_tokens=8, eot=2, init_tokens=(1,), quantize_cross_kv=True
+    )
+    g = build_greedy_decoder(dec, variables, CFG)
+    gq = build_greedy_decoder(dec, variables, cfg_q)
+    t_dense, s_dense = g(memory, prompt)
+    t_q, s_q = gq(memory, prompt)
+    np.testing.assert_array_equal(np.asarray(t_dense), np.asarray(t_q))
+    np.testing.assert_allclose(
+        np.asarray(s_dense), np.asarray(s_q), rtol=0.05, atol=0.1
+    )
