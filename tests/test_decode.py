@@ -142,3 +142,21 @@ def test_quantized_cross_kv_matches_dense(dec_and_params):
     np.testing.assert_allclose(
         np.asarray(s_dense), np.asarray(s_q), rtol=0.05, atol=0.1
     )
+
+
+@pytest.mark.slow
+def test_zero_shot_whisper_greedy():
+    """BASELINE config #1: plain (non-TS) Whisper greedy decode, CPU-runnable.
+    Random weights — checks the full pad_or_trim -> mel -> encode -> KV-cache
+    greedy path runs and emits well-formed token rows."""
+    from robustsq_whisper_tpu.models.asr import WhisperASR
+
+    asr = WhisperASR.from_random("dev", seed=0)
+    audio = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 16000 * 2)) * 0.1,
+        jnp.float32,
+    )
+    tokens, scores = asr.transcribe_batch(audio, max_new_tokens=6)
+    assert tokens.shape == (2, 6)
+    assert np.all(np.asarray(tokens) >= 0)
+    assert np.all(np.isfinite(np.asarray(scores)))
