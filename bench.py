@@ -41,7 +41,7 @@ def main():
     from robustsq_whisper_tpu.tokenizer.whisper_tokenizer import special_tokens
 
     model_name = os.environ.get("BENCH_MODEL", "medium")
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     new_tokens = int(os.environ.get("BENCH_NEW_TOKENS", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     compute_dtype = jnp.bfloat16
