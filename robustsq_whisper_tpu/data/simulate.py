@@ -306,6 +306,56 @@ def format_sglspk_dataset(
     return {"num_rows": len(out_wav)}
 
 
+def librispeech_to_kaldi(
+    root: str,
+    out_dir: str,
+    exts: Tuple[str, ...] = (".wav", ".flac"),
+) -> Dict[str, int]:
+    """LibriSpeech tree -> Kaldi dir (reference datapre/data_prep.sh):
+    ``{spk}/{chapter}/{spk}-{chapter}-{utt}.flac`` + ``*.trans.txt``
+    transcripts + optional ``SPEAKERS.TXT`` genders."""
+    wav: Dict[str, str] = {}
+    u2s: Dict[str, str] = {}
+    text: Dict[str, str] = {}
+    for cur, _, files in os.walk(root):
+        for f in sorted(files):
+            if f.endswith(exts):
+                utt = os.path.splitext(f)[0]
+                wav[utt] = os.path.join(cur, f)
+                u2s[utt] = utt.split("-")[0]
+            elif f.endswith(".trans.txt"):
+                with open(os.path.join(cur, f)) as fh:
+                    for line in fh:
+                        parts = line.strip().split(maxsplit=1)
+                        if len(parts) == 2:
+                            text[parts[0]] = parts[1]
+    spk2gender: Dict[str, str] = {}
+    speakers_txt = os.path.join(root, "SPEAKERS.TXT")
+    if os.path.exists(speakers_txt):
+        with open(speakers_txt) as fh:
+            for line in fh:
+                if line.startswith(";"):
+                    continue
+                cols = [c.strip() for c in line.split("|")]
+                if len(cols) >= 2 and cols[0] in {u2s[u] for u in u2s}:
+                    spk2gender[cols[0]] = cols[1].lower()
+    os.makedirs(out_dir, exist_ok=True)
+    kaldi_io.write_scp(os.path.join(out_dir, "wav.scp"), wav)
+    kaldi_io.write_scp(os.path.join(out_dir, "utt2spk"), u2s)
+    if text:
+        kaldi_io.write_scp(
+            os.path.join(out_dir, "text"),
+            {u: t for u, t in text.items() if u in wav},
+        )
+    if spk2gender:
+        kaldi_io.write_scp(os.path.join(out_dir, "spk2gender"), spk2gender)
+    kaldi_io.write_spk2utt(
+        os.path.join(out_dir, "spk2utt"), kaldi_io.utt2spk_to_spk2utt(u2s)
+    )
+    kaldi_io.fix_data_dir(out_dir)
+    return {"num_utts": len(wav), "num_speakers": len(set(u2s.values()))}
+
+
 def build_spk2enroll_json(
     librispeech_root: str, out_path: str, exts: Tuple[str, ...] = (".wav", ".flac")
 ) -> int:

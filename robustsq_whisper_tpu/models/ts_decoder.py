@@ -42,9 +42,12 @@ class TSDecoder(nn.Module):
     startofprev_token: int = STARTOFPREV
     use_spk_prompt: bool = True
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     def setup(self):
-        self.decoder = TextDecoder(self.dims, dtype=self.dtype, name="decoder")
+        self.decoder = TextDecoder(
+            self.dims, dtype=self.dtype, remat=self.remat, name="decoder"
+        )
 
     def __call__(
         self,

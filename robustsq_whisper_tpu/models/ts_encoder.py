@@ -154,6 +154,7 @@ class TSEncoderConfig:
     qformer_heads: int = 12
     qformer_intermediate_size: int = 3072
     use_flash_attention: bool = False  # Pallas kernel for encoder self-attn
+    remat: bool = False  # rematerialize encoder blocks in backward
 
 
 class QFormerTSEncoder(nn.Module):
@@ -174,7 +175,8 @@ class QFormerTSEncoder(nn.Module):
     def setup(self):
         self.encoder = AudioEncoder(
             self.dims, dtype=self.dtype,
-            use_flash=self.ts.use_flash_attention, name="encoder",
+            use_flash=self.ts.use_flash_attention, remat=self.ts.remat,
+            name="encoder",
         )
         qcfg = QformerConfig(
             encoder_width=self.dims.n_audio_state,

@@ -106,6 +106,7 @@ class TSASRModel(nn.Module):
             startofprev_token=self.cfg.startofprev,
             use_spk_prompt=True,
             dtype=self.dtype,
+            remat=self.ts.remat,
             name="decoder",
         )
         self.ctc = CTCHead(self.cfg.vocab_size, name="ctc")

@@ -316,6 +316,7 @@ class AudioEncoder(nn.Module):
     dtype: Dtype = jnp.float32
     scan_layers: bool = True
     use_flash: bool = False
+    remat: bool = False  # rematerialize blocks in backward (training memory)
 
     def setup(self):
         d = self.dims
@@ -338,7 +339,11 @@ class AudioEncoder(nn.Module):
             ),
         )
         if self.scan_layers:
-            self.block = ResidualAttentionBlock(
+            block_cls = (
+                nn.remat(ResidualAttentionBlock) if self.remat
+                else ResidualAttentionBlock
+            )
+            self.block = block_cls(
                 d.n_audio_state, d.n_audio_head, dtype=self.dtype,
                 use_flash=self.use_flash, name="block",
             )
@@ -403,6 +408,7 @@ class TextDecoder(nn.Module):
     dims: WhisperDims
     dtype: Dtype = jnp.float32
     scan_layers: bool = True
+    remat: bool = False
 
     def setup(self):
         d = self.dims
@@ -413,7 +419,11 @@ class TextDecoder(nn.Module):
             (d.n_text_ctx, d.n_text_state),
         )
         if self.scan_layers:
-            self.block = ResidualAttentionBlock(
+            block_cls = (
+                nn.remat(ResidualAttentionBlock) if self.remat
+                else ResidualAttentionBlock
+            )
+            self.block = block_cls(
                 d.n_text_state, d.n_text_head, cross_attention=True,
                 dtype=self.dtype, name="block",
             )

@@ -121,3 +121,31 @@ def batch_shardings(mesh: Mesh, batch: Any) -> Any:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host setup: ``jax.distributed.initialize`` — the TPU-native
+    replacement for the reference's implicit NCCL/torchrun environment
+    (SURVEY.md §2.4). On TPU pods, arguments auto-resolve from the
+    environment; the mesh built afterwards spans all hosts' devices, with
+    intra-slice collectives on ICI and cross-slice on DCN. Returns the
+    global device count. No-op (returns local count) for single-process."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    elif coordinator_address is None and (
+        "TPU_WORKER_HOSTNAMES" in __import__("os").environ
+        and len(
+            __import__("os").environ["TPU_WORKER_HOSTNAMES"].split(",")
+        )
+        > 1
+    ):
+        jax.distributed.initialize()
+    return len(jax.devices())

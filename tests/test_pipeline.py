@@ -283,3 +283,27 @@ class TestFbankAndResnet:
             v = np.load(path)
             assert v.shape == (16,)
             np.testing.assert_allclose(np.linalg.norm(v), 1.0, rtol=1e-5)
+
+
+class TestLibriSpeechPrep:
+    def test_tree_to_kaldi(self, tmp_path):
+        root = str(tmp_path / "LibriSpeech" / "train-clean-100")
+        rng = np.random.default_rng(0)
+        for spk in ["19", "26"]:
+            ch_dir = os.path.join(root, spk, "7")
+            os.makedirs(ch_dir, exist_ok=True)
+            with open(os.path.join(ch_dir, f"{spk}-7.trans.txt"), "w") as f:
+                for u in range(2):
+                    utt = f"{spk}-7-{u:04d}"
+                    kaldi_io.write_wav(
+                        os.path.join(ch_dir, f"{utt}.wav"),
+                        (0.1 * rng.standard_normal(800)).astype(np.float32),
+                        16000,
+                    )
+                    f.write(f"{utt} HELLO WORLD {u}\n")
+        out = str(tmp_path / "data")
+        stats = simulate.librispeech_to_kaldi(root, out)
+        assert stats == {"num_utts": 4, "num_speakers": 2}
+        assert kaldi_io.validate_data_dir(out) == []
+        text = kaldi_io.read_scp(os.path.join(out, "text"))
+        assert text["19-7-0001"] == "HELLO WORLD 1"

@@ -173,3 +173,30 @@ def test_multichip_dp_tp_step():
     np.testing.assert_allclose(
         float(stats1["grad_norm"]), float(stats2["grad_norm"]), rtol=1e-3
     )
+
+
+def test_remat_matches_no_remat(model_and_params):
+    """remat must change memory behavior only, not numerics."""
+    from robustsq_whisper_tpu.models import TSASRModel, TSEncoderConfig
+    import dataclasses as dc
+
+    model, variables, batch = model_and_params
+    ts_r = dc.replace(TS, remat=True)
+    model_r = TSASRModel(DIMS, ts_r, CFG)
+    rng = jax.random.PRNGKey(7)
+
+    def loss(m, v):
+        l, _ = m.apply(v, batch, rng, 0, train=True)
+        return l
+
+    l0 = float(loss(model, variables))
+    l1 = float(loss(model_r, variables))
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    g0 = jax.grad(lambda v: loss(model, v))(variables)["params"]
+    g1 = jax.grad(lambda v: loss(model_r, v))(variables)["params"]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        ),
+        g0, g1,
+    )
