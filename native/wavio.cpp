@@ -126,6 +126,24 @@ int64_t decode_one(const char* path, float* out, int64_t out_len,
 
 }  // namespace
 
+// FLAC support (flac.cpp)
+int64_t flac_decode_file(const char* path, float* out, int64_t out_len,
+                         int32_t expect_rate);
+int64_t flac_num_samples(const char* path, int32_t* rate);
+
+namespace {
+
+bool is_flac(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  char magic[4] = {0};
+  size_t got = fread(magic, 1, 4, f);
+  fclose(f);
+  return got == 4 && memcmp(magic, "fLaC", 4) == 0;
+}
+
+}  // namespace
+
 extern "C" {
 
 // Decode a batch of wavs into out (shape [n, out_len], row-major float32).
@@ -145,7 +163,11 @@ int wavio_load_batch(const char** paths, int64_t n, float* out,
     while (true) {
       int64_t i = next.fetch_add(1);
       if (i >= n) break;
-      int64_t r = decode_one(paths[i], out + i * out_len, out_len, expect_rate);
+      int64_t r = is_flac(paths[i])
+                      ? flac_decode_file(paths[i], out + i * out_len, out_len,
+                                         expect_rate)
+                      : decode_one(paths[i], out + i * out_len, out_len,
+                                   expect_rate);
       lens[i] = r;
       if (r < 0) failures.fetch_add(1);
     }
@@ -159,6 +181,7 @@ int wavio_load_batch(const char** paths, int64_t n, float* out,
 // Single-file probe: returns sample count (after channel-merge) or negative
 // error; fills rate.
 int64_t wavio_num_samples(const char* path, int32_t* rate) {
+  if (is_flac(path)) return flac_num_samples(path, rate);
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   WavInfo info;

@@ -353,7 +353,22 @@ def resolve_enrollment(
 
 
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
-    """Read a wav file to float32 [-1, 1]; returns (audio, sample_rate)."""
+    """Read a wav/flac file to float32 [-1, 1]; returns (audio, sample_rate).
+
+    FLAC (LibriSpeech's format) routes through the native decoder
+    (native/flac.cpp) — the image has no other FLAC-capable library."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"fLaC":
+        from . import native_loader
+
+        if not native_loader.available():
+            raise RuntimeError(
+                f"{path}: FLAC needs the native loader (make -C native)"
+            )
+        n, sr = native_loader.num_samples(path)
+        batch, lens = native_loader.load_batch([path], n, expect_rate=0)
+        return batch[0], sr
     from scipy.io import wavfile
 
     sr, data = wavfile.read(path)
