@@ -34,9 +34,11 @@ class WhisperASR:
     dtype: Any = jnp.float32
 
     @classmethod
-    def from_random(cls, name: str = "tiny", seed: int = 0, dtype=jnp.float32):
+    def from_random(
+        cls, name: str = "tiny", seed: int = 0, dtype=jnp.float32, **overrides
+    ):
         """Random-init model (smoke tests / benchmarks)."""
-        dims = whisper_dims(name)
+        dims = whisper_dims(name, **overrides)
         enc = AudioEncoder(dims, dtype=dtype)
         dec = TSDecoder(dims, use_spk_prompt=False, dtype=dtype)
         rng = jax.random.PRNGKey(seed)
@@ -76,12 +78,18 @@ class WhisperASR:
         audio = pad_or_trim(audio, N_SAMPLES)
         mel, _ = log_mel_spectrogram(audio)
         memory = enc.apply(self.enc_vars, mel)
+        if self.dims.n_vocab > st.sot:  # real Whisper vocab layout
+            eot = st.eot
+            init = st.sot_sequence(
+                language, "transcribe", True, multilingual=multilingual
+            )
+        else:  # reduced-vocab smoke models
+            eot = self.dims.n_vocab - 1
+            init = (0,)
         dcfg = DecodeConfig(
             max_new_tokens=max_new_tokens,
-            eot=st.eot,
-            init_tokens=st.sot_sequence(
-                language, "transcribe", True, multilingual=multilingual
-            ),
+            eot=eot,
+            init_tokens=init,
             beam_size=beam_size,
         )
         run = build_beam_decoder(dec, self.dec_vars, dcfg)

@@ -151,7 +151,7 @@ def test_zero_shot_whisper_greedy():
     greedy path runs and emits well-formed token rows."""
     from robustsq_whisper_tpu.models.asr import WhisperASR
 
-    asr = WhisperASR.from_random("dev", seed=0)
+    asr = WhisperASR.from_random("dev", seed=0, n_vocab=512)
     audio = jnp.asarray(
         np.random.default_rng(0).standard_normal((2, 16000 * 2)) * 0.1,
         jnp.float32,
@@ -160,3 +160,18 @@ def test_zero_shot_whisper_greedy():
     assert tokens.shape == (2, 6)
     assert np.all(np.asarray(tokens) >= 0)
     assert np.all(np.isfinite(np.asarray(scores)))
+
+
+def test_stop_early_matches_fixed_scan(dec_and_params):
+    """while_loop early-exit decode == fixed-length scan decode."""
+    dec, variables, memory, prompt = dec_and_params
+    cfg_fixed = DecodeConfig(
+        max_new_tokens=8, eot=2, init_tokens=(1,), stop_early=False
+    )
+    cfg_early = DecodeConfig(
+        max_new_tokens=8, eot=2, init_tokens=(1,), stop_early=True
+    )
+    tf_, sf = build_greedy_decoder(dec, variables, cfg_fixed)(memory, prompt)
+    te, se = build_greedy_decoder(dec, variables, cfg_early)(memory, prompt)
+    np.testing.assert_array_equal(np.asarray(tf_), np.asarray(te))
+    np.testing.assert_allclose(np.asarray(sf), np.asarray(se), rtol=1e-5)
