@@ -1,0 +1,53 @@
+"""The actual CLI entry points (cli.train / cli.decode / cli.datapre mains)
+driven end-to-end on synthetic data with the dev smoke config — the stage
+11/12 surface of run_tswhisper.sh."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from robustsq_whisper_tpu.data import kaldi_io
+
+from tests.test_pipeline import _make_clean_dir
+
+
+@pytest.mark.slow
+def test_cli_train_then_decode(tmp_path, capsys):
+    from robustsq_whisper_tpu.cli import datapre, decode, train
+
+    src = _make_clean_dir(tmp_path)
+    data_dir = str(tmp_path / "dump" / "train")
+    rc = datapre.main([
+        "overlap", "--src_dir", src, "--out_dir", data_dir,
+        "--num_mixtures", "4", "--seed", "0",
+    ])
+    assert rc == 0
+    rc = datapre.main(["validate", data_dir])
+    assert rc == 0
+
+    # the dev dims use 0.64 s windows; patch wav lengths accordingly is not
+    # needed — dataset pads/crops to the config's window.
+    expdir = str(tmp_path / "exp")
+    rc = train.main([
+        "--config", "conf/tswhisper/train_tsasr_whisper_dev_smoke.yaml",
+        "--train_dir", data_dir,
+        "--expdir", expdir,
+    ])
+    assert rc == 0
+    assert os.path.isdir(os.path.join(expdir, "checkpoints"))
+
+    out_dir = str(tmp_path / "decoded")
+    rc = decode.main([
+        "--config", "conf/tswhisper/train_tsasr_whisper_dev_smoke.yaml",
+        "--inference_config", "conf/tswhisper/decode_asr_whisper_beam1.yaml",
+        "--data_dir", data_dir,
+        "--expdir", expdir,
+        "--output_dir", out_dir,
+        "--batch_size", "4",
+    ])
+    assert rc == 0
+    hyps = kaldi_io.read_scp(os.path.join(out_dir, "text"))
+    assert len(hyps) == 8
+    assert os.path.exists(os.path.join(out_dir, "score.txt"))
