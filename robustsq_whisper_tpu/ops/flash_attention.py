@@ -34,54 +34,60 @@ NEG_INF = -1e30
 
 def _attn_kernel(
     q_ref,  # (block_q, head_dim)
-    k_ref,  # (kv_len, head_dim)
-    v_ref,  # (kv_len, head_dim)
-    mask_ref,  # (block_q, kv_len) additive fp32, or None
+    k_ref,  # (block_k, head_dim) — one kv tile per grid step
+    v_ref,  # (block_k, head_dim)
+    mask_ref,  # (block_q, block_k) additive fp32, or None
     o_ref,  # (block_q, head_dim)
+    m_sc,  # scratch (block_q, 1) f32
+    l_sc,  # scratch (block_q, 1) f32
+    acc_sc,  # scratch (block_q, head_dim) f32
     *,
     scale: float,
     block_k: int,
     kv_len: int,
 ):
-    block_q, head_dim = q_ref.shape
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_sc[:] = jnp.full_like(m_sc, NEG_INF)
+        l_sc[:] = jnp.zeros_like(l_sc)
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+
     q = q_ref[:].astype(jnp.float32) * scale
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+    # zero the ragged kv tail of V: its rows are uninitialized (NaN in
+    # interpret mode) and even a 0-weighted NaN poisons the p@V accumulate
+    row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + j * block_k
+    v = jnp.where(row < kv_len, v, 0.0)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_q, block_k)
+    if mask_ref is not None:
+        s = s + mask_ref[:].astype(jnp.float32)
+    # mask the ragged kv tail LAST (arrays are NOT padded by the wrapper —
+    # per-call padding would copy the whole K/V; also the tail of a partial
+    # mask block is uninitialized, so it must be overridden here)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+    s = jnp.where(col < kv_len, s, NEG_INF)
 
-    m = jnp.full((block_q, 1), NEG_INF, jnp.float32)
-    l = jnp.zeros((block_q, 1), jnp.float32)
-    acc = jnp.zeros((block_q, head_dim), jnp.float32)
+    m_prev, l_prev = m_sc[:], l_sc[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    m_sc[:] = m_new
+    l_sc[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_sc[:] = acc_sc[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
-    def body(i, carry):
-        m, l, acc = carry
-        k = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (block_q, block_k)
-        if mask_ref is not None:
-            s = s + mask_ref[:, pl.ds(i * block_k, block_k)].astype(jnp.float32)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    @pl.when(j == nj - 1)
+    def _():
+        o_ref[:] = (acc_sc[:] / jnp.maximum(l_sc[:], 1e-30)).astype(
+            o_ref.dtype
         )
-        return m_new, l_new, acc_new
-
-    m, l, acc = jax.lax.fori_loop(0, kv_len // block_k, body, (m, l, acc))
-    o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-
-
-def _pad_to(x: jax.Array, axis: int, mult: int, value=0.0) -> jax.Array:
-    size = x.shape[axis]
-    pad = (-size) % mult
-    if pad == 0:
-        return x
-    pads = [(0, 0)] * x.ndim
-    pads[axis] = (0, pad)
-    return jnp.pad(x, pads, constant_values=value)
 
 
 @functools.partial(
@@ -104,71 +110,65 @@ def flash_attention(
     block_q = min(block_q, max(q_len, 8))
     block_k = min(block_k, max(kv_len, 128))
 
-    # (b*h, len, d) layout; pad lengths to block multiples
+    # (b*h, len, d) layout; NO padding — partial trailing blocks are handled
+    # by pallas block masking + the in-kernel iota column mask.
     def bh(x):
         return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
 
     qb, kb, vb = bh(q), bh(k), bh(v)
-    qb = _pad_to(qb, 1, block_q)
-    kb = _pad_to(kb, 1, block_k)
-    vb = _pad_to(vb, 1, block_k)
-    q_pad, kv_pad = qb.shape[1], kb.shape[1]
+    nq, nk = pl.cdiv(q_len, block_q), pl.cdiv(kv_len, block_k)
 
-    # additive mask: broadcast to (b*h, q_pad, kv_pad); padding keys get -inf
-    need_mask = mask is not None or kv_pad != kv_len
     mask_b = None
-    if need_mask:
-        full = jnp.zeros((b, h, q_pad, kv_pad), jnp.float32)
-        if kv_pad != kv_len:
-            full = full.at[..., kv_len:].set(NEG_INF)
-        if mask is not None:
-            mask4 = jnp.broadcast_to(
-                mask.astype(jnp.float32),
-                (b, h, q_len, kv_len) if mask.ndim == 4 else mask.shape,
-            )
-            if mask4.ndim != 4:
-                mask4 = jnp.broadcast_to(mask4, (b, h, q_len, kv_len))
-            full = full.at[..., :q_len, :kv_len].add(mask4)
-        mask_b = full.reshape(b * h, q_pad, kv_pad)
+    if mask is not None:
+        mask4 = jnp.broadcast_to(
+            mask.astype(jnp.float32), (b, h, q_len, kv_len)
+        )
+        mask_b = mask4.reshape(b * h, q_len, kv_len)
 
     kernel = functools.partial(
-        _attn_kernel, scale=scale, block_k=block_k, kv_len=kv_pad
+        _attn_kernel, scale=scale, block_k=block_k, kv_len=kv_len
     )
-    grid = (b * h, q_pad // block_q)
+    grid = (b * h, nq, nk)
     in_specs = [
-        pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0),
+        pl.BlockSpec((None, block_q, d), lambda i, qi, ki: (i, qi, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((None, kv_pad, d), lambda i, j: (i, 0, 0),
+        pl.BlockSpec((None, block_k, d), lambda i, qi, ki: (i, ki, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((None, kv_pad, d), lambda i, j: (i, 0, 0),
+        pl.BlockSpec((None, block_k, d), lambda i, qi, ki: (i, ki, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [qb, kb, vb]
     if mask_b is not None:
         in_specs.append(
-            pl.BlockSpec((None, block_q, kv_pad), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (None, block_q, block_k), lambda i, qi, ki: (i, qi, ki),
+                memory_space=pltpu.VMEM,
+            )
         )
         args.append(mask_b)
 
     if mask_b is None:
-        def body(q_ref, k_ref, v_ref, o_ref):
-            kernel(q_ref, k_ref, v_ref, None, o_ref)
+        def body(q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc):
+            kernel(q_ref, k_ref, v_ref, None, o_ref, m_sc, l_sc, acc_sc)
     else:
-        def body(q_ref, k_ref, v_ref, m_ref, o_ref):
-            kernel(q_ref, k_ref, v_ref, m_ref, o_ref)
+        def body(q_ref, k_ref, v_ref, mk_ref, o_ref, m_sc, l_sc, acc_sc):
+            kernel(q_ref, k_ref, v_ref, mk_ref, o_ref, m_sc, l_sc, acc_sc)
 
     out = pl.pallas_call(
         body,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (None, block_q, d), lambda i, j: (i, j, 0),
+            (None, block_q, d), lambda i, qi, ki: (i, qi, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, q_pad, d), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, q_len, d), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
         interpret=interpret,
     )(*args)
 
-    out = out[:, :q_len].reshape(b, h, q_len, d).transpose(0, 2, 1, 3)
-    return out
+    return out.reshape(b, h, q_len, d).transpose(0, 2, 1, 3)
