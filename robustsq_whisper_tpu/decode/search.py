@@ -45,10 +45,6 @@ class DecodeConfig:
     stop_early: bool = True
 
 
-def _cache_len(cfg: DecodeConfig, prompt_len: int) -> int:
-    return prompt_len + len(cfg.init_tokens) + cfg.max_new_tokens
-
-
 def build_greedy_decoder(
     dec: TSDecoder,
     variables: Any,

@@ -104,11 +104,11 @@ def make_train_step(
     model: Any,  # TSASRModel (flax module)
     tx: optax.GradientTransformation,
     cfg: TrainConfig = TrainConfig(),
-    mesh: Optional[Mesh] = None,
     donate: bool = True,
 ) -> Callable[[TrainState, Dict[str, jax.Array], jax.Array, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
-    """Build the jitted step. With ``mesh``, in/out shardings are attached so
-    XLA lays the batch over DATA and (optionally) tensors over MODEL."""
+    """Build the jitted step. Sharding is input-driven: place state/batch
+    with place_train_step/place_batch on a mesh and jit propagates — XLA lays
+    the batch over DATA and (optionally) tensors over MODEL."""
 
     def loss_fn(trainables, state, batch, rng, epoch):
         if cfg.mode == "lora":
