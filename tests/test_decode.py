@@ -175,3 +175,65 @@ def test_stop_early_matches_fixed_scan(dec_and_params):
     te, se = build_greedy_decoder(dec, variables, cfg_early)(memory, prompt)
     np.testing.assert_array_equal(np.asarray(tf_), np.asarray(te))
     np.testing.assert_allclose(np.asarray(sf), np.asarray(se), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_beam_matches_exhaustive_search():
+    """With beam width >= V^(L-1), beam search must find the globally best
+    hypothesis; verify against explicit enumeration of every token sequence."""
+    import itertools
+
+    V, L = 5, 3
+    dims = WhisperDims(
+        n_mels=80, n_vocab=V, n_audio_ctx=8, n_audio_state=16,
+        n_audio_head=2, n_audio_layer=1, n_text_ctx=32, n_text_state=16,
+        n_text_head=2, n_text_layer=1,
+    )
+    eot = 4
+    dec = TSDecoder(dims, startofprev_token=3)
+    rng = np.random.default_rng(11)
+    memory = jnp.asarray(rng.standard_normal((1, 6, 16)), jnp.float32)
+    prompt = jnp.asarray(rng.standard_normal((1, 2, 16)), jnp.float32)
+    variables = dec.init(
+        jax.random.PRNGKey(11), memory, jnp.zeros((1, 2), jnp.int32), prompt
+    )
+
+    cfg = DecodeConfig(
+        max_new_tokens=L, eot=eot, init_tokens=(1,), beam_size=V ** (L - 1)
+    )
+    toks, scores = build_beam_decoder(dec, variables, cfg)(memory, prompt)
+    beam_seq = [int(t) for t in np.asarray(toks)[0]]
+    beam_score = float(scores[0])
+
+    # enumerate canonical sequences (everything after the first eot is eot)
+    candidates = []
+    for seq in itertools.product(range(V), repeat=L):
+        canon, done = [], False
+        for tok in seq:
+            canon.append(eot if done else tok)
+            done = done or tok == eot
+        if canon == list(seq):
+            candidates.append(canon)
+
+    # one teacher-forced batched forward scores every candidate at once
+    n = len(candidates)
+    prefixes = np.asarray([[1] + c[:-1] for c in candidates], np.int32)
+    logits = dec.apply(
+        variables,
+        jnp.tile(memory, (n, 1, 1)),
+        jnp.asarray(prefixes),
+        jnp.tile(prompt, (n, 1, 1)),
+    )  # (n, L, V)
+    logp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+    best_score, best_seq = -np.inf, None
+    for ci, canon in enumerate(candidates):
+        total, done = 0.0, False
+        for i, tok in enumerate(canon):
+            if not done:
+                total += float(logp[ci, i, tok])
+            done = done or tok == eot
+        if total > best_score:
+            best_score, best_seq = total, canon
+
+    assert beam_seq == best_seq, (beam_seq, best_seq, beam_score, best_score)
+    np.testing.assert_allclose(beam_score, best_score, rtol=1e-4, atol=1e-4)
