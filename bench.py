@@ -41,7 +41,7 @@ def main():
     from robustsq_whisper_tpu.tokenizer.whisper_tokenizer import special_tokens
 
     model_name = os.environ.get("BENCH_MODEL", "medium")
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     new_tokens = int(os.environ.get("BENCH_NEW_TOKENS", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     compute_dtype = jnp.bfloat16
@@ -51,7 +51,7 @@ def main():
     ts = TSEncoderConfig(
         num_query_tokens=16,
         num_hidden_layers=2,
-        use_flash_attention=os.environ.get("BENCH_FLASH", "0") == "1",
+        use_flash_attention=os.environ.get("BENCH_FLASH", "1") == "1",
     )
     log(f"devices: {jax.devices()}")
     dev = jax.devices()[0]

@@ -173,7 +173,9 @@ class MultiHeadAttention(nn.Module):
         if self.use_flash and mask is None and q.shape[1] >= 256:
             from ...ops.flash_attention import flash_attention
 
-            o = flash_attention(q, k, v)
+            o = flash_attention(
+                q, k, v, interpret=jax.default_backend() == "cpu"
+            )
         else:
             o = dot_product_attention(q, k, v, mask=mask)
         return self.out(self._merge(o))
