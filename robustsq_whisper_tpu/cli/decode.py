@@ -64,6 +64,11 @@ def main(argv=None):
             )
 
     dims = exp.resolved_dims()
+    # inference is forward-only: the Pallas flash kernel is safe and ~1.5x
+    # faster on the long encoder self-attention
+    exp = dataclasses.replace(
+        exp, ts=dataclasses.replace(exp.ts, use_flash_attention=True)
+    )
     dtype = jnp.bfloat16 if exp.compute_dtype == "bfloat16" else jnp.float32
     tokenizer = load_tokenizer(args.tokenizer_assets)
     st = special_tokens(multilingual=True)

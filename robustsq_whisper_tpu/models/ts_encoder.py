@@ -153,7 +153,8 @@ class TSEncoderConfig:
     qformer_hidden_size: int = 768
     qformer_heads: int = 12
     qformer_intermediate_size: int = 3072
-    use_flash_attention: bool = True  # Pallas kernel for encoder self-attn
+    use_flash_attention: bool = False  # Pallas fwd kernel (inference only:
+    # no custom VJP yet, keep False for training configs)
     remat: bool = False  # rematerialize encoder blocks in backward
 
 
