@@ -161,18 +161,17 @@ def extract_embeddings_for_dir(
 
     scp: Dict[str, str] = {}
     utts = sorted(wav)
+    # fixed (batch_size, max_samples) shape: ONE jit compilation serves every
+    # chunk, including the ragged last one (padded rows are discarded)
     for i in range(0, len(utts), batch_size):
         chunk = utts[i : i + batch_size]
-        audios, lens = [], []
-        for u in chunk:
+        batch = np.zeros((batch_size, max_samples), np.float32)
+        lens = np.full((batch_size,), 400, np.int32)
+        for j, u in enumerate(chunk):
             a, _ = kaldi_io.read_wav(wav[u].split()[0])
             a = a[:max_samples]
-            audios.append(a)
-            lens.append(len(a))
-        n = max(max(lens), 400)
-        batch = np.zeros((len(chunk), n), np.float32)
-        for j, a in enumerate(audios):
             batch[j, : len(a)] = a
+            lens[j] = max(len(a), 400)
         embs = np.asarray(
             embed(variables, jnp.asarray(batch), jnp.asarray(lens))
         )
