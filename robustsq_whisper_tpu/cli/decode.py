@@ -95,10 +95,17 @@ def main(argv=None):
         if latest_step(ckpt_dir) is not None:
             state_t, _ = create_train_state(rng, variables, exp.train)
             state, epoch, _ = restore_checkpoint(ckpt_dir, state_t)
-            variables = {"params": state.params, **state.buffers}
+            params = state.params
+            if exp.train.mode == "lora" and state.lora:
+                # bake the trained adapters into the serving weights —
+                # without this a lora run decodes the unadapted base model
+                from ..train.lora import merge_lora
+
+                params = merge_lora(params, state.lora, exp.train.lora)
+            variables = {"params": params, **state.buffers}
             logging.info(
-                "restored step %d (epoch %d) from %s",
-                int(state.step), epoch, ckpt_dir,
+                "restored step %d (epoch %d, mode %s) from %s",
+                int(state.step), epoch, exp.train.mode, ckpt_dir,
             )
 
     # split the combined variables into encoder/decoder scopes

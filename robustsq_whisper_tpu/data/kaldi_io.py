@@ -342,8 +342,12 @@ def resolve_enrollment(
     src_utt, spk = parse_lazy_enrollment(value)
     if spk2enroll is None or spk not in spk2enroll:
         raise KeyError(f"no enrollment pool for speaker {spk}")
+    # always exclude the row's own source utterance (train-time leak
+    # otherwise: enrollment == the target's exact source audio), plus any
+    # caller-supplied id (e.g. the mixture row id)
+    excluded = {src_utt, exclude_utt}
     pool = [
-        p for u, p in spk2enroll[spk] if u != (exclude_utt or src_utt)
+        p for u, p in spk2enroll[spk] if u not in excluded
     ] or [p for _, p in spk2enroll[spk]]
     rng = rng or np.random.default_rng()
     return pool[int(rng.integers(len(pool)))]

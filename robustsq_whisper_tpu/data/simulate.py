@@ -153,8 +153,11 @@ def generate_overlap_enrollment(
             out_u2s[row_id] = spk
             if utt in text:
                 out_text[row_id] = text[utt]
-            # lazy enrollment pattern (create_enrollment_scp.py:76-78)
-            out_enroll[row_id] = f"*{row_id} {spk}"
+            # lazy enrollment pattern: *<SOURCE utt> <spk>, the reference's
+            # convention (create_enrollment_scp.py:76-85) — the source utt id
+            # (not the mixture row id) is what the exclusion in
+            # resolve_enrollment must match against the enrollment pool
+            out_enroll[row_id] = f"*{utt} {spk}"
             if spk in spk2gender:
                 out_gender[spk] = spk2gender[spk]
         made += 1

@@ -174,7 +174,7 @@ def build_beam_decoder(
         )  # (b, k)
 
         def step(carry, i):
-            logits, cache, scores, done = carry
+            logits, cache, scores, done, lengths = carry
             logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, vocab)
 
             # finished beams: only eot allowed, at zero cost
@@ -195,28 +195,34 @@ def build_beam_decoder(
             cache2 = jax.tree_util.tree_map(
                 lambda x: jnp.take(x, gather_idx, axis=1), cache
             )
-            done2 = jnp.take_along_axis(done, src_beam, axis=1) | (
-                tok == cfg.eot
-            )
+            done_prev = jnp.take_along_axis(done, src_beam, axis=1)
+            done2 = done_prev | (tok == cfg.eot)
+            # hypothesis length follows the beam LINEAGE (gather by src_beam);
+            # counting per fixed slot would mix lengths across reshuffles
+            lengths2 = jnp.take_along_axis(lengths, src_beam, axis=1) + (
+                ~done_prev
+            ).astype(jnp.int32)
             pos = prompt_len + len(cfg.init_tokens) + i
             new_logits, cache3 = m(
                 TSDecoder.step, tok.reshape(-1, 1), pos, cache2, cross
             )
-            return (new_logits, cache3, top_scores, done2), (tok, src_beam)
+            return (
+                (new_logits, cache3, top_scores, done2, lengths2),
+                (tok, src_beam),
+            )
 
-        carry = (logits, cache, scores, jnp.zeros((b, k), bool))
-        (_, _, final_scores, _), (toks, backptr) = jax.lax.scan(
+        carry = (
+            logits, cache, scores, jnp.zeros((b, k), bool),
+            jnp.zeros((b, k), jnp.int32),
+        )
+        (_, _, final_scores, _, final_lengths), (toks, backptr) = jax.lax.scan(
             step, carry, jnp.arange(cfg.max_new_tokens)
         )
         # toks/backptr: (steps, b, k). Backtrace best beam per utterance.
         if cfg.length_penalty > 0.0:
-            lengths = jnp.sum(
-                jnp.cumsum(
-                    (toks == cfg.eot).astype(jnp.int32), axis=0
-                ) == 0,
-                axis=0,
-            ).astype(jnp.float32) + 1.0  # (b, k)
-            norm = final_scores / lengths**cfg.length_penalty
+            norm = final_scores / (
+                final_lengths.astype(jnp.float32) ** cfg.length_penalty
+            )
         else:
             norm = final_scores
         best = jnp.argmax(norm, axis=-1)  # (b,)

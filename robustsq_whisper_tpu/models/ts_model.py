@@ -47,7 +47,9 @@ from ..losses.asr import (
 from ..losses.speaker import (
     AAMSoftmaxHead,
     AttentiveStatisticsPooling,
+    aam_margin_schedule,
     arc_infonce_loss,
+    asp_gamma_schedule,
 )
 from .ts_decoder import TSDecoder
 from .ts_encoder import QFormerTSEncoder, TSEncoderConfig
@@ -165,11 +167,12 @@ class TSASRModel(nn.Module):
         prompt_len = self.encoder.prompt_len
         epoch = jnp.asarray(epoch, jnp.float32)
 
-        # warm-up schedules as traced scalars
-        gamma = cfg.asp_gamma_initial + jnp.minimum(
-            epoch / cfg.asp_gamma_warmup_epochs, 1.0
-        ) * (cfg.asp_gamma - cfg.asp_gamma_initial)
-        margin = jnp.where(epoch < cfg.warm_up_epochs, 0.0, cfg.aam_margin)
+        # warm-up schedules as traced scalars (losses/speaker.py helpers)
+        gamma = asp_gamma_schedule(
+            epoch, cfg.asp_gamma_initial, cfg.asp_gamma,
+            cfg.asp_gamma_warmup_epochs,
+        )
+        margin = aam_margin_schedule(epoch, cfg.aam_margin, cfg.warm_up_epochs)
 
         pooled_enroll = self.asp(enroll_embedding, gamma)
 

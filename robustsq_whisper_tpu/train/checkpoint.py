@@ -30,6 +30,7 @@ def save_checkpoint(
     epoch: int,
     rng: jax.Array,
     keep: int = 3,
+    overwrite: bool = False,
 ) -> str:
     ocp = _ocp()
     ckpt_dir = os.path.abspath(ckpt_dir)
@@ -37,6 +38,10 @@ def save_checkpoint(
     with ocp.CheckpointManager(
         ckpt_dir, options=ocp.CheckpointManagerOptions(max_to_keep=keep)
     ) as mgr:
+        if overwrite and step in mgr.all_steps():
+            # orbax refuses duplicate steps (and force= only bypasses
+            # save_on_steps, it does NOT overwrite) — drop the old one
+            mgr.delete(step)
         mgr.save(
             step,
             args=ocp.args.Composite(

@@ -70,6 +70,7 @@ def run_training(
     running: Dict[str, float] = {}
     n_running = 0
     t_last = time.time()
+    last_saved_step = -1
 
     for epoch in range(start_epoch, lcfg.num_epochs):
         for batch in dataset.batches(lcfg.batch_size, shuffle=True):
@@ -106,10 +107,15 @@ def run_training(
                 save_checkpoint(
                     lcfg.ckpt_dir, step, state, epoch, rng, lcfg.keep_ckpts
                 )
+                last_saved_step = step
 
         if lcfg.ckpt_dir:
+            # the mid-loop save may have landed on this exact step; orbax
+            # rejects duplicate steps, so overwrite with the epoch-end
+            # metadata (epoch+1 => resume starts the next epoch)
             save_checkpoint(
                 lcfg.ckpt_dir, int(state.step), state, epoch + 1, rng,
                 lcfg.keep_ckpts,
+                overwrite=int(state.step) == last_saved_step,
             )
     return state

@@ -44,17 +44,26 @@ def _paths(tree: Any):
 def init_lora(
     rng: jax.Array, params: Any, cfg: LoraConfig = LoraConfig()
 ) -> Dict[str, Dict[str, jax.Array]]:
-    """Create {path: {"a": (in, r) normal-init, "b": (r, out) zeros}}."""
+    """Create {path: {"a": (..., in, r) normal-init, "b": (..., r, out) zeros}}.
+
+    Handles both plain (in, out) kernels and scan-stacked (layers, in, out)
+    kernels — the default model stacks per-layer params (modules.py
+    scan_layers), so a 2-D-only filter would silently skip every Whisper
+    attention projection and adapt only the Qformer.
+    """
     pattern = re.compile(cfg.targets)
     out: Dict[str, Dict[str, jax.Array]] = {}
     for path, leaf in _paths(params):
-        if pattern.match(path) and getattr(leaf, "ndim", 0) == 2:
+        ndim = getattr(leaf, "ndim", 0)
+        if pattern.match(path) and ndim in (2, 3):
             rng, sub = jax.random.split(rng)
-            fan_in, fan_out = leaf.shape
+            *lead, fan_in, fan_out = leaf.shape
             out[path] = {
-                "a": jax.random.normal(sub, (fan_in, cfg.rank), jnp.float32)
+                "a": jax.random.normal(
+                    sub, (*lead, fan_in, cfg.rank), jnp.float32
+                )
                 * (1.0 / fan_in**0.5),
-                "b": jnp.zeros((cfg.rank, fan_out), jnp.float32),
+                "b": jnp.zeros((*lead, cfg.rank, fan_out), jnp.float32),
             }
     return out
 
@@ -69,7 +78,8 @@ def merge_lora(
         path = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
         if path in lora:
             ab = lora[path]
-            delta = (ab["a"] @ ab["b"]) * cfg.scale
+            # @ batches over leading (layer) dims for scan-stacked kernels
+            delta = jnp.matmul(ab["a"], ab["b"]) * cfg.scale
             merged.append(leaf + delta.astype(leaf.dtype))
         else:
             merged.append(leaf)

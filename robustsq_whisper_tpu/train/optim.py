@@ -60,8 +60,12 @@ def make_optimizer(
         ),
     )
     if trainable_mask is not None:
+        # optax.masked passes NON-masked leaves through UNCHANGED (raw grads,
+        # not zeros) — frozen params must be explicitly zeroed or they get a
+        # raw-gradient update at effective lr 1.0.
+        frozen_mask = jax.tree_util.tree_map(lambda m: not m, trainable_mask)
         tx = optax.chain(
             optax.masked(tx, trainable_mask),
-            # hard-zero the frozen grads so set_to_zero semantics hold
+            optax.masked(optax.set_to_zero(), frozen_mask),
         )
     return tx
