@@ -89,6 +89,33 @@ def subset_scp(mapping: Dict[str, str], n: int, first: bool = True) -> Dict[str,
     return {k: mapping[k] for k in keys}
 
 
+def shuffle_list(items: Iterable[str], seed: int = 777) -> List[str]:
+    """utils/shuffle_list.pl: seeded deterministic shuffle."""
+    out = list(items)
+    np.random.default_rng(seed).shuffle(out)
+    return out
+
+
+def apply_map(mapping: Dict[str, str], table: Dict[str, str]) -> Dict[str, str]:
+    """utils/apply_map.pl: replace each value token through a lookup table."""
+    out = {}
+    for k, v in mapping.items():
+        out[k] = " ".join(table.get(tok, tok) for tok in v.split())
+    return out
+
+
+def write_utt2dur(data_dir: str, sample_rate: int = 16000) -> int:
+    """utils/data/get_utt2dur.sh: durations from the audio headers
+    (replacing the soxi/ffmpeg probes)."""
+    wav = read_scp(os.path.join(data_dir, "wav.scp"))
+    dur = {
+        u: f"{get_num_samples(p.split()[0]) / sample_rate:.3f}"
+        for u, p in wav.items()
+    }
+    write_scp(os.path.join(data_dir, "utt2dur"), dur)
+    return len(dur)
+
+
 # ---------------- data dirs ----------------
 
 _ALL_UTT_FILES = (

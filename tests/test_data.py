@@ -346,3 +346,28 @@ class TestNativeLoader:
             f.write(b"not a wav at all")
         with pytest.raises(IOError):
             native_loader.load_batch([bad], 100)
+
+
+class TestSmallUtils:
+    def test_shuffle_list_deterministic(self):
+        a = kaldi_io.shuffle_list(["a", "b", "c", "d"], seed=1)
+        b = kaldi_io.shuffle_list(["a", "b", "c", "d"], seed=1)
+        assert a == b and sorted(a) == ["a", "b", "c", "d"]
+        assert kaldi_io.shuffle_list(["a", "b", "c", "d"], seed=2) != a or True
+
+    def test_apply_map(self):
+        out = kaldi_io.apply_map(
+            {"u1": "hello world", "u2": "foo"},
+            {"hello": "HI", "foo": "BAR"},
+        )
+        assert out == {"u1": "HI world", "u2": "BAR"}
+
+    def test_write_utt2dur(self, tmp_path):
+        d = str(tmp_path / "dd")
+        os.makedirs(d)
+        p = os.path.join(d, "a.wav")
+        kaldi_io.write_wav(p, np.zeros(8000, np.float32), 16000)
+        kaldi_io.write_scp(os.path.join(d, "wav.scp"), {"a": p})
+        n = kaldi_io.write_utt2dur(d)
+        assert n == 1
+        assert kaldi_io.read_scp(os.path.join(d, "utt2dur"))["a"] == "0.500"
