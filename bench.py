@@ -10,7 +10,9 @@ driver-set 50x real-time target.
 Prints ONE JSON line to stdout; all logging goes to stderr.
 
 Env knobs: BENCH_MODEL (tiny|base|small|medium, default medium),
-BENCH_BATCH (default 8), BENCH_NEW_TOKENS (default 128), BENCH_ITERS.
+BENCH_BATCH (default 32), BENCH_NEW_TOKENS (default 128), BENCH_ITERS
+(default 3), BENCH_FLASH (Pallas encoder attention, default 1),
+BENCH_INT8_KV (fused int8 cross-attention decode kernel, default 1).
 """
 
 from __future__ import annotations

@@ -29,6 +29,11 @@ def main(argv=None):
     parser.add_argument("--tokenizer_assets", default=None)
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--language", default="en")
+    parser.add_argument(
+        "--use_flash", type=lambda s: s.lower() != "false", default=True,
+        help="Pallas flash kernel for encoder self-attn (forward-only; "
+        "pass false to decode on the XLA path, e.g. for numerics debugging)",
+    )
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -65,10 +70,11 @@ def main(argv=None):
 
     dims = exp.resolved_dims()
     # inference is forward-only: the Pallas flash kernel is safe and ~1.5x
-    # faster on the long encoder self-attention
-    exp = dataclasses.replace(
-        exp, ts=dataclasses.replace(exp.ts, use_flash_attention=True)
-    )
+    # faster on the long encoder self-attention (disable via --use_flash false)
+    if args.use_flash:
+        exp = dataclasses.replace(
+            exp, ts=dataclasses.replace(exp.ts, use_flash_attention=True)
+        )
     dtype = jnp.bfloat16 if exp.compute_dtype == "bfloat16" else jnp.float32
     tokenizer = load_tokenizer(args.tokenizer_assets)
     st = special_tokens(multilingual=True)

@@ -23,16 +23,21 @@ NEG_MASK_VALUE = -10000.0
 
 
 def parse_speaker(utt_id: str, style: str = "libri2mix") -> str:
+    # Augmentation stages prefix ids (add_wham_noise emits noisy_<id>, copies
+    # may add aug_/rvb_, possibly chained); strip them all BEFORE any
+    # positional parse or the wrong field is selected for every style.
+    stripped = True
+    while stripped:
+        stripped = False
+        for prefix in ("noisy_", "aug_", "rvb_"):
+            if utt_id.startswith(prefix):
+                utt_id = utt_id[len(prefix):]
+                stripped = True
     if style == "wsj2mix":
         return utt_id.split("_")[-1][:3]
     if style == "ami":
         return utt_id.split("_")[3]
-    # libri2mix: trailing spk{1,2} selects which field holds the target spk.
-    # Augmentation stages prefix ids (add_wham_noise emits noisy_<id>); strip
-    # known prefixes or the positional parse selects the wrong field.
-    for prefix in ("noisy_", "aug_", "rvb_"):
-        if utt_id.startswith(prefix):
-            utt_id = utt_id[len(prefix):]
+    # libri2mix: trailing spk{1,2} selects which field holds the target spk
     idx = int(utt_id[-1]) - 1
     return utt_id.split("_")[idx].split("-")[0]
 

@@ -104,14 +104,14 @@ def apply_map(mapping: Dict[str, str], table: Dict[str, str]) -> Dict[str, str]:
     return out
 
 
-def write_utt2dur(data_dir: str, sample_rate: int = 16000) -> int:
-    """utils/data/get_utt2dur.sh: durations from the audio headers
-    (replacing the soxi/ffmpeg probes)."""
+def write_utt2dur(data_dir: str) -> int:
+    """utils/data/get_utt2dur.sh equivalent: per-utterance durations, using
+    each file's OWN sample rate (replacing the soxi/ffmpeg probes)."""
     wav = read_scp(os.path.join(data_dir, "wav.scp"))
-    dur = {
-        u: f"{get_num_samples(p.split()[0]) / sample_rate:.3f}"
-        for u, p in wav.items()
-    }
+    dur = {}
+    for u, p in wav.items():
+        audio, sr = read_wav(p.split()[0])
+        dur[u] = f"{audio.shape[0] / sr:.3f}"
     write_scp(os.path.join(data_dir, "utt2dur"), dur)
     return len(dur)
 

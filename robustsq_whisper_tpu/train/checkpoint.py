@@ -38,9 +38,15 @@ def save_checkpoint(
     with ocp.CheckpointManager(
         ckpt_dir, options=ocp.CheckpointManagerOptions(max_to_keep=keep)
     ) as mgr:
-        if overwrite and step in mgr.all_steps():
-            # orbax refuses duplicate steps (and force= only bypasses
-            # save_on_steps, it does NOT overwrite) — drop the old one
+        if step in mgr.all_steps():
+            if not overwrite:
+                # depending on orbax version a duplicate-step save either
+                # raises StepAlreadyExists or is SILENTLY dropped (stale
+                # metadata) — surface it instead
+                raise ValueError(
+                    f"checkpoint step {step} already exists in {ckpt_dir}; "
+                    "pass overwrite=True to replace it"
+                )
             mgr.delete(step)
         mgr.save(
             step,

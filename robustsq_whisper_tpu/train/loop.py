@@ -70,7 +70,6 @@ def run_training(
     running: Dict[str, float] = {}
     n_running = 0
     t_last = time.time()
-    last_saved_step = -1
 
     for epoch in range(start_epoch, lcfg.num_epochs):
         for batch in dataset.batches(lcfg.batch_size, shuffle=True):
@@ -107,15 +106,13 @@ def run_training(
                 save_checkpoint(
                     lcfg.ckpt_dir, step, state, epoch, rng, lcfg.keep_ckpts
                 )
-                last_saved_step = step
 
         if lcfg.ckpt_dir:
-            # the mid-loop save may have landed on this exact step; orbax
-            # rejects duplicate steps, so overwrite with the epoch-end
-            # metadata (epoch+1 => resume starts the next epoch)
+            # a mid-loop save (this run or a previous one) may have landed on
+            # this exact step; always replace it with the epoch-end metadata
+            # (epoch+1 => resume starts the next epoch)
             save_checkpoint(
                 lcfg.ckpt_dir, int(state.step), state, epoch + 1, rng,
-                lcfg.keep_ckpts,
-                overwrite=int(state.step) == last_saved_step,
+                lcfg.keep_ckpts, overwrite=True,
             )
     return state

@@ -353,7 +353,7 @@ class TestSmallUtils:
         a = kaldi_io.shuffle_list(["a", "b", "c", "d"], seed=1)
         b = kaldi_io.shuffle_list(["a", "b", "c", "d"], seed=1)
         assert a == b and sorted(a) == ["a", "b", "c", "d"]
-        assert kaldi_io.shuffle_list(["a", "b", "c", "d"], seed=2) != a or True
+        assert kaldi_io.shuffle_list(list("abcdefgh") * 2, seed=2) != kaldi_io.shuffle_list(list("abcdefgh") * 2, seed=3)
 
     def test_apply_map(self):
         out = kaldi_io.apply_map(

@@ -38,9 +38,6 @@ def torch_oracle(params, cfg, memory, memory_lens, enroll, enroll_lens):
     def dense(p, x):
         return x @ t(p["kernel"]) + t(p["bias"])
 
-    def dense_nb(p, x):  # with-bias Dense in flax always has bias here
-        return dense(p, x)
-
     def ln(p, x, eps=1e-12):
         mu = x.mean(-1, keepdim=True)
         var = x.var(-1, unbiased=False, keepdim=True)
@@ -80,10 +77,7 @@ def torch_oracle(params, cfg, memory, memory_lens, enroll, enroll_lens):
         idx = torch.arange(n)
         m = torch.zeros(b, n)
         for i in range(b):
-            valid = (idx < (lead_valid + int(lens[i]))) if lead_valid == 0 else (
-                (idx < lead_valid) | (idx < lead_valid + int(lens[i]))
-            )
-            # queries always valid; enroll tail masked
+            # queries (first lead_valid slots) always valid; tail masked
             m[i] = torch.where(
                 (idx < lead_valid) | (idx - lead_valid < int(lens[i])),
                 torch.zeros(n), torch.full((n,), -10000.0),
