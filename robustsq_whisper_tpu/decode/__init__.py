@@ -1,0 +1,8 @@
+from .pipeline import DecodeResult, decode_dataset
+from .scorer import cer, edit_distance, wer
+from .search import (
+    DecodeConfig,
+    build_beam_decoder,
+    build_greedy_decoder,
+    strip_eot,
+)

@@ -1,0 +1,1 @@
+from .attention import causal_mask, dot_product_attention, padding_mask

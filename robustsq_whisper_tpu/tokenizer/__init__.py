@@ -1,0 +1,7 @@
+from .whisper_tokenizer import (
+    BPETokenizer,
+    ByteTokenizer,
+    SpecialTokens,
+    load_tokenizer,
+    special_tokens,
+)

@@ -1,0 +1,14 @@
+from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from .loop import LoopConfig, run_training
+from .lora import LoraConfig, fold_lora, init_lora, merge_lora
+from .optim import OptimConfig, make_optimizer, make_schedule
+from .step import (
+    FROZEN_BACKBONE_TRAINABLE,
+    TrainConfig,
+    TrainState,
+    create_train_state,
+    make_train_step,
+    place_batch,
+    place_train_state,
+    trainable_mask,
+)
