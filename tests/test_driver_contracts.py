@@ -1,0 +1,59 @@
+"""Driver-contract tests: bench.py emits its JSON line and __graft_entry__'s
+hooks run — in subprocesses so backend-config mutation can't leak into the
+suite. Kept tiny (dev/tiny configs on CPU) but end-to-end."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(code: str, env_extra=None, timeout=420):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.update(env_extra or {})
+    return subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout,
+    )
+
+
+@pytest.mark.slow
+def test_bench_emits_json_line():
+    r = _run(
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import bench; bench.main()",
+        env_extra={
+            "BENCH_MODEL": "dev",
+            "BENCH_BATCH": "2",
+            "BENCH_NEW_TOKENS": "2",
+            "BENCH_ITERS": "1",
+            "BENCH_FLASH": "0",
+        },
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = r.stdout.strip().splitlines()[-1]
+    payload = json.loads(line)
+    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    assert payload["unit"] == "audio-sec/chip-sec"
+    assert payload["value"] > 0
+
+
+@pytest.mark.slow
+def test_graft_entry_and_dryrun():
+    r = _run(
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import __graft_entry__ as g;"
+        "fn, args = g.entry();"
+        "out = jax.jit(fn)(*args);"
+        "print('ENTRY_OK', float(out));"
+        "g.dryrun_multichip(8)",
+        env_extra={"XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ENTRY_OK" in r.stdout
+    assert "dryrun_multichip ok" in r.stdout
