@@ -237,3 +237,22 @@ def test_beam_matches_exhaustive_search():
 
     assert beam_seq == best_seq, (beam_seq, best_seq, beam_score, best_score)
     np.testing.assert_allclose(beam_score, best_score, rtol=1e-4, atol=1e-4)
+
+
+def test_bpe_tokenizer_from_ranks():
+    """The tiktoken-backed BPE path with offline-constructed byte-level
+    ranks: lossless round-trip and eot-stripping decode."""
+    import tiktoken
+
+    from robustsq_whisper_tpu.tokenizer.whisper_tokenizer import BPETokenizer
+
+    ranks = {bytes([i]): i for i in range(256)}
+    ranks[b"he"] = 256
+    ranks[b"ll"] = 257
+    ranks[b"hell"] = 258
+    tok = BPETokenizer(ranks)
+    ids = tok.encode("hello hello")
+    assert tok.decode(ids) == "hello hello"
+    assert 258 in ids  # the merge actually applies
+    assert tok.decode(ids + [tok.special.eot]) == "hello hello"
+    assert tok.special.startofprev == 50361

@@ -200,3 +200,29 @@ def test_remat_matches_no_remat(model_and_params):
         ),
         g0, g1,
     )
+
+
+@pytest.mark.slow
+def test_run_training_on_mesh(tmp_path):
+    """The epoch loop drives the jitted step over a DP x TP mesh (the
+    multi-host-shaped path of cli.train --n_model)."""
+    from robustsq_whisper_tpu.train.loop import LoopConfig, run_training
+
+    model = _model()
+    batch = _batch(8)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, batch, rng, 0, train=False)
+
+    class OneBatch:
+        def batches(self, batch_size, shuffle=True, drop_last=True):
+            yield dict(batch)
+
+    mesh = make_mesh(4, 2)
+    state = run_training(
+        model, OneBatch(), variables,
+        TrainConfig(optim=OptimConfig(lr=1e-3, schedule="constant")),
+        LoopConfig(num_epochs=2, batch_size=8, log_every=1,
+                   ckpt_dir=str(tmp_path / "ck")),
+        mesh=mesh, rng=rng,
+    )
+    assert int(state.step) == 2
