@@ -11,7 +11,7 @@ via broadcasted comparisons — no dynamic shapes, no host round-trips.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

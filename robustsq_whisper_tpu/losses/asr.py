@@ -18,7 +18,7 @@ DataParallel at :203 — unnecessary and shape-unstable under XLA).
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ is available (zero-egress safe: loader is offline, gated on the path).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np
 
-from .config import WhisperDims, whisper_dims
+from .config import WhisperDims
 
 
 def _np(x: Any) -> np.ndarray:

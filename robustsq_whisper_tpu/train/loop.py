@@ -13,10 +13,9 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
-from typing import Any, Callable, Dict, Iterable, Optional
+from typing import Any, Callable, Dict, Optional
 
 import jax
-import numpy as np
 
 from ..parallel.mesh import Mesh
 from .checkpoint import latest_step, restore_checkpoint, save_checkpoint

@@ -9,7 +9,7 @@ clipping, and an optional trainable-mask for LoRA / frozen-backbone modes.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import optax

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import re
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,6 @@ import optax
 from flax import struct
 
 from ..parallel.mesh import (
-    DATA_AXIS,
     Mesh,
     batch_shardings,
     params_shardings,

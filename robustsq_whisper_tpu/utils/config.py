@@ -13,15 +13,12 @@ must not silently train the wrong model.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
-from ..audio.specaug import SpecAugConfig
 from ..decode.search import DecodeConfig
 from ..models.ts_encoder import TSEncoderConfig
 from ..models.ts_model import TSModelConfig
 from ..models.whisper.config import WhisperDims, whisper_dims
-from ..train.lora import LoraConfig
-from ..train.optim import OptimConfig
 from ..train.step import TrainConfig
 
 

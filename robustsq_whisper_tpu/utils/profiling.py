@@ -16,7 +16,7 @@ import contextlib
 import logging
 import os
 import time
-from typing import Any, Callable, Dict, Iterator, Optional
+from typing import Callable, Dict, Iterator, Optional
 
 import jax
 
