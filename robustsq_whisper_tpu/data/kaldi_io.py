@@ -329,6 +329,89 @@ def librimix_to_kaldi(metadata_csv: str, out_dir: str) -> int:
     return len(wav)
 
 
+def remove_dup_utts(data_dir: str, max_count: int = 10) -> int:
+    """utils/data/remove_dup_utts.sh: keep at most ``max_count`` utterances
+    per distinct transcript (combats mass-repeated prompts). Returns kept."""
+    text_p = os.path.join(data_dir, "text")
+    if not os.path.exists(text_p):
+        return fix_data_dir(data_dir)
+    text = read_scp(text_p)
+    counts: Dict[str, int] = {}
+    keep = {}
+    for utt in sorted(text):
+        t = text[utt]
+        counts[t] = counts.get(t, 0) + 1
+        if counts[t] <= max_count:
+            keep[utt] = t
+    write_scp(text_p, keep)
+    return fix_data_dir(data_dir)
+
+
+def resample_data_dir(
+    data_dir: str, out_dir: str, target_rate: int = 16000
+) -> int:
+    """utils/data/resample_data_dir.sh equivalent: rewrite every wav at the
+    target rate (polyphase resampling via scipy) into ``out_dir/wavs`` and
+    emit the updated dir. The reference shells out to sox; here it is
+    in-process."""
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    wav = read_scp(os.path.join(data_dir, "wav.scp"))
+    copy_data_dir(data_dir, out_dir)
+    os.makedirs(os.path.join(out_dir, "wavs"), exist_ok=True)
+    new_wav = {}
+    for utt, p in wav.items():
+        audio, sr = read_wav(p.split()[0])
+        if sr != target_rate:
+            g = gcd(sr, target_rate)
+            audio = resample_poly(audio, target_rate // g, sr // g).astype(
+                np.float32
+            )
+        out_p = os.path.join(out_dir, "wavs", f"{utt}.wav")
+        write_wav(out_p, audio, target_rate)
+        new_wav[utt] = out_p
+    write_scp(os.path.join(out_dir, "wav.scp"), new_wav)
+    return len(new_wav)
+
+
+def get_segments_for_data(data_dir: str) -> int:
+    """utils/data/get_segments_for_data.sh: emit a whole-recording
+    ``segments`` file (utt = recording, 0 .. duration)."""
+    wav = read_scp(os.path.join(data_dir, "wav.scp"))
+    segs = {}
+    for utt, p in wav.items():
+        audio, sr = read_wav(p.split()[0])
+        segs[utt] = f"{utt} 0.000 {audio.shape[0] / sr:.3f}"
+    write_scp(os.path.join(data_dir, "segments"), segs)
+    return len(segs)
+
+
+def create_data_links(
+    file_paths: Sequence[str], storage_dirs: Sequence[str]
+) -> List[str]:
+    """utils/create_data_link.pl: distribute target files across storage
+    roots and plant symlinks at the original paths (cross-filesystem data
+    spreading). Returns the real storage paths."""
+    out = []
+    for i, path in enumerate(file_paths):
+        path = os.path.abspath(path)
+        storage = os.path.abspath(storage_dirs[i % len(storage_dirs)])
+        os.makedirs(storage, exist_ok=True)
+        real = os.path.join(storage, os.path.basename(path))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        if os.path.islink(path):
+            os.unlink(path)
+        elif os.path.exists(path):
+            os.replace(path, real)
+        if not os.path.exists(real):
+            open(real, "wb").close()  # placeholder target
+        os.symlink(real, path)
+        out.append(real)
+    return out
+
+
 # ---------------- enrollment ----------------
 
 

@@ -371,3 +371,63 @@ class TestSmallUtils:
         n = kaldi_io.write_utt2dur(d)
         assert n == 1
         assert kaldi_io.read_scp(os.path.join(d, "utt2dur"))["a"] == "0.500"
+
+
+class TestRemainingKaldiTools:
+    def test_remove_dup_utts(self, tmp_path):
+        d = str(tmp_path / "dup")
+        os.makedirs(d)
+        kaldi_io.write_scp(
+            os.path.join(d, "wav.scp"), {f"u{i}": f"/w/u{i}.wav" for i in range(6)}
+        )
+        kaldi_io.write_scp(
+            os.path.join(d, "utt2spk"), {f"u{i}": "s" for i in range(6)}
+        )
+        kaldi_io.write_scp(
+            os.path.join(d, "text"),
+            {f"u{i}": ("same line" if i < 5 else "unique") for i in range(6)},
+        )
+        kept = kaldi_io.remove_dup_utts(d, max_count=2)
+        assert kept == 3  # 2 copies of "same line" + 1 "unique"
+        assert kaldi_io.validate_data_dir(d) == []
+
+    def test_resample_data_dir(self, tmp_path):
+        d = str(tmp_path / "src8k")
+        os.makedirs(d)
+        t = np.arange(8000) / 8000.0
+        audio = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        p = os.path.join(d, "a.wav")
+        kaldi_io.write_wav(p, audio, 8000)
+        kaldi_io.write_scp(os.path.join(d, "wav.scp"), {"a": p})
+        kaldi_io.write_scp(os.path.join(d, "utt2spk"), {"a": "s"})
+        out = str(tmp_path / "out16k")
+        n = kaldi_io.resample_data_dir(d, out, 16000)
+        assert n == 1
+        res, sr = kaldi_io.read_wav(
+            kaldi_io.read_scp(os.path.join(out, "wav.scp"))["a"]
+        )
+        assert sr == 16000 and len(res) == 16000
+        # the 440 Hz tone survives resampling (compare mid-section)
+        t2 = np.arange(16000) / 16000.0
+        ref = (0.4 * np.sin(2 * np.pi * 440 * t2)).astype(np.float32)
+        np.testing.assert_allclose(res[2000:14000], ref[2000:14000], atol=0.02)
+
+    def test_get_segments_for_data(self, tmp_path):
+        d = str(tmp_path / "seg")
+        os.makedirs(d)
+        p = os.path.join(d, "a.wav")
+        kaldi_io.write_wav(p, np.zeros(4000, np.float32), 16000)
+        kaldi_io.write_scp(os.path.join(d, "wav.scp"), {"a": p})
+        n = kaldi_io.get_segments_for_data(d)
+        assert n == 1
+        assert kaldi_io.read_scp(os.path.join(d, "segments"))["a"] == "a 0.000 0.250"
+
+    def test_create_data_links(self, tmp_path):
+        store1 = str(tmp_path / "disk1")
+        store2 = str(tmp_path / "disk2")
+        targets = [str(tmp_path / "exp" / f"f{i}.ark") for i in range(3)]
+        real = kaldi_io.create_data_links(targets, [store1, store2])
+        for t, r in zip(targets, real):
+            assert os.path.islink(t)
+            assert os.path.realpath(t) == os.path.realpath(r)
+        assert real[0].startswith(store1) and real[1].startswith(store2)
