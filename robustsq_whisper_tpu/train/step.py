@@ -9,8 +9,11 @@ equivalent of DataParallel + NCCL (reference run_tswhisper.sh:14-15,
 force_gatherable at ts_qformer_espnet_model.py:656).
 
 Supports three fine-tuning modes (the reference's three absent yaml configs,
-README.md:53-56): ``full``, ``lora`` (rank-16 q/k/v/o adapters; base frozen),
-``frozen_backbone`` (only Qformer/heads/adapters train).
+README.md:53-56): ``full``, ``lora`` (rank-16 q/k/v/o adapters on the Whisper
+backbone **plus** full training of the newly-initialized TS modules — qformer,
+query_tokens, prompt_proj, CTC, ASP, AAM, adapters — which have no pretrained
+weights and would otherwise stay frozen at random init), ``frozen_backbone``
+(only the TS modules train).
 """
 
 from __future__ import annotations
@@ -46,7 +49,12 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
     def trainables(self, mode: str) -> Any:
-        return self.lora if mode == "lora" else self.params
+        # lora mode optimizes the adapter factors AND the params tree (the
+        # optimizer mask restricts param updates to the TS modules) — the
+        # Whisper backbone trains only through the LoRA factors.
+        if mode == "lora":
+            return {"lora": self.lora, "params": self.params}
+        return self.params
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,6 +62,11 @@ class TrainConfig:
     mode: str = "full"  # full | lora | frozen_backbone
     optim: OptimConfig = OptimConfig()
     lora: LoraConfig = LoraConfig()
+    # ESPnet ``accum_grad``: average grads over k micro-batches before one
+    # optimizer update — how the reference's 4-GPU effective batch is
+    # reproduced on fewer chips (SURVEY.md §3.1). state.step counts
+    # micro-steps; the optimizer applies every k-th.
+    accum_grad: int = 1
 
 
 def trainable_mask(params: Any, pattern: str) -> Any:
@@ -81,17 +94,29 @@ def create_train_state(
         params, buffers = variables, {}
     if cfg.mode == "lora":
         lora = init_lora(rng, params, cfg.lora)
-        tx = make_optimizer(cfg.optim)
-        opt_state = tx.init(lora)
+        # The TS modules (qformer, heads, adapters) are newly initialized —
+        # they must train fully alongside the backbone LoRA factors or the
+        # speaker-prompt path stays frozen at random init and the model
+        # cannot learn the task (matches the reference lora_qkvo_r16 config
+        # semantics, /root/reference/README.md:55).
+        mask = {
+            "lora": jax.tree_util.tree_map(lambda _: True, lora),
+            "params": trainable_mask(params, FROZEN_BACKBONE_TRAINABLE),
+        }
+        tx = make_optimizer(cfg.optim, trainable_mask=mask)
+        trainables_init = {"lora": lora, "params": params}
     elif cfg.mode == "frozen_backbone":
         lora = {}
         mask = trainable_mask(params, FROZEN_BACKBONE_TRAINABLE)
         tx = make_optimizer(cfg.optim, trainable_mask=mask)
-        opt_state = tx.init(params)
+        trainables_init = params
     else:
         lora = {}
         tx = make_optimizer(cfg.optim)
-        opt_state = tx.init(params)
+        trainables_init = params
+    if cfg.accum_grad > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_grad)
+    opt_state = tx.init(trainables_init)
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=params, buffers=buffers,
         lora=lora, opt_state=opt_state,
@@ -111,7 +136,9 @@ def make_train_step(
 
     def loss_fn(trainables, state, batch, rng, epoch):
         if cfg.mode == "lora":
-            params = merge_lora(state.params, trainables, cfg.lora)
+            params = merge_lora(
+                trainables["params"], trainables["lora"], cfg.lora
+            )
         else:
             params = trainables
         loss, stats = model.apply(
@@ -130,7 +157,10 @@ def make_train_step(
         stats["grad_norm"] = optax.global_norm(grads)
         if cfg.mode == "lora":
             state = state.replace(
-                step=state.step + 1, lora=new_trainables, opt_state=new_opt
+                step=state.step + 1,
+                lora=new_trainables["lora"],
+                params=new_trainables["params"],
+                opt_state=new_opt,
             )
         else:
             state = state.replace(

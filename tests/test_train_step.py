@@ -44,8 +44,8 @@ def _model():
     return TSASRModel(DIMS, TS, CFG)
 
 
-def _batch(b=4):
-    rng = np.random.default_rng(0)
+def _batch(b=4, seed=0):
+    rng = np.random.default_rng(seed)
     samples = DIMS.n_audio_ctx * 2 * 160
     neg = np.where(np.eye(b) > 0, -10000.0, 1.0).astype(np.float32)
     return {
@@ -86,7 +86,21 @@ def test_full_train_step_descends(model_and_params):
     assert losses[-1] < losses[0], losses
 
 
-def test_lora_mode_trains_only_adapters(model_and_params):
+def _flat_paths(tree):
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return {
+        "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp): leaf
+        for kp, leaf in flat
+    }
+
+
+def test_lora_mode_trains_adapters_and_ts_modules(model_and_params):
+    """LoRA mode must train the LoRA factors AND the newly-initialized TS
+    modules (qformer/heads/adapters) — the backbone only via LoRA. A LoRA
+    run that freezes the TS modules at random init cannot learn the task
+    (round-1 verdict bug)."""
+    import re
+
     model, params, batch = model_and_params
     rng = jax.random.PRNGKey(2)
     tcfg = TrainConfig(
@@ -100,22 +114,93 @@ def test_lora_mode_trains_only_adapters(model_and_params):
     for path in state.lora:
         assert path.endswith("/kernel")
     step = make_train_step(model, tx, tcfg, donate=False)
-    old_params = jax.device_get(state.params)
-    state, stats = step(state, batch, rng, 0)
-    assert np.isfinite(float(stats["loss"]))
-    # base params untouched
+    old_params = _flat_paths(jax.device_get(state.params))
+    losses = []
+    for i in range(4):
+        state, stats = step(state, batch, jax.random.fold_in(rng, i), 0)
+        losses.append(float(stats["loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0], losses
+    # backbone params untouched; TS-module params moved
+    ts_regex = re.compile(FROZEN_BACKBONE_TRAINABLE)
+    new_params = _flat_paths(jax.device_get(state.params))
+    ts_moved, backbone_checked = 0, 0
+    for path, old in old_params.items():
+        new = new_params[path]
+        if ts_regex.match(path):
+            if not np.array_equal(np.asarray(old), np.asarray(new)):
+                ts_moved += 1
+        else:
+            backbone_checked += 1
+            np.testing.assert_array_equal(
+                np.asarray(old), np.asarray(new), err_msg=path
+            )
+    assert ts_moved > 0, "TS modules (qformer/heads) did not train under lora"
+    assert backbone_checked > 0
+    # qformer and loss heads specifically must move
+    for want in ("qformer", "asp", "aam", "ctc"):
+        assert any(
+            want in p
+            and not np.array_equal(
+                np.asarray(old_params[p]), np.asarray(new_params[p])
+            )
+            for p in old_params
+            if want in p
+        ), f"no {want} param moved under mode=lora"
+    # lora B updated away from zero somewhere
+    assert any(float(jnp.abs(v["b"]).max()) > 0 for v in state.lora.values())
+
+
+def test_accum_grad_matches_manual_average(model_and_params):
+    """k micro-steps with accum_grad=k apply exactly the update from the
+    mean of the k micro-grads (ESPnet accum_grad semantics)."""
+    model, params, _ = model_and_params
+    rng = jax.random.PRNGKey(4)
+    micro = [_batch(4, seed=10), _batch(4, seed=11)]
+    # large adam eps: on near-cancelling grads (g1 ~ -g2) the incremental
+    # mean's ~1e-10 rounding noise is amplified by lr/(sqrt(nu)+eps); with
+    # eps=1e-4 that noise stays ~1e-9 so tight tolerances remain meaningful
+    ocfg = OptimConfig(lr=1e-3, schedule="constant", eps=1e-4)
+    tcfg = TrainConfig(optim=ocfg, accum_grad=2)
+    state, tx = create_train_state(rng, params, tcfg)
+    step = make_train_step(model, tx, tcfg, donate=False)
+    p0 = state.params
+
+    rngs = [jax.random.fold_in(rng, i) for i in range(2)]
+    # accumulated path: no update after micro-step 1, update after 2
+    s1, _ = step(state, micro[0], rngs[0], 0)
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
-        old_params,
-        jax.device_get(state.params),
+        p0, s1.params,
     )
-    # lora B updated away from zero somewhere
-    moved = any(
-        float(jnp.abs(ab["b"]).max()) > 0 for ab in jax.tree_util.tree_leaves(
-            {k: v for k, v in state.lora.items()}
-        ) if False
-    ) or any(float(jnp.abs(v["b"]).max()) > 0 for v in state.lora.values())
-    assert moved
+    s2, _ = step(s1, micro[1], rngs[1], 0)
+
+    # manual path: mean of the two micro-grads through the bare optimizer
+    def loss_fn(p, batch, r):
+        loss, _ = model.apply(
+            {"params": p, **{k: v for k, v in params.items() if k != "params"}},
+            batch, r, 0, train=True,
+        )
+        return loss
+
+    base = params["params"] if "params" in params else params
+    g = [jax.grad(loss_fn)(base, micro[i], rngs[i]) for i in range(2)]
+    gavg = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, *g)
+    from robustsq_whisper_tpu.train.optim import make_optimizer
+
+    bare = make_optimizer(ocfg)
+    upd, _ = bare.update(gavg, bare.init(base), base)
+    import optax
+
+    expected = optax.apply_updates(base, upd)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            # a wrong impl (per-micro updates, no averaging) is off by
+            # ~lr=1e-3 per element, far outside this tolerance
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        expected, s2.params,
+    )
 
 
 def test_lora_merge_is_identity_at_init(model_and_params):
