@@ -34,6 +34,12 @@ def main(argv=None):
         help="Pallas flash kernel for encoder self-attn (forward-only; "
         "pass false to decode on the XLA path, e.g. for numerics debugging)",
     )
+    parser.add_argument(
+        "--use_ave", type=lambda s: s.lower() != "false", default=True,
+        help="decode from the averaged n-best checkpoint when present "
+        "(the reference stage 12 decodes valid.acc.ave); pass false for "
+        "the latest raw checkpoint",
+    )
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -97,7 +103,13 @@ def main(argv=None):
     model, variables = build_model_and_variables(exp, rng, dev_batch=first)
 
     if args.expdir:
+        from ..train.eval import AVE_SUBDIR
+
         ckpt_dir = f"{args.expdir}/checkpoints"
+        ave_dir = f"{ckpt_dir}/{AVE_SUBDIR}"
+        if args.use_ave and latest_step(ave_dir) is not None:
+            ckpt_dir = ave_dir
+            logging.info("using averaged n-best checkpoint %s", ave_dir)
         if latest_step(ckpt_dir) is not None:
             state_t, _ = create_train_state(rng, variables, exp.train)
             state, epoch, _ = restore_checkpoint(ckpt_dir, state_t)

@@ -47,6 +47,14 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config", required=True)
     parser.add_argument("--train_dir", required=True)
+    parser.add_argument("--valid_dir", default=None,
+                        help="validation data dir; enables the per-epoch "
+                        "eval pass, n-best tracking and the averaged 'ave' "
+                        "checkpoint (ESPnet --valid_set semantics)")
+    parser.add_argument("--nbest", type=int, default=5,
+                        help="checkpoints kept+averaged by valid acc")
+    parser.add_argument("--patience", type=int, default=0,
+                        help="early-stop epochs without a new best (0=off)")
     parser.add_argument("--expdir", required=True)
     parser.add_argument("--pretrained", default=None,
                         help="OpenAI whisper .pt checkpoint to warm-start from")
@@ -91,6 +99,19 @@ def main(argv=None):
     )
     logging.info("dataset: %d utterances", len(dataset))
 
+    valid_dataset = None
+    if args.valid_dir:
+        valid_dataset = KaldiTSDataset(
+            args.valid_dir,
+            tokenizer,
+            speech_seconds=exp.speech_seconds,
+            enroll_seconds=exp.enroll_seconds,
+            utt_style=exp.utt_style,
+            num_speakers=exp.model.num_speakers,
+            seed=args.seed,
+        )
+        logging.info("valid dataset: %d utterances", len(valid_dataset))
+
     rng = jax.random.PRNGKey(args.seed)
     first = next(dataset.batches(exp.batch_size, shuffle=False))
     first.pop("utt_ids", None)
@@ -107,9 +128,12 @@ def main(argv=None):
         num_epochs=exp.num_epochs,
         batch_size=exp.batch_size,
         ckpt_dir=f"{args.expdir}/checkpoints",
+        nbest=args.nbest,
+        patience=args.patience,
     )
     state = run_training(
-        model, dataset, variables, exp.train, lcfg, mesh=mesh, rng=rng
+        model, dataset, variables, exp.train, lcfg, mesh=mesh, rng=rng,
+        valid_dataset=valid_dataset,
     )
     logging.info("training done at step %d", int(state.step))
     return 0

@@ -29,9 +29,11 @@ def save_checkpoint(
     state: Any,
     epoch: int,
     rng: jax.Array,
-    keep: int = 3,
+    keep: Optional[int] = 3,
     overwrite: bool = False,
 ) -> str:
+    """``keep=None`` disables orbax's rolling retention — the caller manages
+    deletion (e.g. prune_checkpoints protecting the n-best steps)."""
     ocp = _ocp()
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -59,6 +61,25 @@ def save_checkpoint(
         )
         mgr.wait_until_finished()
     return os.path.join(ckpt_dir, str(step))
+
+
+def prune_checkpoints(
+    ckpt_dir: str, keep: int, protected: Any = ()
+) -> None:
+    """Delete oldest non-protected checkpoints beyond ``keep`` (n-best steps
+    and the latest step should be passed as ``protected``)."""
+    ocp = _ocp()
+    if not os.path.isdir(ckpt_dir):
+        return
+    protected = set(protected)
+    with ocp.CheckpointManager(os.path.abspath(ckpt_dir)) as mgr:
+        steps = sorted(mgr.all_steps())
+        if steps:
+            protected.add(steps[-1])
+        deletable = [s for s in steps if s not in protected]
+        for s in deletable[: max(0, len(deletable) - keep)]:
+            mgr.delete(s)
+        mgr.wait_until_finished()
 
 
 def latest_step(ckpt_dir: str) -> Optional[int]:

@@ -4,8 +4,11 @@ Drives make_train_step over a KaldiTSDataset: per-epoch shuffling, the
 epoch scalar threaded into the compiled step for the margin/γ warm-ups
 (reference set_epoch, /root/reference/model/ts_qformer_espnet_model.py:
 738-750), metrics aggregation mirroring the reference stats keys
-(:581-653), and Orbax checkpoint/resume carrying (state, epoch, rng)
-(SURVEY.md §5 checkpoint note).
+(:581-653), Orbax checkpoint/resume carrying (state, epoch, rng)
+(SURVEY.md §5 checkpoint note), and — like the external ESPnet trainer the
+reference recipe relies on (--valid_set at run_tswhisper.sh:60-61) — a
+per-epoch validation pass with n-best tracking by ``valid.acc``, optional
+early stop, and an averaged ``ave`` checkpoint for decoding.
 """
 
 from __future__ import annotations
@@ -18,7 +21,13 @@ from typing import Any, Callable, Dict, Optional
 import jax
 
 from ..parallel.mesh import Mesh
-from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from .checkpoint import (
+    latest_step,
+    prune_checkpoints,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from .eval import NBestTracker, evaluate, make_eval_step, write_averaged_checkpoint
 from .step import (
     TrainConfig,
     TrainState,
@@ -39,6 +48,12 @@ class LoopConfig:
     ckpt_every_steps: int = 1000
     ckpt_dir: Optional[str] = None
     keep_ckpts: int = 3
+    # validation / model selection (ESPnet semantics)
+    nbest: int = 5  # checkpoints kept + averaged, ranked by best_metric
+    best_metric: str = "acc"  # key of the valid stats dict
+    best_mode: str = "max"  # max for acc, min for loss
+    patience: int = 0  # epochs without a new best before early stop; 0 = off
+    eval_batch_size: Optional[int] = None  # defaults to batch_size
 
 
 def run_training(
@@ -50,6 +65,7 @@ def run_training(
     mesh: Optional[Mesh] = None,
     rng: Optional[jax.Array] = None,
     metrics_hook: Optional[Callable[[int, Dict[str, float]], None]] = None,
+    valid_dataset: Optional[Any] = None,
 ) -> TrainState:
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     state, tx = create_train_state(rng, init_params, tcfg)
@@ -65,6 +81,22 @@ def run_training(
 
     if mesh is not None:
         state = place_train_state(mesh, state)
+
+    eval_step = tracker = None
+    if valid_dataset is not None:
+        eval_step = make_eval_step(model)
+        if lcfg.ckpt_dir:
+            tracker = NBestTracker(
+                lcfg.ckpt_dir, lcfg.nbest, lcfg.best_metric, lcfg.best_mode
+            )
+    # rolling retention is manual when n-best steps must be protected
+    save_keep = None if tracker is not None else lcfg.keep_ckpts
+
+    def _prune():
+        if tracker is not None:
+            prune_checkpoints(
+                lcfg.ckpt_dir, lcfg.keep_ckpts, protected=tracker.steps()
+            )
 
     running: Dict[str, float] = {}
     n_running = 0
@@ -103,8 +135,9 @@ def run_training(
                 and step % lcfg.ckpt_every_steps == 0
             ):
                 save_checkpoint(
-                    lcfg.ckpt_dir, step, state, epoch, rng, lcfg.keep_ckpts
+                    lcfg.ckpt_dir, step, state, epoch, rng, save_keep
                 )
+                _prune()
 
         if lcfg.ckpt_dir:
             # a mid-loop save (this run or a previous one) may have landed on
@@ -112,6 +145,53 @@ def run_training(
             # (epoch+1 => resume starts the next epoch)
             save_checkpoint(
                 lcfg.ckpt_dir, int(state.step), state, epoch + 1, rng,
-                lcfg.keep_ckpts, overwrite=True,
+                save_keep, overwrite=True,
             )
+
+        if eval_step is not None:
+            # fixed key: the contrastive negatives are sampled even at eval
+            # (the reference's multinomial runs in the valid forward too);
+            # a constant key makes valid metrics comparable across epochs
+            eval_rng = jax.random.PRNGKey(0)
+            vstats = evaluate(
+                eval_step, state, tcfg, valid_dataset,
+                lcfg.eval_batch_size or lcfg.batch_size, epoch, eval_rng,
+                place_batch_fn=(
+                    (lambda b: place_batch(mesh, b)) if mesh is not None else None
+                ),
+            )
+            logger.info(
+                "epoch %d valid %s", epoch,
+                " ".join(f"{k}={v:.4f}" for k, v in sorted(vstats.items())),
+            )
+            if metrics_hook:
+                metrics_hook(
+                    int(state.step),
+                    {**{f"valid.{k}": v for k, v in vstats.items()},
+                     "epoch": epoch},
+                )
+            if tracker is not None and lcfg.best_metric in vstats:
+                is_best = tracker.update(
+                    int(state.step), epoch, vstats[lcfg.best_metric]
+                )
+                if is_best:
+                    logger.info(
+                        "epoch %d new best valid.%s=%.4f",
+                        epoch, lcfg.best_metric, vstats[lcfg.best_metric],
+                    )
+                _prune()
+                since = tracker.epochs_since_best(epoch)
+                if lcfg.patience and since >= lcfg.patience:
+                    logger.info(
+                        "early stop: no valid.%s improvement for %d epochs",
+                        lcfg.best_metric, since,
+                    )
+                    break
+
+    if tracker is not None and tracker.steps():
+        path = write_averaged_checkpoint(lcfg.ckpt_dir, tracker, state)
+        logger.info(
+            "averaged %d-best checkpoint (valid.%s) written to %s",
+            len(tracker.steps()), lcfg.best_metric, path,
+        )
     return state

@@ -70,9 +70,16 @@ fi
 if [ "${stage}" -le 11 ] && [ "${stop_stage}" -ge 11 ]; then
   log "stage 11: TS-ASR training (${asr_config})"
   # shellcheck disable=SC2086
+  # per-epoch validation + n-best averaging when the valid dir exists
+  # (reference asr_my.sh --valid_set, run_tswhisper.sh:60-61)
+  valid_flag=""
+  if [ -n "${valid_set}" ] && [ -d "${dumpdir}/${valid_set}" ]; then
+    valid_flag="--valid_dir ${dumpdir}/${valid_set}"
+  fi
   ${PY} -m robustsq_whisper_tpu.cli.train \
     --config "${asr_config}" \
     --train_dir "${dumpdir}/${train_set}" \
+    ${valid_flag} \
     --expdir "${expdir}" \
     --n_model "${n_model}" \
     ${pretrained:+--pretrained "${pretrained}"} \

@@ -80,8 +80,25 @@ def test_simulate_train_decode(tmp_path):
         num_epochs=2, batch_size=4, log_every=2,
         ckpt_every_steps=0, ckpt_dir=str(tmp_path / "ckpt"),
     )
-    state = run_training(model, dataset, variables, tcfg, lcfg, rng=rng)
+    # valid set enables the per-epoch eval pass, n-best tracking and the
+    # averaged checkpoint (ESPnet --valid_set / valid.acc.ave semantics)
+    state = run_training(
+        model, dataset, variables, tcfg, lcfg, rng=rng, valid_dataset=dataset
+    )
     assert int(state.step) == 2 * (12 // 4) * 1  # 3 batches x 2 epochs
+
+    # n-best registry + averaged checkpoint written
+    import json
+
+    from robustsq_whisper_tpu.train.checkpoint import latest_step
+    from robustsq_whisper_tpu.train.eval import AVE_SUBDIR, NBEST_FILE
+
+    nbest_path = os.path.join(lcfg.ckpt_dir, NBEST_FILE)
+    assert os.path.isfile(nbest_path)
+    nbest = json.load(open(nbest_path))
+    assert nbest["metric"] == "acc" and len(nbest["entries"]) == 2
+    ave_dir = os.path.join(lcfg.ckpt_dir, AVE_SUBDIR)
+    assert latest_step(ave_dir) == 2  # 2 checkpoints averaged
 
     # resume: restarting continues from epoch 2 (no extra epochs to run)
     state2 = run_training(model, dataset, variables, tcfg, lcfg, rng=rng)
