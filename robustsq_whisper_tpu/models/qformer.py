@@ -55,14 +55,31 @@ class QformerConfig:
     layer_norm_eps: float = 1e-12
     initializer_range: float = 0.02
     cross_attention_freq: int = 1
+    # The reference constructs BertConfig() with defaults
+    # (qformer_adapter.py:35), so the Qformer *trains with dropout 0.1* on
+    # hidden states (embeddings, attention output, FFN output) and on
+    # post-softmax attention probs. Inference is always deterministic.
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+
+
+def _dropout(
+    x: jax.Array, rate: float, rng: Optional[jax.Array], deterministic: bool
+) -> jax.Array:
+    """Inverted dropout; identity when deterministic / rate 0 / no rng."""
+    if deterministic or rate == 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
 
 
 class BertSelfAttentionBlock(nn.Module):
     """Post-LN attention sub-block: attn -> dense -> LN(residual).
 
     Matches BertAttention = BertSelfAttention + BertSelfOutput
-    (Qformer.py:90-326) with dropout elided (inference/bf16-training path;
-    dropout is applied by callers via ``nn.Dropout`` when configured).
+    (Qformer.py:90-326) including training dropout: attention-probs dropout
+    after the softmax and hidden dropout on the output dense before the
+    residual add (BertConfig defaults 0.1, qformer_adapter.py:35).
     """
 
     cfg: QformerConfig
@@ -76,6 +93,7 @@ class BertSelfAttentionBlock(nn.Module):
         kv_src: jax.Array,
         mask: Optional[jax.Array],
         deterministic: bool = True,
+        dropout_rng: Optional[jax.Array] = None,
     ) -> jax.Array:
         cfg = self.cfg
         head_dim = cfg.hidden_size // cfg.num_attention_heads
@@ -84,12 +102,21 @@ class BertSelfAttentionBlock(nn.Module):
             b, l, _ = t.shape
             return t.reshape(b, l, cfg.num_attention_heads, head_dim)
 
+        attn_rng = hidden_rng = None
+        if not deterministic and dropout_rng is not None:
+            attn_rng, hidden_rng = jax.random.split(dropout_rng)
+
         q = split(nn.Dense(cfg.hidden_size, dtype=self.dtype, name="query")(x))
         k = split(nn.Dense(cfg.hidden_size, dtype=self.dtype, name="key")(kv_src))
         v = split(nn.Dense(cfg.hidden_size, dtype=self.dtype, name="value")(kv_src))
-        o = dot_product_attention(q, k, v, mask=mask)
+        o = dot_product_attention(
+            q, k, v, mask=mask,
+            dropout_rate=0.0 if deterministic else cfg.attention_probs_dropout_prob,
+            dropout_rng=attn_rng,
+        )
         o = o.reshape(x.shape)
         o = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="out")(o)
+        o = _dropout(o, cfg.hidden_dropout_prob, hidden_rng, deterministic)
         return nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="ln"
         )(o + x).astype(self.dtype)
@@ -97,17 +124,24 @@ class BertSelfAttentionBlock(nn.Module):
 
 class BertFFN(nn.Module):
     """Post-LN FFN sub-block: dense-gelu-dense -> LN(residual)
-    (BertIntermediate/BertOutput, Qformer.py:329-355)."""
+    (BertIntermediate/BertOutput, Qformer.py:329-355), with hidden dropout
+    on fc2 before the residual add (BertOutput, dropout 0.1)."""
 
     cfg: QformerConfig
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        deterministic: bool = True,
+        dropout_rng: Optional[jax.Array] = None,
+    ) -> jax.Array:
         cfg = self.cfg
         h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="fc1")(x)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fc2")(h)
+        h = _dropout(h, cfg.hidden_dropout_prob, dropout_rng, deterministic)
         return nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="ln"
         )(h + x).astype(self.dtype)
@@ -134,22 +168,32 @@ class QformerLayer(nn.Module):
         memory: jax.Array,  # (batch, src, encoder_width)
         memory_mask: Optional[jax.Array],
         deterministic: bool = True,
+        dropout_rng: Optional[jax.Array] = None,
     ) -> jax.Array:
         cfg = self.cfg
         nq = cfg.num_query_tokens
 
+        rngs = [None] * 4
+        if not deterministic and dropout_rng is not None:
+            rngs = list(jax.random.split(dropout_rng, 4))
+
         x = BertSelfAttentionBlock(
             cfg, cfg.hidden_size, dtype=self.dtype, name="attention"
-        )(x, x, self_mask, deterministic)
+        )(x, x, self_mask, deterministic, rngs[0])
 
         q_part, e_part = x[:, :nq], x[:, nq:]
         if self.has_cross_attention:
             q_part = BertSelfAttentionBlock(
                 cfg, cfg.encoder_width, dtype=self.dtype, name="crossattention"
-            )(q_part, memory.astype(self.dtype), memory_mask, deterministic)
+            )(q_part, memory.astype(self.dtype), memory_mask, deterministic,
+              rngs[1])
 
-        q_part = BertFFN(cfg, dtype=self.dtype, name="ffn_query")(q_part)
-        e_part = BertFFN(cfg, dtype=self.dtype, name="ffn")(e_part)
+        q_part = BertFFN(cfg, dtype=self.dtype, name="ffn_query")(
+            q_part, deterministic, rngs[2]
+        )
+        e_part = BertFFN(cfg, dtype=self.dtype, name="ffn")(
+            e_part, deterministic, rngs[3]
+        )
         return jnp.concatenate([q_part, e_part], axis=1)
 
 
@@ -203,6 +247,7 @@ class QFormerAdapter(nn.Module):
         enroll: jax.Array,  # (batch, enr, encoder_width) enrollment stem
         enroll_lens: Optional[jax.Array],  # (batch,) valid frames
         deterministic: bool = True,
+        dropout_rng: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         cfg = self.cfg
         b, n_enroll = enroll.shape[0], enroll.shape[1]
@@ -215,7 +260,17 @@ class QFormerAdapter(nn.Module):
         q = jnp.broadcast_to(
             self.query_tokens.astype(self.dtype), (b, nq, cfg.hidden_size)
         )
+        layer_rngs = [None] * (cfg.num_hidden_layers + 1)
+        if not deterministic and dropout_rng is not None:
+            layer_rngs = list(
+                jax.random.split(dropout_rng, cfg.num_hidden_layers + 1)
+            )
+
         x = self.emb_ln(jnp.concatenate([q, e], axis=1)).astype(self.dtype)
+        # embedding dropout (BertEmbeddings, Qformer.py:63-64/85)
+        x = _dropout(
+            x, cfg.hidden_dropout_prob, layer_rngs[-1], deterministic
+        )
 
         # Extended masks, (1-m)*-10000 additive over keys (Qformer.py:698-787
         # non-decoder path; queries are always valid, qformer_adapter.py:69-73).
@@ -238,8 +293,8 @@ class QFormerAdapter(nn.Module):
                 :, None, None, :
             ]
 
-        for layer in self.layers:
-            x = layer(x, self_mask, memory, memory_mask, deterministic)
+        for layer, lrng in zip(self.layers, layer_rngs):
+            x = layer(x, self_mask, memory, memory_mask, deterministic, lrng)
 
         return x[:, :nq], x[:, nq:]
 

@@ -132,6 +132,7 @@ class TSASRModel(nn.Module):
         enroll_lens: Optional[jax.Array],
         specaug_rng: Optional[jax.Array] = None,
         train: bool = False,
+        dropout_rng: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Optional[jax.Array], jax.Array, jax.Array]:
         feats, feats_lens = log_mel_spectrogram(speech, speech_lens)
         enroll_feats, enroll_feats_lens = log_mel_spectrogram(enroll, enroll_lens)
@@ -140,6 +141,7 @@ class TSASRModel(nn.Module):
         return self.encoder(
             feats, feats_lens, enroll_feats, enroll_feats_lens,
             deterministic=not train,
+            dropout_rng=dropout_rng if train else None,
         )
 
     # ---- full training forward with losses (reference :516-657) ----
@@ -153,6 +155,7 @@ class TSASRModel(nn.Module):
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         cfg = self.cfg
         rng_specaug, rng_neg = jax.random.split(jax.random.fold_in(rng, 0))
+        rng_drop = jax.random.fold_in(rng, 1)  # Qformer training dropout
 
         encoder_out, encoder_out_lens, spk_prompt, enroll_embedding = self.encode(
             batch["speech"],
@@ -161,6 +164,7 @@ class TSASRModel(nn.Module):
             batch.get("enroll_lens"),
             specaug_rng=rng_specaug,
             train=train,
+            dropout_rng=rng_drop,
         )
 
         stats: Dict[str, jax.Array] = {}

@@ -25,6 +25,8 @@ def dot_product_attention(
     v: jax.Array,
     mask: Optional[jax.Array] = None,
     out_dtype: Optional[jnp.dtype] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Scaled dot-product attention.
 
@@ -35,6 +37,10 @@ def dot_product_attention(
         mask: optional additive mask broadcastable to
             (batch, heads, q_len, kv_len), fp32, 0 for keep / -inf (or large
             negative) for drop.
+        dropout_rate/dropout_rng: post-softmax attention-probs dropout (BERT
+            semantics, used by the Qformer at training time — reference
+            Qformer.py attention_probs_dropout_prob). Inactive when the rate
+            is 0 or no rng is given; Whisper blocks never pass these.
     Returns:
         (batch, q_len, heads, head_dim) in ``out_dtype`` (defaults to q.dtype).
     """
@@ -50,6 +56,9 @@ def dot_product_attention(
     if mask is not None:
         scores = scores + mask.astype(jnp.float32)
     weights = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+        weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum(
         "bhqk,bkhd->bqhd",
         weights.astype(v.dtype),

@@ -102,6 +102,50 @@ def test_qformer_query_ffn_split():
     assert not np.allclose(np.asarray(e1), np.asarray(e2))
 
 
+def test_qformer_training_dropout():
+    """The Qformer trains with BertConfig-default dropout 0.1 (reference
+    qformer_adapter.py:35 constructs BertConfig() with default
+    hidden/attention dropout): stochastic under deterministic=False with
+    distinct rngs, reproducible with the same rng, identity at inference,
+    and disabled when the rates are zero."""
+    import dataclasses as dc
+
+    adapter = QFormerAdapter(QCFG)
+    rng = np.random.default_rng(3)
+    memory = jnp.asarray(rng.standard_normal((2, 10, 64)), jnp.float32)
+    enroll = jnp.asarray(rng.standard_normal((2, 8, 64)), jnp.float32)
+    params = adapter.init(jax.random.PRNGKey(0), memory, None, enroll, None)
+
+    # inference path ignores any dropout rng entirely
+    q0, _ = adapter.apply(params, memory, None, enroll, None)
+    q1, _ = adapter.apply(
+        params, memory, None, enroll, None, True, jax.random.PRNGKey(7)
+    )
+    np.testing.assert_array_equal(np.asarray(q0), np.asarray(q1))
+
+    # training: distinct rngs -> distinct outputs; same rng -> reproducible
+    qa, _ = adapter.apply(
+        params, memory, None, enroll, None, False, jax.random.PRNGKey(1)
+    )
+    qb, _ = adapter.apply(
+        params, memory, None, enroll, None, False, jax.random.PRNGKey(2)
+    )
+    qa2, _ = adapter.apply(
+        params, memory, None, enroll, None, False, jax.random.PRNGKey(1)
+    )
+    assert np.abs(np.asarray(qa) - np.asarray(qb)).max() > 1e-4
+    np.testing.assert_array_equal(np.asarray(qa), np.asarray(qa2))
+
+    # zero rates restore determinism even in training mode
+    zero = QFormerAdapter(
+        dc.replace(QCFG, hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    )
+    qz, _ = zero.apply(
+        params, memory, None, enroll, None, False, jax.random.PRNGKey(1)
+    )
+    np.testing.assert_allclose(np.asarray(qz), np.asarray(q0), atol=1e-6)
+
+
 # ---------------- TS encoder ----------------
 
 
