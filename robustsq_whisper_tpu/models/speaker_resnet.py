@@ -56,13 +56,16 @@ class BasicBlock(nn.Module):
 
 
 class SpeakerResNet34(nn.Module):
-    """fbank (batch, frames, 80) -> L2-normalizable speaker embedding."""
+    """fbank (batch, frames, 80) -> L2-normalizable speaker embedding.
+
+    ``stages`` defaults to ResNet34's (3,4,6,3); overridable so tests can
+    build tiny-but-structurally-identical instances.
+    """
 
     embed_dim: int = 256
     base_channels: int = 32
+    stages: tuple = (3, 4, 6, 3)
     dtype: Dtype = jnp.float32
-
-    STAGES = (3, 4, 6, 3)
 
     @nn.compact
     def __call__(
@@ -83,7 +86,7 @@ class SpeakerResNet34(nn.Module):
             )(x)
         )
         ch = self.base_channels
-        for si, blocks in enumerate(self.STAGES):
+        for si, blocks in enumerate(self.stages):
             for bi in range(blocks):
                 stride = 2 if (si > 0 and bi == 0) else 1
                 x = BasicBlock(
@@ -110,21 +113,154 @@ class SpeakerResNet34(nn.Module):
 
 
 def load_onnx_weights(onnx_path: str) -> Optional[Dict[str, np.ndarray]]:
-    """Best-effort raw initializer map from an ONNX file ({name: array}).
-    Returns None when the onnx package or file is unavailable (the image has
-    no onnx/onnxruntime; the flax model then runs with its own params)."""
+    """Raw initializer map from an ONNX file ({name: array}).
+
+    Uses the in-house minimal protobuf reader (utils/onnx_pb.py) — the image
+    ships neither ``onnx`` nor ``onnxruntime``, but the file format is plain
+    protobuf. Returns None when no file is given / present."""
     if not onnx_path or not os.path.exists(onnx_path):
         return None
-    try:
-        import onnx
-        from onnx import numpy_helper
-    except ImportError:
+    from ..utils.onnx_pb import read_onnx_initializers
+
+    return read_onnx_initializers(onnx_path)
+
+
+# Common wrapper prefixes seen in torch->ONNX speaker-model exports.
+_NAME_PREFIXES = ("", "module.", "front.", "speaker_encoder.", "model.")
+
+
+def map_onnx_to_flax(
+    inits: Dict[str, np.ndarray],
+    variables: Dict[str, Any],
+    stages: tuple = (3, 4, 6, 3),
+    strict: bool = True,
+) -> Dict[str, Any]:
+    """Map wespeaker-style ResNet34 ONNX initializers onto the flax tree.
+
+    The ONNX graph keeps torch state-dict names (``conv1.weight``,
+    ``layer3.2.bn1.running_mean``, ``seg_1.weight`` ...). Layout conversions:
+
+    - conv: torch ``(O, I, kF, kT)`` over a (freq, time) map -> flax
+      ``(kT, kF, I, O)`` over this model's (time, freq) map — spatial
+      transpose is exact because every stride/pad is symmetric per-dim;
+    - batchnorm: weight/bias -> scale/bias params; running_mean/var ->
+      batch_stats mean/var;
+    - ``seg_1`` (embedding Linear): wespeaker pools ``(B, C, F, T)`` as
+      channel-major ``c*F + f`` feature order; this model pools
+      ``(b, t, f, c)`` as freq-major ``f*C + c`` — the kernel's input axis is
+      permuted accordingly for both the mean and std halves, then transposed
+      to flax ``(in, out)``.
+
+    Raises KeyError (strict) listing any expected-but-missing or
+    unmapped-extra initializers so a mismatched export fails loudly.
+    """
+    import jax.tree_util as jtu
+
+    # strip a common wrapper prefix if every name carries it
+    names = list(inits)
+    for pref in _NAME_PREFIXES[1:]:
+        if names and all(n.startswith(pref) for n in names):
+            inits = {n[len(pref):]: v for n, v in inits.items()}
+            break
+
+    params = jtu.tree_map(lambda x: x, variables["params"])
+    bstats = jtu.tree_map(lambda x: x, variables.get("batch_stats", {}))
+
+    def conv_t(w: np.ndarray) -> np.ndarray:
+        return np.ascontiguousarray(np.transpose(w, (3, 2, 1, 0)))
+
+    used = set()
+
+    def take(name: str) -> Optional[np.ndarray]:
+        if name in inits:
+            used.add(name)
+            return np.asarray(inits[name])
         return None
-    model = onnx.load(onnx_path)
-    return {
-        init.name: numpy_helper.to_array(init)
-        for init in model.graph.initializer
-    }
+
+    missing = []
+
+    def put_conv(tree_mod: Dict, tname: str) -> None:
+        w = take(tname)
+        if w is None:
+            missing.append(tname)
+            return
+        tree_mod["kernel"] = jnp.asarray(conv_t(w), jnp.float32)
+
+    def put_bn(pmod: Dict, smod: Dict, tbase: str) -> None:
+        for tsuf, dst, tree in (
+            ("weight", "scale", pmod),
+            ("bias", "bias", pmod),
+            ("running_mean", "mean", smod),
+            ("running_var", "var", smod),
+        ):
+            v = take(f"{tbase}.{tsuf}")
+            if v is None:
+                if tsuf != "num_batches_tracked":
+                    missing.append(f"{tbase}.{tsuf}")
+                continue
+            tree[dst] = jnp.asarray(v, jnp.float32)
+        take(f"{tbase}.num_batches_tracked")  # consume if present
+
+    put_conv(params["stem_conv"], "conv1.weight")
+    put_bn(params["stem_bn"], bstats.setdefault("stem_bn", {}), "bn1")
+    for si, nb in enumerate(stages):
+        for bi in range(nb):
+            t = f"layer{si + 1}.{bi}"
+            fl = f"layer{si + 1}_{bi}"
+            put_conv(params[fl]["conv1"], f"{t}.conv1.weight")
+            put_bn(params[fl]["bn1"], bstats.setdefault(fl, {}).setdefault("bn1", {}), f"{t}.bn1")
+            put_conv(params[fl]["conv2"], f"{t}.conv2.weight")
+            put_bn(params[fl]["bn2"], bstats[fl].setdefault("bn2", {}), f"{t}.bn2")
+            if "downsample_conv" in params[fl]:
+                put_conv(params[fl]["downsample_conv"], f"{t}.downsample.0.weight")
+                put_bn(
+                    params[fl]["downsample_bn"],
+                    bstats[fl].setdefault("downsample_bn", {}),
+                    f"{t}.downsample.1",
+                )
+
+    # embedding head: permute channel-major (c*F+f) -> freq-major (f*C+c)
+    w = take("seg_1.weight")
+    if w is None:
+        missing.append("seg_1.weight")
+    else:
+        flax_kernel = np.asarray(params["embed"]["kernel"])
+        half = w.shape[1] // 2
+        c_dim = np.asarray(params[f"layer{len(stages)}_0"]["conv2"]["kernel"]).shape[-1]
+        f_dim = half // c_dim
+        if f_dim * c_dim != half:
+            raise ValueError(
+                f"seg_1.weight in-dim {w.shape[1]} does not factor into "
+                f"2 * F * C with C={c_dim}"
+            )
+        # perm[f*C + c] = c*F + f (wespeaker column index for our row index)
+        f_idx, c_idx = np.divmod(np.arange(half), c_dim)
+        perm = c_idx * f_dim + f_idx
+        perm_full = np.concatenate([perm, perm + half])
+        kernel = np.ascontiguousarray(w[:, perm_full].T)
+        if kernel.shape != flax_kernel.shape:
+            raise ValueError(
+                f"seg_1.weight maps to kernel {kernel.shape}, flax expects "
+                f"{flax_kernel.shape}"
+            )
+        params["embed"]["kernel"] = jnp.asarray(kernel, jnp.float32)
+    b = take("seg_1.bias")
+    if b is not None:
+        params["embed"]["bias"] = jnp.asarray(b, jnp.float32)
+    else:
+        missing.append("seg_1.bias")
+
+    extra = sorted(set(inits) - used)
+    if strict and (missing or extra):
+        raise KeyError(
+            f"ONNX->flax mapping mismatch: missing={missing[:8]} "
+            f"extra={extra[:8]} (of {len(missing)}/{len(extra)})"
+        )
+    out = dict(variables)
+    out["params"] = params
+    if bstats:
+        out["batch_stats"] = bstats
+    return out
 
 
 def extract_embeddings_for_dir(
@@ -150,8 +286,11 @@ def extract_embeddings_for_dir(
 
     dummy = jnp.zeros((1, 398, 80), jnp.float32)
     variables = model.init(rng, dummy, jnp.asarray([398]))
-    # TODO: map load_onnx_weights(onnx_model) onto the flax tree when the
-    # onnx package is present; random-init otherwise (structure-compatible).
+    inits = load_onnx_weights(onnx_model)
+    if inits is not None:
+        variables = map_onnx_to_flax(inits, variables)
+    elif onnx_model:
+        raise FileNotFoundError(onnx_model)
 
     @jax.jit
     def embed(variables, audio, lens):
