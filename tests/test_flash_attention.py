@@ -71,6 +71,110 @@ def test_matches_oracle_padding_mask():
         )
 
 
+@pytest.mark.parametrize(
+    "q_len,kv_len", [(256, 256), (75, 130), (128, 512)]
+)
+def test_grad_matches_oracle_unmasked(q_len, kv_len):
+    """Custom-VJP flash backward vs jax.grad through the XLA oracle."""
+    b, h, d = 2, 2, 32
+    q = _rand((b, q_len, h, d), 20)
+    k = _rand((b, kv_len, h, d), 21)
+    v = _rand((b, kv_len, h, d), 22)
+    w = _rand((b, q_len, h, d), 23)  # fixed cotangent direction
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, block_q=64, block_k=64, interpret=True)
+        return jnp.sum(o * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(dot_product_attention(q, k, v) * w)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flash, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_grad_matches_oracle_masked():
+    b, h, d, n = 2, 2, 32, 160
+    q = _rand((b, n, h, d), 24)
+    k = _rand((b, n, h, d), 25)
+    v = _rand((b, n, h, d), 26)
+    lens = jnp.asarray([100, 160])
+    mask = padding_mask(lens, n)
+    w = _rand((b, n, h, d), 27)
+    # padded query rows are don't-care: zero their cotangent so both paths
+    # see the same objective
+    w = w * (jnp.arange(n)[None, :, None, None] < lens[:, None, None, None])
+
+    def loss_flash(q, k, v):
+        o = flash_attention(
+            q, k, v, mask=mask, block_q=64, block_k=64, interpret=True
+        )
+        return jnp.sum(o * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(dot_product_attention(q, k, v, mask=mask) * w)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flash, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_grad_bf16_finite():
+    b, h, d, n = 1, 2, 64, 256
+    q = _rand((b, n, h, d), 28).astype(jnp.bfloat16)
+    k = _rand((b, n, h, d), 29).astype(jnp.bfloat16)
+    v = _rand((b, n, h, d), 30).astype(jnp.bfloat16)
+
+    def loss(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, interpret=True).astype(jnp.float32) ** 2
+        )
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for a in g:
+        assert a.dtype == jnp.bfloat16
+        assert np.isfinite(np.asarray(a, np.float32)).all()
+
+
+def test_encoder_training_grads_flash_vs_xla():
+    """Flash VJP wired through AudioEncoder: parameter grads match the XLA
+    attention path (same params, q_len >= 256 so the flash gate fires)."""
+    from robustsq_whisper_tpu.models.whisper import AudioEncoder, WhisperDims
+
+    dims = WhisperDims(
+        n_mels=80, n_vocab=10, n_audio_ctx=256, n_audio_state=64,
+        n_audio_head=2, n_audio_layer=1, n_text_ctx=8, n_text_state=64,
+        n_text_head=2, n_text_layer=1,
+    )
+    mel = _rand((1, 80, 2 * dims.n_audio_ctx), 31)
+    enc_x = AudioEncoder(dims, use_flash=False)
+    enc_f = AudioEncoder(dims, use_flash=True)
+    variables = enc_x.init(jax.random.PRNGKey(0), mel)
+    params, buffers = variables["params"], variables["buffers"]
+
+    def loss(enc):
+        def f(p):
+            out = enc.apply({"params": p, "buffers": buffers}, mel)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        return f
+
+    g_x = jax.grad(loss(enc_x))(params)
+    g_f = jax.grad(loss(enc_f))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3
+        ),
+        g_x, g_f,
+    )
+
+
 def test_bf16_path():
     b, h, d, n = 1, 2, 64, 256
     q = _rand((b, n, h, d), 9).astype(jnp.bfloat16)
