@@ -1,4 +1,4 @@
-"""Benchmark: Whisper-medium TS-ASR batched decode RTF on one TPU chip.
+"""Benchmark: Whisper-medium TS-ASR decode RTF + training throughput, 1 chip.
 
 Measures the north-star metric (BASELINE.json): audio-seconds of 30 s
 utterances transcribed per chip-second, end to end — log-mel frontend +
@@ -7,12 +7,18 @@ decode re-runs the whole prefix per token, whisper_decoder.py:174-176; this
 is the gap the TPU build closes). Baseline for ``vs_baseline`` is the
 driver-set 50x real-time target.
 
+Also measures TRAINING throughput (audio-sec trained per chip-sec, LoRA mode
+— the reference's lora_qkvo_r16 config semantics) and embeds it in the same
+JSON object under ``"train"`` so every round's record is machine-comparable.
+
 Prints ONE JSON line to stdout; all logging goes to stderr.
 
 Env knobs: BENCH_MODEL (tiny|base|small|medium, default medium),
 BENCH_BATCH (default 32), BENCH_NEW_TOKENS (default 128), BENCH_ITERS
 (default 3), BENCH_FLASH (Pallas encoder attention, default 1),
-BENCH_INT8_KV (fused int8 cross-attention decode kernel, default 1).
+BENCH_INT8_KV (fused int8 cross-attention decode kernel, default 1),
+BENCH_TRAIN (default 1), BENCH_TRAIN_BATCH (default 16; halved on OOM),
+BENCH_TRAIN_MODE (default lora).
 """
 
 from __future__ import annotations
@@ -27,6 +33,99 @@ import numpy as np
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def bench_train(model_name: str, dims, ts) -> dict | None:
+    """Training throughput: audio-sec of 30 s mixtures trained per chip-sec,
+    one jitted (state, batch) -> state step in the requested mode. Probes
+    BENCH_TRAIN_BATCH and halves once on OOM."""
+    import jax
+    import jax.numpy as jnp
+
+    from robustsq_whisper_tpu.models import TSASRModel, TSModelConfig
+    from robustsq_whisper_tpu.train.step import (
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    mode = os.environ.get("BENCH_TRAIN_MODE", "lora")
+    batch_size = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    seconds, enroll_seconds = 30, 10
+
+    import dataclasses
+
+    ts_train = dataclasses.replace(ts, remat=True)
+    model = TSASRModel(
+        dims, ts_train, TSModelConfig(), dtype=jnp.bfloat16
+    )
+
+    def make_batch(b):
+        r = np.random.default_rng(0)
+        return {
+            "speech": jnp.asarray(
+                r.standard_normal((b, seconds * 16000)) * 0.1, jnp.float32
+            ),
+            "speech_lens": jnp.full((b,), seconds * 16000, jnp.int32),
+            "enroll": jnp.asarray(
+                r.standard_normal((b, enroll_seconds * 16000)) * 0.1,
+                jnp.float32,
+            ),
+            "enroll_lens": jnp.full((b,), enroll_seconds * 16000, jnp.int32),
+            "text": jnp.asarray(
+                r.integers(0, dims.n_vocab - 4, (b, 48)), jnp.int32
+            ),
+            "text_lens": jnp.full((b,), 48, jnp.int32),
+            "neg_logits": jnp.ones((b, b), jnp.float32),
+            "spk_labels": jnp.asarray(r.integers(0, 1000, (b,)), jnp.int32),
+        }
+
+    rng = jax.random.PRNGKey(0)
+    while batch_size >= 2:
+        try:
+            b = batch_size
+            tiny = make_batch(2)
+            t0 = time.time()
+            log(f"[train] initializing {model_name} ({mode}, batch {b}) ...")
+            variables = jax.jit(
+                lambda r: model.init(r, tiny, r, 0, train=False)
+            )(rng)
+            state, tx = create_train_state(
+                rng, variables, TrainConfig(mode=mode)
+            )
+            step = make_train_step(model, tx, TrainConfig(mode=mode))
+            batch = make_batch(b)
+            log(f"[train] init {time.time()-t0:.1f}s; compiling step ...")
+            t0 = time.time()
+            state, stats = step(state, batch, rng, 0)
+            float(stats["loss"])  # completion barrier
+            log(f"[train] compile+first step {time.time()-t0:.1f}s")
+            times = []
+            for i in range(iters):
+                t0 = time.time()
+                state, stats = step(state, batch, rng, 0)
+                float(stats["loss"])
+                times.append(time.time() - t0)
+                log(f"[train] iter {i}: {times[-1]*1000:.1f} ms")
+            wall = min(times)
+            return {
+                "metric": f"ts_asr_train_{model_name}_{mode}_b{b}",
+                "value": round(b * seconds / wall, 2),
+                "unit": "audio-sec/chip-sec",
+                "step_ms": round(wall * 1000, 1),
+                "batch": b,
+                "mode": mode,
+            }
+        except Exception as e:  # OOM -> halve the batch once or twice
+            msg = str(e)
+            if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg:
+                log(f"[train] OOM at batch {batch_size}; halving")
+                batch_size //= 2
+                continue
+            log(f"[train] bench failed: {type(e).__name__}: {msg[:500]}")
+            return None
+    return None
 
 
 def main():
@@ -144,16 +243,20 @@ def main():
         f"model={model_name} batch={batch} new_tokens={new_tokens} "
         f"wall={wall*1000:.1f}ms audio={audio_sec}s RTF={rtf:.1f}x"
     )
-    print(
-        json.dumps(
-            {
-                "metric": f"ts_asr_decode_rtf_{model_name}_b{batch}",
-                "value": round(rtf, 2),
-                "unit": "audio-sec/chip-sec",
-                "vs_baseline": round(rtf / 50.0, 3),
-            }
-        )
-    )
+
+    # free decode state before the training probe needs the HBM
+    result = {
+        "metric": f"ts_asr_decode_rtf_{model_name}_b{batch}",
+        "value": round(rtf, 2),
+        "unit": "audio-sec/chip-sec",
+        "vs_baseline": round(rtf / 50.0, 3),
+    }
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        del enc_vars, dec_vars, tokens, scores, greedy, encode
+        train_stats = bench_train(model_name, dims, ts)
+        if train_stats is not None:
+            result["train"] = train_stats
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
