@@ -68,6 +68,17 @@ def main(argv=None):
     p = sub.add_parser("num-samples", help="write utt2num_samples")
     p.add_argument("data_dir")
 
+    p = sub.add_parser(
+        "extend-segments",
+        help="pad segment times (utils/data/extend_segment_times.py)",
+    )
+    p.add_argument("data_dir")
+    p.add_argument("--start_padding", type=float, default=0.1)
+    p.add_argument("--end_padding", type=float, default=0.1)
+    p.add_argument("--last_segment_end_padding", type=float, default=0.1)
+    p.add_argument("--fix_overlapping_segments", type=lambda s: s.lower() != "false",
+                   default=True)
+
     p = sub.add_parser("spk-embed", help="extract speaker embeddings")
     p.add_argument("--data_dir", required=True)
     p.add_argument("--out_dir", required=True)
@@ -128,6 +139,15 @@ def main(argv=None):
         }
         kaldi_io.write_scp(os.path.join(args.data_dir, "utt2num_samples"), out)
         print(json.dumps({"num_rows": len(out)}))
+    elif args.cmd == "extend-segments":
+        n_fixed = kaldi_io.extend_segment_times_file(
+            args.data_dir,
+            start_padding=args.start_padding,
+            end_padding=args.end_padding,
+            last_segment_end_padding=args.last_segment_end_padding,
+            fix_overlapping_segments=args.fix_overlapping_segments,
+        )
+        print(json.dumps({"overlap_fixes": n_fixed}))
     elif args.cmd == "spk-embed":
         from ..models.speaker_resnet import extract_embeddings_for_dir
 

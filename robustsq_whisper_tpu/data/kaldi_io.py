@@ -388,6 +388,77 @@ def get_segments_for_data(data_dir: str) -> int:
     return len(segs)
 
 
+def extend_segment_times(
+    lines: Sequence[str],
+    start_padding: float = 0.1,
+    end_padding: float = 0.1,
+    last_segment_end_padding: float = 0.1,
+    fix_overlapping_segments: bool = True,
+) -> Tuple[List[str], int]:
+    """utils/data/extend_segment_times.py equivalent (reference
+    /root/reference/utils/data/extend_segment_times.py): pad each segment's
+    [start, end] by the given left/right context, clamp to [0,
+    max_end + last_segment_end_padding] per recording, and (optionally)
+    split overlaps at the midpoint between per-recording neighbours sorted
+    by mid-time. Input/output rows: ``utt reco start end``; original order
+    preserved; rows whose times are non-increasing after processing are
+    dropped (matching the reference). Returns (out_lines, n_overlap_fixes).
+    """
+    entries: List[List] = []
+    by_reco: Dict[str, List[int]] = {}
+    for line in lines:
+        parts = line.split()
+        if len(parts) != 4:
+            raise ValueError(f"bad segments line: {line!r}")
+        utt, reco, start, end = parts[0], parts[1], float(parts[2]), float(parts[3])
+        by_reco.setdefault(reco, []).append(len(entries))
+        entries.append([utt, reco, start, end])
+
+    n_fixed = 0
+    for reco, idxs in by_reco.items():
+        this = sorted(
+            (entries[i] for i in idxs), key=lambda e: 0.5 * (e[2] + e[3])
+        )
+        max_time = max(e[3] for e in this) + last_segment_end_padding
+        for e in this:
+            e[2] = max(0.0, e[2] - start_padding)
+            e[3] = min(max_time, e[3] + end_padding)
+        if fix_overlapping_segments:
+            for a, b in zip(this, this[1:]):
+                if a[3] > b[2]:
+                    mid = 0.5 * (a[3] + b[2])
+                    a[3] = mid
+                    b[2] = mid
+                    n_fixed += 1
+
+    out = []
+    for utt, reco, start, end in entries:
+        if not start < end:
+            continue
+        out.append(f"{utt} {reco} {start:.6g} {end:.6g}")
+    return out, n_fixed
+
+
+def extend_segment_times_file(
+    data_dir: str,
+    start_padding: float = 0.1,
+    end_padding: float = 0.1,
+    last_segment_end_padding: float = 0.1,
+    fix_overlapping_segments: bool = True,
+) -> int:
+    """In-place ``segments`` rewrite for a data dir; returns #overlap fixes."""
+    path = os.path.join(data_dir, "segments")
+    with open(path) as f:
+        lines = [ln for ln in (l.strip() for l in f) if ln]
+    out, n_fixed = extend_segment_times(
+        lines, start_padding, end_padding,
+        last_segment_end_padding, fix_overlapping_segments,
+    )
+    with open(path, "w") as f:
+        f.write("\n".join(out) + ("\n" if out else ""))
+    return n_fixed
+
+
 def create_data_links(
     file_paths: Sequence[str], storage_dirs: Sequence[str]
 ) -> List[str]:

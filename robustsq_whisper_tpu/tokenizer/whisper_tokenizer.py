@@ -122,6 +122,10 @@ class BPETokenizer:
     def __init__(self, ranks: Dict[bytes, int], multilingual: bool = True):
         self.special = special_tokens(multilingual)
         self.n_vocab = self.special.n_vocab
+        # text ids are 0..len(ranks)-1; ids past the ranks table (possible
+        # when decoding a reduced-vocab smoke model with a mini ranks file)
+        # are dropped in decode rather than crashing tiktoken
+        self._n_text = len(ranks)
         self._enc = None
         try:
             import tiktoken
@@ -167,7 +171,7 @@ class BPETokenizer:
 
     def decode(self, ids: Sequence[int]) -> str:
         eot = self.special.eot
-        return self._enc.decode([i for i in ids if i < eot])
+        return self._enc.decode([i for i in ids if i < min(eot, self._n_text)])
 
 
 def _hf_byte_decoder() -> Dict[str, int]:

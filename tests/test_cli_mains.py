@@ -46,8 +46,30 @@ def test_cli_train_then_decode(tmp_path, capsys):
         "--expdir", expdir,
         "--output_dir", out_dir,
         "--batch_size", "4",
+        # checked-in mini tiktoken ranks: the REAL BPE code path (tiktoken
+        # Encoding + base64 ranks file), not the byte fallback
+        "--tokenizer_assets", "tests/assets/mini_ranks.tiktoken",
     ])
     assert rc == 0
     hyps = kaldi_io.read_scp(os.path.join(out_dir, "text"))
     assert len(hyps) == 8
     assert os.path.exists(os.path.join(out_dir, "score.txt"))
+
+
+def test_load_tokenizer_mini_ranks_asset():
+    """The checked-in mini ranks file exercises the tiktoken BPE path:
+    merges fire, round-trips hold, specials are the Whisper layout."""
+    from robustsq_whisper_tpu.tokenizer.whisper_tokenizer import (
+        BPETokenizer,
+        load_tokenizer,
+    )
+
+    tok = load_tokenizer("tests/assets/mini_ranks.tiktoken")
+    assert isinstance(tok, BPETokenizer)
+    s = "the cat is on the mat and then some"
+    ids = tok.encode(s)
+    assert tok.decode(ids) == s
+    assert len(ids) < len(s.encode())  # multi-byte merges actually fire
+    assert tok.special.eot == 50257 and tok.special.startofprev == 50361
+    # specials pass through decode unharmed
+    assert tok.decode(ids + [tok.special.eot]) == s

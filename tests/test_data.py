@@ -422,6 +422,41 @@ class TestRemainingKaldiTools:
         assert n == 1
         assert kaldi_io.read_scp(os.path.join(d, "segments"))["a"] == "a 0.000 0.250"
 
+    def test_extend_segment_times(self, tmp_path):
+        """Reference's own doc example (extend_segment_times.py test
+        comment): default paddings extend both rows and split the resulting
+        overlap at the midpoint."""
+        lines = ["utt1 reco1 0.2 6.2", "utt2 reco1 6.3 9.8"]
+        out, n_fixed = kaldi_io.extend_segment_times(lines)
+        assert n_fixed == 1
+        assert out == ["utt1 reco1 0.1 6.25", "utt2 reco1 6.25 9.9"]
+
+        # no overlap fixing: padded rows are allowed to overlap
+        out2, n2 = kaldi_io.extend_segment_times(
+            lines, fix_overlapping_segments=False,
+            last_segment_end_padding=0.0,
+        )
+        assert n2 == 0
+        assert out2 == ["utt1 reco1 0.1 6.3", "utt2 reco1 6.2 9.8"]
+
+        # start clamp at 0; degenerate rows dropped after processing
+        out3, _ = kaldi_io.extend_segment_times(
+            ["u reco 0.05 0.2", "z reco 0.5 0.500001"],
+            start_padding=0.1, end_padding=0.0,
+            last_segment_end_padding=0.0,
+        )
+        assert out3[0].startswith("u reco 0 ")
+        assert len(out3) == 2  # both still valid here
+
+        # file wrapper rewrites in place
+        d = tmp_path / "dir"
+        d.mkdir()
+        (d / "segments").write_text("\n".join(lines) + "\n")
+        n = kaldi_io.extend_segment_times_file(str(d))
+        assert n == 1
+        got = (d / "segments").read_text().strip().splitlines()
+        assert got == ["utt1 reco1 0.1 6.25", "utt2 reco1 6.25 9.9"]
+
     def test_create_data_links(self, tmp_path):
         store1 = str(tmp_path / "disk1")
         store2 = str(tmp_path / "disk2")

@@ -104,6 +104,36 @@ def test_wer_cer():
     assert c["cer"] == pytest.approx(1 / 3)
 
 
+def test_edit_distance_matches_scalar_oracle():
+    """The row-vectorized DP must equal the classic scalar Levenshtein
+    (s/d/i counts included) on random sequences incl. empty edges."""
+
+    def oracle(ref, hyp):
+        n, m = len(ref), len(hyp)
+        dp = np.zeros((n + 1, m + 1), dtype=np.int32)
+        dp[:, 0] = np.arange(n + 1)
+        dp[0, :] = np.arange(m + 1)
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                cost = 0 if ref[i - 1] == hyp[j - 1] else 1
+                dp[i, j] = min(
+                    dp[i - 1, j - 1] + cost, dp[i - 1, j] + 1, dp[i, j - 1] + 1
+                )
+        return int(dp[n, m])
+
+    rng = np.random.default_rng(0)
+    for _ in range(40):
+        n, m = rng.integers(0, 12, 2)
+        ref = [str(x) for x in rng.integers(0, 5, n)]
+        hyp = [str(x) for x in rng.integers(0, 5, m)]
+        s, d, i, rl = edit_distance(ref, hyp)
+        assert rl == len(ref)
+        assert s + d + i == oracle(ref, hyp), (ref, hyp)
+        # alignment identity: matches+subs+dels = |ref|, matches+subs+ins = |hyp|
+        assert len(hyp) - i == len(ref) - d
+        assert len(ref) - d - s >= 0
+
+
 def test_tokenizer_special_layout():
     st = special_tokens(multilingual=True)
     assert st.eot == 50257
