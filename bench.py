@@ -16,7 +16,8 @@ Prints ONE JSON line to stdout; all logging goes to stderr.
 Env knobs: BENCH_MODEL (tiny|base|small|medium, default medium),
 BENCH_BATCH (default 32), BENCH_NEW_TOKENS (default 128), BENCH_ITERS
 (default 3), BENCH_FLASH (Pallas encoder attention, default 1),
-BENCH_INT8_KV (fused int8 cross-attention decode kernel, default 1),
+BENCH_INT8_KV (fused quantized cross-attention decode kernel, default 1),
+BENCH_KV_BITS (cross-KV width under BENCH_INT8_KV=1: 8 or 4, default 8),
 BENCH_TRAIN (default 1), BENCH_TRAIN_BATCH (default 16; halved on OOM),
 BENCH_TRAIN_MODE (default lora).
 """
@@ -123,6 +124,16 @@ def bench_train(model_name: str, dims, ts) -> dict | None:
                 log(f"[train] OOM at batch {batch_size}; halving")
                 batch_size //= 2
                 continue
+            if "remote_compile" in msg or "INTERNAL" in msg:
+                # tunneled-TPU compile helper occasionally 500s on the
+                # largest programs; a smaller batch compiles reliably, and
+                # a partial record beats a missing one
+                log(
+                    f"[train] remote compile failed at batch {batch_size}; "
+                    "halving and retrying"
+                )
+                batch_size //= 2
+                continue
             log(f"[train] bench failed: {type(e).__name__}: {msg[:500]}")
             return None
     return None
@@ -157,8 +168,9 @@ def main():
     log(f"devices: {jax.devices()}")
     dev = jax.devices()[0]
 
+    kv_bits = int(os.environ.get("BENCH_KV_BITS", "8"))
     enc = QFormerTSEncoder(dims, ts, dtype=compute_dtype)
-    dec = TSDecoder(dims, dtype=compute_dtype)
+    dec = TSDecoder(dims, dtype=compute_dtype, cross_kv_bits=kv_bits)
 
     rng = jax.random.PRNGKey(0)
     seconds = 30

@@ -40,6 +40,13 @@ def main(argv=None):
         "(the reference stage 12 decodes valid.acc.ave); pass false for "
         "the latest raw checkpoint",
     )
+    parser.add_argument(
+        "--cross_kv_bits", type=int, default=8, choices=(4, 8),
+        help="quantized decode cross-KV width when the experiment config "
+        "enables quantize_cross_kv: 8 (int8, default) or 4 (packed int4 — "
+        "half the decode loop's dominant HBM read again; asymmetric "
+        "per-channel quantization, see ops/decode_attention.py)",
+    )
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -137,6 +144,7 @@ def main(argv=None):
         dims.replace(n_vocab=exp.model.vocab_size),
         startofprev_token=exp.model.startofprev,
         dtype=dtype,
+        cross_kv_bits=args.cross_kv_bits,
     )
 
     dcfg = dataclasses.replace(

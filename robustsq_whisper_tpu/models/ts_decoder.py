@@ -43,10 +43,12 @@ class TSDecoder(nn.Module):
     use_spk_prompt: bool = True
     dtype: Dtype = jnp.float32
     remat: bool = False
+    cross_kv_bits: int = 8  # quantized decode cross-KV width (8 or 4)
 
     def setup(self):
         self.decoder = TextDecoder(
-            self.dims, dtype=self.dtype, remat=self.remat, name="decoder"
+            self.dims, dtype=self.dtype, remat=self.remat,
+            cross_kv_bits=self.cross_kv_bits, name="decoder",
         )
 
     def __call__(

@@ -66,6 +66,10 @@ class MultiHeadAttention(nn.Module):
     n_head: int
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    # quantized-KV width for ``kv_quant``/``attend_quant`` (decode cross
+    # attention): 8 = int8, 4 = packed int4 (two values/byte — half the HBM
+    # read of the decode loop's dominant term, see ops/decode_attention.py)
+    kv_bits: int = 8
 
     def setup(self):
         self.query = nn.Dense(self.n_state, dtype=self.dtype, name="query")
@@ -86,34 +90,53 @@ class MultiHeadAttention(nn.Module):
         return self._split(self.key(src)), self._split(self.value(src))
 
     def kv_quant(self, src: jax.Array, pad_to: int = 512):
-        """int8-quantized TRANSPOSED K/V with per-(batch, head, channel)
-        scales: (k_q, k_s, v_q, v_s, kv_len) with k_q/v_q of shape
-        (batch, heads, head_dim, T_padded).
+        """Quantized TRANSPOSED K/V with per-(batch, head, channel) scales:
+        (k_q, k_s, v_q, v_s, v_zp, kv_len) with k_q/v_q of shape
+        (batch, heads, head_dim, T_padded) int8 (``kv_bits=4`` packs two
+        4-bit values per byte, see ops/decode_attention.py::pack_int4).
 
         Decode is bound by re-reading the full cross-attention K/V from HBM
-        every step (SURVEY §3.2 perf note); int8 halves that traffic and the
-        fused Pallas decode kernel (ops/decode_attention.py) dequantizes in
-        registers. Scales fold exactly: scores = (q*k_s) @ k_q and
-        out = (p @ v_q^T) * v_s. The time axis is padded ONCE here (pad-per-
-        step would copy the whole tensor every token); ``kv_len`` carries the
-        true length for in-kernel masking.
+        every step (SURVEY §3.2 perf note); int8 halves that traffic (int4
+        quarters it) and the fused Pallas decode kernel dequantizes in
+        registers. Quantization is ASYMMETRIC per channel — the zero-points
+        cost nothing at attention time:
+
+        - K's zero-point adds ``q . k_zp`` to every score of a row — a
+          per-(batch, head) constant, softmax-invariant, so it is simply
+          DROPPED; K effectively gets a centered range for free.
+        - V's zero-point folds exactly outside the kernel: since attention
+          weights sum to 1, ``out = (p @ v_q^T) * v_s + v_zp``.
+
+        Scales fold exactly as before: ``scores = (q*k_s) @ k_q``. The time
+        axis is padded ONCE here (pad-per-step would copy the whole tensor
+        every token); ``kv_len`` carries the true length for in-kernel
+        masking.
         """
         k, v = self.kv(src)
         kv_len = k.shape[1]
         pad = (-kv_len) % pad_to
+        qmax = 127.0 if self.kv_bits == 8 else 7.0
 
         def quant(t):
             tt = t.transpose(0, 2, 3, 1).astype(jnp.float32)  # (b, h, d, T)
-            scale = jnp.max(jnp.abs(tt), axis=-1) / 127.0  # (b, h, d)
-            scale = jnp.maximum(scale, 1e-8)
-            q8 = jnp.round(tt / scale[..., None]).astype(jnp.int8)
+            hi = jnp.max(tt, axis=-1)  # (b, h, d)
+            lo = jnp.min(tt, axis=-1)
+            zp = (hi + lo) * 0.5
+            scale = jnp.maximum((hi - lo) * (0.5 / qmax), 1e-8)
+            q8 = jnp.round((tt - zp[..., None]) / scale[..., None]).astype(
+                jnp.int8
+            )
             if pad:
                 q8 = jnp.pad(q8, ((0, 0), (0, 0), (0, 0), (0, pad)))
-            return q8, scale
+            if self.kv_bits == 4:
+                from ...ops.decode_attention import pack_int4
 
-        k_q, k_s = quant(k)
-        v_q, v_s = quant(v)
-        return k_q, k_s, v_q, v_s, jnp.full((), kv_len, jnp.int32)
+                q8 = pack_int4(q8, block_t=pad_to)
+            return q8, scale, zp
+
+        k_q, k_s, _ = quant(k)  # k_zp dropped: softmax-invariant
+        v_q, v_s, v_zp = quant(v)
+        return k_q, k_s, v_q, v_s, v_zp, jnp.full((), kv_len, jnp.int32)
 
     def attend_quant(
         self,
@@ -122,13 +145,15 @@ class MultiHeadAttention(nn.Module):
         k_s: jax.Array,  # (batch, heads, head_dim)
         v_q: jax.Array,
         v_s: jax.Array,
+        v_zp: jax.Array,  # (batch, heads, head_dim) V zero-point
         kv_len: jax.Array,  # scalar int32 true length
     ) -> jax.Array:
-        """Quantized cross attention.
+        """Quantized cross attention (tuple layout from ``kv_quant``).
 
         q_len == 1 (the decode loop) takes the fused Pallas kernel; longer
         queries (prefill, runs once) use a plain XLA einsum with the padded
-        tail masked.
+        tail masked. The V zero-point folds outside the attention in both
+        paths (weights sum to 1): ``out = attn * v_s + v_zp``.
         """
         q = self._split(self.query(x))  # (b, q, h, hd)
         if x.shape[1] == 1:
@@ -139,11 +164,17 @@ class MultiHeadAttention(nn.Module):
                 k_q,
                 v_q,
                 k_s,
-                v_s,
                 kv_len=kv_len,
                 interpret=jax.default_backend() == "cpu",
-            )[:, None]  # (b, 1, h, hd)
-            return self.out(self._merge(o.astype(self.dtype)))
+                packed_int4=self.kv_bits == 4,
+            )  # (b, h, hd), v_s/v_zp not yet applied
+            o = o.astype(jnp.float32) * v_s + v_zp
+            return self.out(self._merge(o[:, None].astype(self.dtype)))
+        if self.kv_bits == 4:  # prefill runs once; XLA unpack is fine here
+            from ...ops.decode_attention import unpack_int4
+
+            k_q = unpack_int4(k_q).astype(jnp.int8)
+            v_q = unpack_int4(v_q).astype(jnp.int8)
         qf = q.astype(jnp.float32) * (
             k_s[:, None] * (q.shape[-1] ** -0.5)
         )
@@ -159,7 +190,7 @@ class MultiHeadAttention(nn.Module):
             "bhqk,bhdk->bqhd", weights.astype(self.dtype),
             v_q.astype(self.dtype), preferred_element_type=jnp.float32,
         )
-        o = o * v_s[:, None].astype(o.dtype)
+        o = o * v_s[:, None].astype(o.dtype) + v_zp[:, None].astype(o.dtype)
         return self.out(self._merge(o.astype(self.dtype)))
 
     def attend(
@@ -196,6 +227,7 @@ class ResidualAttentionBlock(nn.Module):
     cross_attention: bool = False
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    cross_kv_bits: int = 8  # quantized decode cross-KV width (8 or 4)
 
     def setup(self):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
@@ -206,7 +238,8 @@ class ResidualAttentionBlock(nn.Module):
         if self.cross_attention:
             self.cross_attn_ln = ln("cross_attn_ln")
             self.cross_attn = MultiHeadAttention(
-                self.n_state, self.n_head, self.dtype, name="cross_attn"
+                self.n_state, self.n_head, self.dtype,
+                kv_bits=self.cross_kv_bits, name="cross_attn",
             )
         self.mlp_ln = ln("mlp_ln")
         self.mlp_fc1 = nn.Dense(4 * self.n_state, dtype=self.dtype, name="mlp_fc1")
@@ -232,7 +265,7 @@ class ResidualAttentionBlock(nn.Module):
 
     def _cross(self, x: jax.Array, cross: Tuple[jax.Array, ...]) -> jax.Array:
         h = self._cast(self.cross_attn_ln(x))
-        if len(cross) == 5:  # int8-quantized transposed cross K/V (kv_quant)
+        if len(cross) == 6:  # quantized transposed cross K/V (kv_quant)
             return x + self.cross_attn.attend_quant(h, *cross)
         return x + self.cross_attn.attend(h, *cross)
 
@@ -411,6 +444,7 @@ class TextDecoder(nn.Module):
     dtype: Dtype = jnp.float32
     scan_layers: bool = True
     remat: bool = False
+    cross_kv_bits: int = 8  # quantized decode cross-KV width (8 or 4)
 
     def setup(self):
         d = self.dims
@@ -427,13 +461,15 @@ class TextDecoder(nn.Module):
             )
             self.block = block_cls(
                 d.n_text_state, d.n_text_head, cross_attention=True,
-                dtype=self.dtype, name="block",
+                dtype=self.dtype, cross_kv_bits=self.cross_kv_bits,
+                name="block",
             )
         else:
             self.blocks = [
                 ResidualAttentionBlock(
                     d.n_text_state, d.n_text_head, cross_attention=True,
-                    dtype=self.dtype, name=f"blocks_{i}",
+                    dtype=self.dtype, cross_kv_bits=self.cross_kv_bits,
+                    name=f"blocks_{i}",
                 )
                 for i in range(d.n_text_layer)
             ]

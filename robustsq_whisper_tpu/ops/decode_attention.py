@@ -17,6 +17,15 @@ bandwidth. Scales fold exactly outside the kernel:
 
 Grid: (batch, kv tiles); the kv-tile axis is the minor sequential grid dim,
 so pallas double-buffers the K/V tile DMAs against compute.
+
+int4 mode (``packed_int4=True``): K/V ride as two 4-bit values per int8 byte
+— HALF the HBM traffic of int8 on the decode loop's dominant term. jax's
+native int4 dtype currently fails dispatch (RecursionError, round-1 note), so
+the packing is explicit: within each ``block_t`` time tile, column ``u`` of
+the packed tile holds time step ``u`` in its low nibble and time step
+``u + block_t/2`` in its high nibble (``pack_int4``). The kernel sign-extends
+both nibbles with int32 shifts in registers; tile-local packing means every
+grid step unpacks independently. Scales still fold outside, exactly as int8.
 """
 
 from __future__ import annotations
@@ -33,6 +42,35 @@ DEFAULT_BLOCK_T = 512
 NEG_INF = -1e30
 
 
+def pack_int4(q4: jax.Array, block_t: int = DEFAULT_BLOCK_T) -> jax.Array:
+    """Pack int4 values (int8/int32 in [-7, 7], last axis = time, length a
+    multiple of ``block_t``) two-per-byte: within each block_t tile, byte
+    ``u`` = (time ``u`` low nibble) | (time ``u + block_t/2`` high nibble).
+    Returns int8 of shape (..., T // 2)."""
+    t = q4.shape[-1]
+    assert t % block_t == 0, (t, block_t)
+    half = block_t // 2
+    v = q4.astype(jnp.int32).reshape(*q4.shape[:-1], t // block_t, 2, half)
+    lo, hi = v[..., 0, :], v[..., 1, :]
+    packed = (lo & 0xF) | ((hi & 0xF) << 4)  # 0..255
+    packed = jnp.where(packed >= 128, packed - 256, packed)
+    return packed.astype(jnp.int8).reshape(*q4.shape[:-1], t // 2)
+
+
+def unpack_int4(packed: jax.Array, block_t: int = DEFAULT_BLOCK_T) -> jax.Array:
+    """Inverse of ``pack_int4`` (XLA path, used by the multi-token prefill
+    which runs once per utterance). Returns int32 in [-8, 7]."""
+    half = block_t // 2
+    w = packed.astype(jnp.int32)
+    lo = jnp.left_shift(w, 28) >> 28  # sign-extended low nibble
+    hi = jnp.left_shift(w, 24) >> 28
+    t2 = packed.shape[-1]
+    shape = (*packed.shape[:-1], t2 * 2 // block_t, half)
+    lo, hi = lo.reshape(shape), hi.reshape(shape)
+    out = jnp.concatenate([lo, hi], axis=-1)  # (..., nt, block_t)
+    return out.reshape(*packed.shape[:-1], t2 * 2)
+
+
 def _kernel(
     len_ref,  # (1, 1) int32 SMEM: true kv length (tail may be padding)
     q_ref,  # (h, d) f32
@@ -44,6 +82,7 @@ def _kernel(
     acc_ref,  # scratch (h, d) f32
     *,
     block_t: int,
+    packed: bool = False,
 ):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -55,12 +94,28 @@ def _kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    def unpack(w):  # (h, d, bt/2) int8 -> 2x (h, d, bt/2) f32 nibbles
+        w = w.astype(jnp.int32)
+        lo = jnp.left_shift(w, 28) >> 28
+        hi = jnp.left_shift(w, 24) >> 28
+        return lo.astype(jnp.float32), hi.astype(jnp.float32)
+
     q = q_ref[:].astype(jnp.float32)  # (h, d)
-    kt = kt_ref[:].astype(jnp.float32)  # (h, d, bt)
     # batched over heads on the VPU (Mosaic rejects dot_general with no lhs
     # non-contracting dim; the kernel is BW-bound so VPU reduce is free):
     # s[h, t] = sum_d q[h, d] * kt[h, d, t]
-    s = jnp.sum(kt * q[:, :, None], axis=1)  # (h, bt)
+    if packed:
+        k_lo, k_hi = unpack(kt_ref[:])
+        s = jnp.concatenate(
+            [
+                jnp.sum(k_lo * q[:, :, None], axis=1),
+                jnp.sum(k_hi * q[:, :, None], axis=1),
+            ],
+            axis=-1,
+        )  # (h, bt) — [lo half; hi half] matches pack_int4's column order
+    else:
+        kt = kt_ref[:].astype(jnp.float32)  # (h, d, bt)
+        s = jnp.sum(kt * q[:, :, None], axis=1)  # (h, bt)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_t
     s = jnp.where(col < len_ref[0, 0], s, NEG_INF)
 
@@ -69,9 +124,20 @@ def _kernel(
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     p = jnp.exp(s - m_new)  # (h, bt)
     alpha = jnp.exp(m_prev - m_new)  # (h, 1)
-    vt = vt_ref[:].astype(jnp.float32)  # (h, d, bt)
     # out[h, d] = sum_t p[h, t] * vt[h, d, t]
-    pv = jnp.sum(vt * p[:, None, :], axis=2)  # (h, d)
+    if packed:
+        v_lo, v_hi = unpack(vt_ref[:])
+        half = block_t // 2
+        # slice + expand_dims explicitly: `p[:, None, :half]` falls off
+        # jnp's slice fast-path and lowers as a gather, which Mosaic rejects
+        p_lo = jnp.expand_dims(jax.lax.slice_in_dim(p, 0, half, axis=1), 1)
+        p_hi = jnp.expand_dims(
+            jax.lax.slice_in_dim(p, half, block_t, axis=1), 1
+        )
+        pv = jnp.sum(v_lo * p_lo, axis=2) + jnp.sum(v_hi * p_hi, axis=2)
+    else:
+        vt = vt_ref[:].astype(jnp.float32)  # (h, d, bt)
+        pv = jnp.sum(vt * p[:, None, :], axis=2)  # (h, d)
     m_ref[:] = m_new
     l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + pv
@@ -83,7 +149,9 @@ def _kernel(
         ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block_t", "interpret", "packed_int4")
+)
 def decode_cross_attention(
     q: jax.Array,  # (batch, heads, head_dim) — single decode position
     kt: jax.Array,  # (batch, heads, head_dim, T) int8/bf16/f32, T % block
@@ -93,6 +161,7 @@ def decode_cross_attention(
     kv_len: Optional[jax.Array] = None,  # scalar int32 true length <= T
     block_t: int = DEFAULT_BLOCK_T,
     interpret: bool = False,
+    packed_int4: bool = False,
 ) -> jax.Array:
     """Softmax(q·K/sqrt(d)) @ V for one query position. Returns
     (batch, heads, head_dim) in q.dtype.
@@ -100,35 +169,46 @@ def decode_cross_attention(
     ``kt``/``vt`` should already be padded to a multiple of ``block_t`` (pad
     once at quantization time, not per decode step) with ``kv_len`` marking
     the true length; unpadded inputs are padded here as a fallback.
+
+    ``packed_int4=True``: kt/vt are int8 holding two 4-bit values per byte in
+    ``pack_int4`` layout, shape (batch, heads, head_dim, T // 2) with T
+    already a multiple of ``block_t`` (packing is tile-local, so the time
+    padding must happen BEFORE packing — no fallback padding here).
     """
     b, h, d = q.shape
-    t_in = kt.shape[-1]
-    block_t = min(block_t, max(128, t_in))
+    if packed_int4:
+        t_pad = kt.shape[-1] * 2
+        assert t_pad % block_t == 0, (t_pad, block_t)
+    else:
+        t_in = kt.shape[-1]
+        block_t = min(block_t, max(128, t_in))
 
     qs = q.astype(jnp.float32) * (d**-0.5)
     if k_scale is not None:
         qs = qs * k_scale.astype(jnp.float32)
 
-    pad = (-t_in) % block_t
-    if pad:
-        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, 0), (0, pad)))
-        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, 0), (0, pad)))
-    t_pad = t_in + pad
+    if not packed_int4:
+        pad = (-t_in) % block_t
+        if pad:
+            kt = jnp.pad(kt, ((0, 0), (0, 0), (0, 0), (0, pad)))
+            vt = jnp.pad(vt, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        t_pad = t_in + pad
     if kv_len is None:
-        kv_len = t_in
+        kv_len = t_pad if packed_int4 else t_in
     len_arr = jnp.full((1, 1), kv_len, jnp.int32)
 
+    blk = block_t // 2 if packed_int4 else block_t
     out = pl.pallas_call(
-        functools.partial(_kernel, block_t=block_t),
+        functools.partial(_kernel, block_t=block_t, packed=packed_int4),
         grid=(b, t_pad // block_t),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((None, h, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, h, d, block_t), lambda i, j: (i, 0, 0, j),
+            pl.BlockSpec((None, h, d, blk), lambda i, j: (i, 0, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, h, d, block_t), lambda i, j: (i, 0, 0, j),
+            pl.BlockSpec((None, h, d, blk), lambda i, j: (i, 0, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((None, h, d), lambda i, j: (i, 0, 0),

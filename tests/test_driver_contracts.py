@@ -33,14 +33,40 @@ def test_bench_emits_json_line():
             "BENCH_NEW_TOKENS": "2",
             "BENCH_ITERS": "1",
             "BENCH_FLASH": "0",
+            # the training leg has its own shape test below; keeping it out
+            # here holds this contract check under the subprocess timeout on
+            # the compile-bound CPU test host
+            "BENCH_TRAIN": "0",
         },
     )
     assert r.returncode == 0, r.stderr[-2000:]
     line = r.stdout.strip().splitlines()[-1]
     payload = json.loads(line)
-    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(payload)
     assert payload["unit"] == "audio-sec/chip-sec"
     assert payload["value"] > 0
+
+
+@pytest.mark.slow
+def test_bench_train_leg_emits_train_record():
+    r = _run(
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import bench; bench.main()",
+        env_extra={
+            "BENCH_MODEL": "dev",
+            "BENCH_BATCH": "2",
+            "BENCH_NEW_TOKENS": "2",
+            "BENCH_ITERS": "1",
+            "BENCH_FLASH": "0",
+            "BENCH_TRAIN": "1",
+            "BENCH_TRAIN_BATCH": "2",
+        },
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "train" in payload, payload
+    assert payload["train"]["value"] > 0
+    assert payload["train"]["unit"] == "audio-sec/chip-sec"
 
 
 @pytest.mark.slow
