@@ -68,12 +68,17 @@ def build_greedy_decoder(
         total = prompt_len + len(cfg.init_tokens) + cfg.max_new_tokens
 
         m = lambda method, *a, **kw: dec.apply(variables, *a, method=method, **kw)
-        cross = m(TSDecoder.cross_kv, memory, quantize=cfg.quantize_cross_kv)
+        # prefill on DENSE cross K/V (exact numerics, runs once), quantize
+        # after for the token loop — the quantized layout costs a pack/unpack
+        # pass the one-shot prefill should never pay
+        cross = m(TSDecoder.cross_kv, memory, quantize=False)
         cache = m(TSDecoder.init_cache, b, total)
         init = jnp.tile(
             jnp.asarray(cfg.init_tokens, jnp.int32)[None, :], (b, 1)
         )
         logits, cache = m(TSDecoder.prefill, init, spk_prompt, cache, cross)
+        if cfg.quantize_cross_kv:
+            cross = m(TSDecoder.quantize_cross, cross)
 
         def emit(logits, done, score):
             logp = jax.nn.log_softmax(logits, axis=-1)
@@ -156,12 +161,15 @@ def build_beam_decoder(
 
         mem_e, prompt_e = expand(memory), expand(spk_prompt)
         m = lambda method, *a, **kw: dec.apply(variables, *a, method=method, **kw)
-        cross = m(TSDecoder.cross_kv, mem_e, quantize=cfg.quantize_cross_kv)
+        # dense prefill, quantize for the token loop (see greedy above)
+        cross = m(TSDecoder.cross_kv, mem_e, quantize=False)
         cache = m(TSDecoder.init_cache, b * k, total)
         init = jnp.tile(
             jnp.asarray(cfg.init_tokens, jnp.int32)[None, :], (b * k, 1)
         )
         logits, cache = m(TSDecoder.prefill, init, prompt_e, cache, cross)
+        if cfg.quantize_cross_kv:
+            cross = m(TSDecoder.quantize_cross, cross)
 
         neg_inf = jnp.float32(-1e30)
         # beam 0 active, others dead at start so the first step picks top-k

@@ -85,6 +85,9 @@ class TSDecoder(nn.Module):
     def cross_kv(self, memory: jax.Array, quantize: bool = False):
         return self.decoder.cross_kv(memory, quantize=quantize)
 
+    def quantize_cross(self, cross):
+        return self.decoder.quantize_cross(cross)
+
     def init_cache(self, batch: int, max_len: int):
         return self.decoder.init_cache(batch, max_len)
 

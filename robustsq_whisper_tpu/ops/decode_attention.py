@@ -43,18 +43,21 @@ NEG_INF = -1e30
 
 
 def pack_int4(q4: jax.Array, block_t: int = DEFAULT_BLOCK_T) -> jax.Array:
-    """Pack int4 values (int8/int32 in [-7, 7], last axis = time, length a
+    """Pack int4 values (int8 in [-7, 7], last axis = time, length a
     multiple of ``block_t``) two-per-byte: within each block_t tile, byte
     ``u`` = (time ``u`` low nibble) | (time ``u + block_t/2`` high nibble).
-    Returns int8 of shape (..., T // 2)."""
+    Returns int8 of shape (..., T // 2).
+
+    Stays entirely in int8 arithmetic — ``hi << 4`` wraps to exactly the
+    byte we want in two's complement, so no int32 upcast / re-narrowing
+    pass (this runs over the full K/V at decode-session setup)."""
     t = q4.shape[-1]
     assert t % block_t == 0, (t, block_t)
     half = block_t // 2
-    v = q4.astype(jnp.int32).reshape(*q4.shape[:-1], t // block_t, 2, half)
+    v = q4.astype(jnp.int8).reshape(*q4.shape[:-1], t // block_t, 2, half)
     lo, hi = v[..., 0, :], v[..., 1, :]
-    packed = (lo & 0xF) | ((hi & 0xF) << 4)  # 0..255
-    packed = jnp.where(packed >= 128, packed - 256, packed)
-    return packed.astype(jnp.int8).reshape(*q4.shape[:-1], t // 2)
+    packed = jnp.left_shift(hi, 4) | (lo & jnp.int8(0xF))
+    return packed.reshape(*q4.shape[:-1], t // 2)
 
 
 def unpack_int4(packed: jax.Array, block_t: int = DEFAULT_BLOCK_T) -> jax.Array:
