@@ -18,6 +18,7 @@ BENCH_BATCH (default 32), BENCH_NEW_TOKENS (default 128), BENCH_ITERS
 (default 3), BENCH_FLASH (Pallas encoder attention, default 1),
 BENCH_INT8_KV (fused quantized cross-attention decode kernel, default 1),
 BENCH_KV_BITS (cross-KV width under BENCH_INT8_KV=1: 8 or 4, default 8),
+BENCH_INT8_W (W8A8 int8 decode-step weight matmuls, default 1),
 BENCH_TRAIN (default 1), BENCH_TRAIN_BATCH (default 16; halved on OOM),
 BENCH_TRAIN_MODE (default lora).
 """
@@ -222,6 +223,7 @@ def main():
         init_tokens=st.sot_sequence("en", "transcribe", True),
         beam_size=1,
         quantize_cross_kv=os.environ.get("BENCH_INT8_KV", "1") == "1",
+        quantize_weights=os.environ.get("BENCH_INT8_W", "1") == "1",
     )
     greedy = build_greedy_decoder(dec, dec_vars, dcfg)
     encode = jax.jit(

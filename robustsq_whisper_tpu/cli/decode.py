@@ -47,6 +47,13 @@ def main(argv=None):
         "half the decode loop's dominant HBM read again; asymmetric "
         "per-channel quantization, see ops/decode_attention.py)",
     )
+    parser.add_argument(
+        "--int8_weights", type=lambda s: s.lower() != "false", default=False,
+        help="W8A8 int8 matmuls in the decode token loop (per-output-channel "
+        "int8 kernels quantized once at startup, dynamic activation scales, "
+        "native int8 MXU dots — halves the per-token weight read; prefill "
+        "stays dense fp, see ops/quant.py)",
+    )
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -149,6 +156,7 @@ def main(argv=None):
 
     dcfg = dataclasses.replace(
         exp.decode,
+        quantize_weights=args.int8_weights,
         eot=exp.model.eos,
         init_tokens=st.sot_sequence(args.language, "transcribe", True)
         if exp.model.vocab_size >= st.n_vocab

@@ -24,7 +24,7 @@ from typing import Any, Callable, List, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..models.ts_decoder import TSDecoder
+from ..models.ts_decoder import TSDecoder, quantize_step_weights
 
 
 @dataclasses.dataclass(frozen=True)
@@ -39,10 +39,26 @@ class DecodeConfig:
     # int8-quantize the cross-attention K/V (the decode loop's dominant HBM
     # traffic; ~2x less per-step memory read at negligible accuracy cost)
     quantize_cross_kv: bool = False
+    # W8A8 int8 weights for the decode step: per-output-channel int8 kernels
+    # computed once at build time, dynamic activation scales per token, native
+    # int8 MXU dots (ops/quant.py) — halves the per-token weight read (the
+    # second-largest HBM term after the cross-KV). Prefill stays dense fp.
+    quantize_weights: bool = False
     # lax.while_loop early exit once every utterance emitted eot — on real
     # speech (~30-50 tokens per 30 s) this cuts decode wall time 2-3x vs the
     # fixed-length scan; the scan is kept for beam search (simpler gather)
     stop_early: bool = True
+
+
+def _step_weights(dec: TSDecoder, variables: Any, cfg: "DecodeConfig"):
+    """One-time int8 quantization of the decode-step weights (or None).
+
+    Computed eagerly at builder time and bound as a jit ARGUMENT — like the
+    dense weights, never a closure (closed-over device arrays lower as HLO
+    constants, each fetched device->host during tracing)."""
+    if not cfg.quantize_weights:
+        return None
+    return jax.jit(quantize_step_weights)(variables)
 
 
 def build_greedy_decoder(
@@ -62,7 +78,9 @@ def build_greedy_decoder(
     """
 
     @functools.partial(jax.jit, donate_argnums=())
-    def run(variables: Any, memory: jax.Array, spk_prompt: jax.Array):
+    def run(
+        variables: Any, qw: Any, memory: jax.Array, spk_prompt: jax.Array
+    ):
         b = memory.shape[0]
         prompt_len = 1 + spk_prompt.shape[1] if dec.use_spk_prompt else 0
         total = prompt_len + len(cfg.init_tokens) + cfg.max_new_tokens
@@ -107,7 +125,8 @@ def build_greedy_decoder(
                     tokens, tok[:, None], (0, i)
                 )
                 new_logits, cache = m(
-                    TSDecoder.step, tok[:, None], base + i, cache, cross
+                    TSDecoder.step, tok[:, None], base + i, cache, cross,
+                    qw=qw,
                 )
                 return (i + 1, new_logits, cache, done, score, tokens)
 
@@ -120,7 +139,7 @@ def build_greedy_decoder(
             logits, cache, done, score = carry
             tok, done, score = emit(logits, done, score)
             new_logits, cache2 = m(
-                TSDecoder.step, tok[:, None], base + i, cache, cross
+                TSDecoder.step, tok[:, None], base + i, cache, cross, qw=qw
             )
             return (new_logits, cache2, done, score), tok
 
@@ -130,7 +149,7 @@ def build_greedy_decoder(
         )
         return tokens.T, scores  # (b, max_new), (b,)
 
-    return functools.partial(run, variables)
+    return functools.partial(run, variables, _step_weights(dec, variables, cfg))
 
 
 def build_beam_decoder(
@@ -149,7 +168,9 @@ def build_beam_decoder(
         return build_greedy_decoder(dec, variables, cfg)
 
     @functools.partial(jax.jit, donate_argnums=())
-    def run(variables: Any, memory: jax.Array, spk_prompt: jax.Array):
+    def run(
+        variables: Any, qw: Any, memory: jax.Array, spk_prompt: jax.Array
+    ):
         b = memory.shape[0]
         prompt_len = 1 + spk_prompt.shape[1] if dec.use_spk_prompt else 0
         total = prompt_len + len(cfg.init_tokens) + cfg.max_new_tokens
@@ -212,7 +233,7 @@ def build_beam_decoder(
             ).astype(jnp.int32)
             pos = prompt_len + len(cfg.init_tokens) + i
             new_logits, cache3 = m(
-                TSDecoder.step, tok.reshape(-1, 1), pos, cache2, cross
+                TSDecoder.step, tok.reshape(-1, 1), pos, cache2, cross, qw=qw
             )
             return (
                 (new_logits, cache3, top_scores, done2, lengths2),
@@ -252,7 +273,7 @@ def build_beam_decoder(
         )[:, 0]
         return rev_tokens.T, best_scores
 
-    return functools.partial(run, variables)
+    return functools.partial(run, variables, _step_weights(dec, variables, cfg))
 
 
 def strip_eot(tokens, eot: int) -> List[List[int]]:

@@ -126,5 +126,17 @@ class TSDecoder(nn.Module):
         pos: jax.Array,  # scalar int32 absolute position incl. prompt
         cache: List[Tuple[jax.Array, jax.Array]],
         cross: List[Tuple[jax.Array, jax.Array]],
+        qw=None,  # int8 step weights (quantize_step_weights)
     ) -> Tuple[jax.Array, List[Tuple[jax.Array, jax.Array]]]:
-        return self.decoder.step(self.decoder.embed(token), pos, cache, cross)
+        return self.decoder.step(
+            self.decoder.embed(token), pos, cache, cross, qw=qw
+        )
+
+
+def quantize_step_weights(variables) -> dict:
+    """Int8 decode-step weights for a TSDecoder variables dict (see
+    whisper.modules.quantize_step_weights). Computed once per decode session;
+    prefill and training keep the dense fp weights."""
+    from .whisper.modules import quantize_step_weights as _q
+
+    return _q(variables["params"]["decoder"])

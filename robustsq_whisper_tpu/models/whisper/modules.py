@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.attention import causal_mask, dot_product_attention
+from ...ops.quant import qmatmul, quantize_weight
 from .config import WhisperDims, sinusoids
 
 Dtype = Any
@@ -39,16 +40,76 @@ Cache = Tuple[jax.Array, jax.Array]
 CrossKV = Tuple[jax.Array, jax.Array]
 
 
+def quantize_step_weights(decoder_params: dict) -> dict:
+    """Int8-quantize every dense kernel the decode ``step`` touches.
+
+    Takes a TextDecoder param subtree (the ``"decoder"`` entry of TSDecoder
+    variables) and returns a pytree of per-output-channel int8 kernels +
+    fp32 scales (+ the fp32 biases the quantized path needs, since it
+    bypasses the flax Dense modules):
+
+    - per layer (scan-stacked, leading layer axis): self-attn q/k/v/out,
+      cross-attn q/out (cross k/v are the encoder-memory projections,
+      already handled by ``kv_quant``), mlp fc1/fc2;
+    - the tied output embedding, per-ROW quantized for the logits matmul.
+
+    Computed once at decode-session setup (ops/quant.py rationale: the
+    weight read is the second-largest per-token HBM term after the
+    quantized cross-KV). Prefill and training always use the dense fp path.
+    """
+
+    def dense(p: dict, with_bias: bool = True):
+        w_q, s = quantize_weight(p["kernel"], contract_axis=-2)
+        b = p["bias"].astype(jnp.float32) if with_bias else None
+        return (w_q, s, b)
+
+    if "block" in decoder_params:  # nn.scan stacked: kernels (L, in, out)
+        blk = decoder_params["block"]
+    else:  # unrolled blocks_{i}: stack to the same layout
+        names = sorted(
+            (k for k in decoder_params if k.startswith("blocks_")),
+            key=lambda k: int(k.split("_")[-1]),
+        )
+        blk = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves),
+            *(decoder_params[n] for n in names),
+        )
+    layers = {
+        "attn": {
+            "query": dense(blk["attn"]["query"]),
+            "key": dense(blk["attn"]["key"], with_bias=False),
+            "value": dense(blk["attn"]["value"]),
+            "out": dense(blk["attn"]["out"]),
+        },
+        "cross": {
+            "query": dense(blk["cross_attn"]["query"]),
+            "out": dense(blk["cross_attn"]["out"]),
+        },
+        "fc1": dense(blk["mlp_fc1"]),
+        "fc2": dense(blk["mlp_fc2"]),
+    }
+    emb_q, emb_s = quantize_weight(
+        decoder_params["token_embedding"]["embedding"], contract_axis=-1
+    )
+    return {"layers": layers, "emb": (emb_q, emb_s)}
+
+
 def _gelu(x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=False)
 
 
-def _scan(body, length: int):
-    """nn.scan over stacked per-layer params; broadcast closure constants."""
+def _scan(body, length: int, in_axes=0):
+    """nn.scan over stacked per-layer params; broadcast closure constants.
+
+    ``in_axes`` may mark extra body args as ``nn.broadcast`` — used by the
+    decode step to keep the big stacked cross-K/V OUT of the scanned xs
+    (peeling it as xs makes XLA copy each layer's slab per token; the Pallas
+    kernel indexes the layer instead, see ops/decode_attention.py)."""
     return nn.scan(
         body,
         variable_axes={"params": 0},
         split_rngs={"params": True},
+        in_axes=in_axes,
         length=length,
         metadata_params={nn.meta.PARTITION_NAME: None},
     )
@@ -167,6 +228,8 @@ class MultiHeadAttention(nn.Module):
         v_s: jax.Array,
         v_zp: jax.Array,  # (batch, heads, head_dim) V zero-point
         kv_len: jax.Array,  # scalar int32 true length
+        qw: Optional[dict] = None,  # int8 step weights for q/out projections
+        layer_idx: Optional[jax.Array] = None,  # stacked k_q/v_q (see below)
     ) -> jax.Array:
         """Quantized cross attention (tuple layout from ``kv_quant``).
 
@@ -174,8 +237,16 @@ class MultiHeadAttention(nn.Module):
         queries (prefill, runs once) use a plain XLA einsum with the padded
         tail masked. The V zero-point folds outside the attention in both
         paths (weights sum to 1): ``out = attn * v_s + v_zp``.
+
+        In the decode loop ``k_q``/``v_q`` may carry a leading stacked LAYER
+        axis with ``layer_idx`` selecting this block's slab *inside* the
+        kernel — avoiding the per-step XLA slice-copy of the whole tensor
+        (decode_cross_attention docstring).
         """
-        q = self._split(self.query(x))  # (b, q, h, hd)
+        q = self._split(
+            self.query(x) if qw is None
+            else qmatmul(x, *qw["query"], out_dtype=self.dtype)
+        )  # (b, q, h, hd)
         if x.shape[1] == 1:
             from ...ops.decode_attention import decode_cross_attention
 
@@ -185,11 +256,16 @@ class MultiHeadAttention(nn.Module):
                 v_q,
                 k_s,
                 kv_len=kv_len,
+                layer_idx=layer_idx,
                 interpret=jax.default_backend() == "cpu",
                 packed_int4=self.kv_bits == 4,
             )  # (b, h, hd), v_s/v_zp not yet applied
             o = o.astype(jnp.float32) * v_s + v_zp
-            return self.out(self._merge(o[:, None].astype(self.dtype)))
+            o = self._merge(o[:, None].astype(self.dtype))
+            if qw is not None:
+                return qmatmul(o, *qw["out"], out_dtype=self.dtype)
+            return self.out(o)
+        assert layer_idx is None, "stacked K/V is decode-loop only"
         if self.kv_bits == 4:  # prefill runs once; XLA unpack is fine here
             from ...ops.decode_attention import unpack_int4
 
@@ -211,7 +287,10 @@ class MultiHeadAttention(nn.Module):
             v_q.astype(self.dtype), preferred_element_type=jnp.float32,
         )
         o = o * v_s[:, None].astype(o.dtype) + v_zp[:, None].astype(o.dtype)
-        return self.out(self._merge(o.astype(self.dtype)))
+        o = self._merge(o.astype(self.dtype))
+        if qw is not None:
+            return qmatmul(o, *qw["out"], out_dtype=self.dtype)
+        return self.out(o)
 
     def attend(
         self,
@@ -219,8 +298,12 @@ class MultiHeadAttention(nn.Module):
         k: jax.Array,
         v: jax.Array,
         mask: Optional[jax.Array] = None,
+        qw: Optional[dict] = None,  # int8 step weights for q/out projections
     ) -> jax.Array:
-        q = self._split(self.query(x))
+        q = self._split(
+            self.query(x) if qw is None
+            else qmatmul(x, *qw["query"], out_dtype=self.dtype)
+        )
         if self.use_flash and mask is None and q.shape[1] >= 256:
             from ...ops.flash_attention import flash_attention
 
@@ -229,7 +312,10 @@ class MultiHeadAttention(nn.Module):
             )
         else:
             o = dot_product_attention(q, k, v, mask=mask)
-        return self.out(self._merge(o))
+        o = self._merge(o)
+        if qw is not None:
+            return qmatmul(o, *qw["out"], out_dtype=self.dtype)
+        return self.out(o)
 
     def __call__(
         self,
@@ -283,11 +369,19 @@ class ResidualAttentionBlock(nn.Module):
         x = x + self._mlp(self._cast(self.mlp_ln(x)))
         return x
 
-    def _cross(self, x: jax.Array, cross: Tuple[jax.Array, ...]) -> jax.Array:
+    def _cross(
+        self,
+        x: jax.Array,
+        cross: Tuple[jax.Array, ...],
+        qw: Optional[dict] = None,
+        layer_idx: Optional[jax.Array] = None,
+    ) -> jax.Array:
         h = self._cast(self.cross_attn_ln(x))
         if len(cross) == 6:  # quantized transposed cross K/V (kv_quant)
-            return x + self.cross_attn.attend_quant(h, *cross)
-        return x + self.cross_attn.attend(h, *cross)
+            return x + self.cross_attn.attend_quant(
+                h, *cross, qw=qw, layer_idx=layer_idx
+            )
+        return x + self.cross_attn.attend(h, *cross, qw=qw)
 
     def prefill(
         self,
@@ -314,6 +408,8 @@ class ResidualAttentionBlock(nn.Module):
         cache_v: jax.Array,
         pos: jax.Array,
         cross: Tuple[jax.Array, ...],
+        qw: Optional[dict] = None,
+        layer_idx: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Single-token decode step against a READ-ONLY KV-cache prefix.
 
@@ -329,12 +425,21 @@ class ResidualAttentionBlock(nn.Module):
             cache_k/cache_v: (batch, max_len, heads, head_dim) buffers whose
                 first ``pos`` positions are valid.
             pos: scalar int32 current position (also the write slot).
+            qw: optional per-layer int8 step weights (quantize_step_weights
+                ``"layers"`` entry) — every dense matmul below runs W8A8.
         Returns:
             (new_x, k_new, v_new) — k/v of shape (batch, 1, heads, head_dim).
         """
         h = self._cast(self.attn_ln(x))
-        k_new, v_new = self.attn.kv(h)  # (b, 1, heads, hd)
-        q = self.attn._split(self.attn.query(h))  # (b, 1, heads, hd)
+        if qw is None:
+            k_new, v_new = self.attn.kv(h)  # (b, 1, heads, hd)
+            q = self.attn._split(self.attn.query(h))
+        else:
+            a = qw["attn"]
+            split, dt = self.attn._split, self.dtype
+            k_new = split(qmatmul(h, *a["key"], out_dtype=dt))
+            v_new = split(qmatmul(h, *a["value"], out_dtype=dt))
+            q = split(qmatmul(h, *a["query"], out_dtype=dt))
         scale = q.shape[-1] ** -0.5
 
         max_len = cache_k.shape[1]
@@ -355,10 +460,22 @@ class ResidualAttentionBlock(nn.Module):
             cache_v,
             preferred_element_type=jnp.float32,
         ) + w[..., max_len:].transpose(0, 2, 1, 3) * v_new.astype(jnp.float32)
-        o = self.attn.out(self.attn._merge(o.astype(self.dtype)))
+        o = self.attn._merge(o.astype(self.dtype))
+        o = (
+            self.attn.out(o) if qw is None
+            else qmatmul(o, *qw["attn"]["out"], out_dtype=self.dtype)
+        )
         x = x + o
-        x = self._cross(x, cross)
-        x = x + self._mlp(self._cast(self.mlp_ln(x)))
+        x = self._cross(
+            x, cross, qw=None if qw is None else qw["cross"],
+            layer_idx=layer_idx,
+        )
+        h2 = self._cast(self.mlp_ln(x))
+        if qw is None:
+            x = x + self._mlp(h2)
+        else:
+            hid = _gelu(qmatmul(h2, *qw["fc1"], out_dtype=self.dtype))
+            x = x + qmatmul(hid, *qw["fc2"], out_dtype=self.dtype)
         return x, k_new, v_new
 
 
@@ -510,6 +627,25 @@ class TextDecoder(nn.Module):
             preferred_element_type=jnp.float32,
         ).astype(jnp.float32)
 
+    @staticmethod
+    def logits_quant(
+        x: jax.Array, emb_q: jax.Array, emb_s: jax.Array
+    ) -> jax.Array:
+        """W8A8 tied-embedding logits for the decode step: per-row int8
+        embedding (quantize_step_weights) x dynamically-quantized hidden —
+        the (n_vocab, n_state) read is ~106 MB/token at medium in bf16,
+        halved here and run as a native int8 MXU dot (ops/quant.py)."""
+        from ...ops.quant import quantize_activation
+
+        x_q, a_s = quantize_activation(x)
+        y = jax.lax.dot_general(
+            x_q,
+            emb_q,
+            dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (b, t, vocab)
+        return y.astype(jnp.float32) * (a_s * emb_s)
+
     # ---- full-sequence forward ----
 
     def forward_embedded(
@@ -618,31 +754,74 @@ class TextDecoder(nn.Module):
         return self.logits(x)[:, 0], (ck, cv)
 
     def step(
-        self, token_emb: jax.Array, pos: jax.Array, cache: Cache, cross: CrossKV
+        self,
+        token_emb: jax.Array,
+        pos: jax.Array,
+        cache: Cache,
+        cross: CrossKV,
+        qw: Optional[dict] = None,
     ) -> Tuple[jax.Array, Cache]:
         """One decode step. token_emb: (batch, 1, n_state); pos: scalar int.
 
-        Returns fp32 logits (batch, n_vocab) and the updated cache.
+        ``qw`` (from ``quantize_step_weights``) routes every dense matmul of
+        the step — including the tied-embedding logits — through W8A8 int8
+        (ops/quant.py); the per-layer entries ride the scan like the cross
+        K/V do. Returns fp32 logits (batch, n_vocab) and the updated cache.
         """
         pos_emb = jax.lax.dynamic_slice_in_dim(
             self.positional_embedding, pos, 1, axis=0
         )
         x = (token_emb + pos_emb[None]).astype(self.dtype)
         ck, cv = cache
+        layers_qw = None if qw is None else qw["layers"]
+        quantized_cross = len(cross) == 6
         if self.scan_layers:
-            def body(block, carry, layer_in):
-                lk, lv = layer_in[0], layer_in[1]
-                y, k_new, v_new = block.step(carry, lk, lv, pos, layer_in[2:])
-                return y, (k_new, v_new)
+            if quantized_cross:
+                # The big stacked K/V tensors are scan-BROADCAST; peeling
+                # them as xs makes XLA slice-copy a layer's whole K/V every
+                # token (~1.7 ms/step at medium/batch 32/int4 — profiled).
+                # The Pallas kernel indexes the layer itself via layer_idx.
+                k_q, k_s, v_q, v_s, v_zp, kv_len = cross
+                idxs = jnp.arange(self.dims.n_text_layer, dtype=jnp.int32)
 
-            x, (k_news, v_news) = _scan(body, self.dims.n_text_layer)(
-                self.block, x, (ck, cv) + tuple(cross)
-            )
+                def body(block, carry, layer_in, big):
+                    (lk, lv), (ks_l, vs_l, vzp_l, len_l), idx, qw_l = layer_in
+                    kq_full, vq_full = big
+                    y, k_new, v_new = block.step(
+                        carry, lk, lv, pos,
+                        (kq_full, ks_l, vq_full, vs_l, vzp_l, len_l),
+                        qw=qw_l, layer_idx=idx,
+                    )
+                    return y, (k_new, v_new)
+
+                x, (k_news, v_news) = _scan(
+                    body, self.dims.n_text_layer, in_axes=(0, nn.broadcast)
+                )(
+                    self.block,
+                    x,
+                    ((ck, cv), (k_s, v_s, v_zp, kv_len), idxs, layers_qw),
+                    (k_q, v_q),
+                )
+            else:
+                def body(block, carry, layer_in):
+                    (lk, lv), cross_l, qw_l = layer_in
+                    y, k_new, v_new = block.step(
+                        carry, lk, lv, pos, cross_l, qw=qw_l
+                    )
+                    return y, (k_new, v_new)
+
+                x, (k_news, v_news) = _scan(body, self.dims.n_text_layer)(
+                    self.block, x, ((ck, cv), tuple(cross), layers_qw)
+                )
         else:
             new_k, new_v = [], []
             for i, block in enumerate(self.blocks):
+                qw_i = (
+                    None if layers_qw is None
+                    else jax.tree_util.tree_map(lambda a: a[i], layers_qw)
+                )
                 x, k_i, v_i = block.step(
-                    x, ck[i], cv[i], pos, tuple(c[i] for c in cross)
+                    x, ck[i], cv[i], pos, tuple(c[i] for c in cross), qw=qw_i
                 )
                 new_k.append(k_i)
                 new_v.append(v_i)
@@ -652,4 +831,6 @@ class TextDecoder(nn.Module):
         ck = jax.lax.dynamic_update_slice(ck, k_news, (0, 0, pos, 0, 0))
         cv = jax.lax.dynamic_update_slice(cv, v_news, (0, 0, pos, 0, 0))
         x = self.ln(x).astype(self.dtype)
+        if qw is not None:
+            return self.logits_quant(x, *qw["emb"])[:, 0], (ck, cv)
         return self.logits(x)[:, 0], (ck, cv)

@@ -75,7 +75,7 @@ def unpack_int4(packed: jax.Array, block_t: int = DEFAULT_BLOCK_T) -> jax.Array:
 
 
 def _kernel(
-    len_ref,  # (1, 1) int32 SMEM: true kv length (tail may be padding)
+    meta_ref,  # (2,) int32 scalar-prefetch: [layer index, true kv length]
     q_ref,  # (h, d) f32
     kt_ref,  # (h, d, block_t) int8/bf16/f32
     vt_ref,  # (h, d, block_t)
@@ -120,7 +120,7 @@ def _kernel(
         kt = kt_ref[:].astype(jnp.float32)  # (h, d, bt)
         s = jnp.sum(kt * q[:, :, None], axis=1)  # (h, bt)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_t
-    s = jnp.where(col < len_ref[0, 0], s, NEG_INF)
+    s = jnp.where(col < meta_ref[1], s, NEG_INF)
 
     m_prev = m_ref[:]  # (h, 1)
     l_prev = l_ref[:]
@@ -162,6 +162,7 @@ def decode_cross_attention(
     k_scale: Optional[jax.Array] = None,  # (batch, heads, head_dim)
     v_scale: Optional[jax.Array] = None,
     kv_len: Optional[jax.Array] = None,  # scalar int32 true length <= T
+    layer_idx: Optional[jax.Array] = None,  # scalar int32, stacked kt/vt
     block_t: int = DEFAULT_BLOCK_T,
     interpret: bool = False,
     packed_int4: bool = False,
@@ -177,8 +178,19 @@ def decode_cross_attention(
     ``pack_int4`` layout, shape (batch, heads, head_dim, T // 2) with T
     already a multiple of ``block_t`` (packing is tile-local, so the time
     padding must happen BEFORE packing — no fallback padding here).
+
+    **Stacked-layer mode** (``kt.ndim == 5`` + ``layer_idx``): kt/vt carry a
+    leading LAYER axis, (layers, batch, heads, head_dim, T[/2]), and the
+    kernel's index_map picks ``layer_idx``'s slab via scalar prefetch. This
+    exists because peeling the per-layer K/V as ``nn.scan`` xs makes XLA
+    dynamic-slice-COPY each layer's tensor inside the token loop — measured
+    ~1.7 ms/step at medium/batch 32/int4, i.e. the decode loop's dominant
+    HBM term was being read twice (profiled round 2). Indexing inside the
+    kernel reads each tile exactly once, straight from the stacked tensor.
     """
     b, h, d = q.shape
+    stacked = kt.ndim == 5
+    assert stacked == (layer_idx is not None), (kt.shape, layer_idx)
     if packed_int4:
         t_pad = kt.shape[-1] * 2
         assert t_pad % block_t == 0, (t_pad, block_t)
@@ -193,37 +205,49 @@ def decode_cross_attention(
     if not packed_int4:
         pad = (-t_in) % block_t
         if pad:
-            kt = jnp.pad(kt, ((0, 0), (0, 0), (0, 0), (0, pad)))
-            vt = jnp.pad(vt, ((0, 0), (0, 0), (0, 0), (0, pad)))
+            widths = [(0, 0)] * (kt.ndim - 1) + [(0, pad)]
+            kt = jnp.pad(kt, widths)
+            vt = jnp.pad(vt, widths)
         t_pad = t_in + pad
     if kv_len is None:
         kv_len = t_pad if packed_int4 else t_in
-    len_arr = jnp.full((1, 1), kv_len, jnp.int32)
+    meta = jnp.stack(
+        [
+            jnp.asarray(0 if layer_idx is None else layer_idx, jnp.int32),
+            jnp.asarray(kv_len, jnp.int32),
+        ]
+    )
 
     blk = block_t // 2 if packed_int4 else block_t
-    out = pl.pallas_call(
-        functools.partial(_kernel, block_t=block_t, packed=packed_int4),
+    if stacked:
+        kv_spec = pl.BlockSpec(
+            (None, None, h, d, blk), lambda i, j, m: (m[0], i, 0, 0, j)
+        )
+    else:
+        kv_spec = pl.BlockSpec(
+            (None, h, d, blk), lambda i, j, m: (i, 0, 0, j)
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(b, t_pad // block_t),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, h, d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, h, d, blk), lambda i, j: (i, 0, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, h, d, blk), lambda i, j: (i, 0, 0, j),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, h, d), lambda i, j, m: (i, 0, 0)),
+            kv_spec,
+            kv_spec,
         ],
-        out_specs=pl.BlockSpec((None, h, d), lambda i, j: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        out_specs=pl.BlockSpec((None, h, d), lambda i, j, m: (i, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((h, 1), jnp.float32),
             pltpu.VMEM((h, 1), jnp.float32),
             pltpu.VMEM((h, d), jnp.float32),
         ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, block_t=block_t, packed=packed_int4),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
         interpret=interpret,
-    )(len_arr, qs, kt, vt)
+    )(meta, qs, kt, vt)
 
     if v_scale is not None:
         out = (out.astype(jnp.float32) * v_scale.astype(jnp.float32)).astype(

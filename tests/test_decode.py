@@ -413,3 +413,65 @@ def test_bpe_tokenizer_from_ranks():
     assert 258 in ids  # the merge actually applies
     assert tok.decode(ids + [tok.special.eot]) == "hello hello"
     assert tok.special.startofprev == 50361
+
+
+def test_qmatmul_matches_dense():
+    """W8A8 matmul (ops/quant.py) vs fp32 oracle: per-output-channel weight
+    scales + dynamic activation scales keep relative error ~1e-2."""
+    from robustsq_whisper_tpu.ops.quant import qmatmul, quantize_weight
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 1, 64)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((64, 96)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((96,)), jnp.float32)
+    w_q, w_s = quantize_weight(w)
+    y = np.asarray(qmatmul(x, w_q, w_s, b))
+    ref = np.asarray(x @ w + b)
+    err = np.abs(y - ref).max() / np.abs(ref).std()
+    assert err < 0.05, err
+
+
+def test_quantized_weights_step_matches_dense(dec_and_params):
+    """One decode step with int8 step weights stays close to the dense step
+    (logits within a few percent of the logit scale) and decodes the same
+    tokens end-to-end on the tiny model."""
+    from robustsq_whisper_tpu.models.ts_decoder import quantize_step_weights
+
+    dec, variables, memory, prompt = dec_and_params
+    qw = quantize_step_weights(variables)
+    # int8 kernels with per-output-channel scales, stacked per layer
+    w_q, w_s, _ = qw["layers"]["attn"]["query"]
+    assert w_q.dtype == jnp.int8 and w_q.shape[0] == DIMS.n_text_layer
+    assert w_s.shape == w_q.shape[:1] + w_q.shape[2:]
+
+    m = lambda method, *a, **kw: dec.apply(variables, *a, method=method, **kw)
+    cross = m(TSDecoder.cross_kv, memory)
+    total = 1 + prompt.shape[1] + 1 + CFG.max_new_tokens
+    cache = m(TSDecoder.init_cache, memory.shape[0], total)
+    init = jnp.ones((memory.shape[0], 1), jnp.int32)
+    logits, cache = m(TSDecoder.prefill, init, prompt, cache, cross)
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+    pos = 1 + prompt.shape[1] + 1
+    dense_logits, _ = m(TSDecoder.step, tok, pos, cache, cross)
+    q_logits, _ = m(TSDecoder.step, tok, pos, cache, cross, qw=qw)
+    # ~6% of the logit std on this random-unit-variance tiny model (trained
+    # whisper weights quantize tighter); a scale bug would be ~10x larger
+    dev = np.abs(np.asarray(q_logits) - np.asarray(dense_logits)).max()
+    assert dev < 0.1 * np.asarray(dense_logits).std(), dev
+
+
+def test_quantized_weights_decode_matches_dense(dec_and_params):
+    """End-to-end greedy decode with quantize_weights=True reproduces the
+    dense tokens on well-conditioned inputs (same bar as the int8 cross-KV
+    test above); composes with the quantized cross-KV path."""
+    dec, variables, memory, prompt = dec_and_params
+    g = build_greedy_decoder(dec, variables, CFG)
+    t_dense, _ = g(memory, prompt)
+    for quant_kv in (False, True):
+        cfg_q = DecodeConfig(
+            max_new_tokens=8, eot=2, init_tokens=(1,),
+            quantize_weights=True, quantize_cross_kv=quant_kv,
+        )
+        gq = build_greedy_decoder(dec, variables, cfg_q)
+        t_q, _ = gq(memory, prompt)
+        np.testing.assert_array_equal(np.asarray(t_dense), np.asarray(t_q))
