@@ -475,3 +475,21 @@ def test_quantized_weights_decode_matches_dense(dec_and_params):
         gq = build_greedy_decoder(dec, variables, cfg_q)
         t_q, _ = gq(memory, prompt)
         np.testing.assert_array_equal(np.asarray(t_dense), np.asarray(t_q))
+
+
+def test_quantized_weights_beam_close_to_dense_beam(dec_and_params):
+    """Beam search passes the int8 step weights through the gathered-cache
+    step exactly like greedy. Unlike greedy (exact-equality test above),
+    beam top-k amplifies near-tie logit perturbations on this random tiny
+    model, so the bar is high agreement + sane scores, not equality."""
+    dec, variables, memory, prompt = dec_and_params
+    cfg = DecodeConfig(max_new_tokens=8, eot=2, init_tokens=(1,), beam_size=3)
+    cfg_q = DecodeConfig(
+        max_new_tokens=8, eot=2, init_tokens=(1,), beam_size=3,
+        quantize_weights=True, quantize_cross_kv=True,
+    )
+    tb, sb = build_beam_decoder(dec, variables, cfg)(memory, prompt)
+    tq, sq = build_beam_decoder(dec, variables, cfg_q)(memory, prompt)
+    agree = (np.asarray(tb) == np.asarray(tq)).mean()
+    assert agree >= 0.75, (agree, np.asarray(tb), np.asarray(tq))
+    np.testing.assert_allclose(np.asarray(sb), np.asarray(sq), rtol=0.2, atol=0.5)
