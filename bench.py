@@ -19,6 +19,8 @@ BENCH_BATCH (default 32), BENCH_NEW_TOKENS (default 128), BENCH_ITERS
 BENCH_INT8_KV (fused quantized cross-attention decode kernel, default 1),
 BENCH_KV_BITS (cross-KV width under BENCH_INT8_KV=1: 8 or 4, default 8),
 BENCH_INT8_W (W8A8 int8 decode-step weight matmuls, default 1),
+BENCH_INT8_ENC_W (W8A8 int8 encoder block matmuls, default 0 — measured
+neutral at medium/batch 32, see the note in main()),
 BENCH_TRAIN (default 1), BENCH_TRAIN_BATCH (default 16; halved on OOM),
 BENCH_TRAIN_MODE (default lora).
 """
@@ -226,13 +228,26 @@ def main():
         quantize_weights=os.environ.get("BENCH_INT8_W", "1") == "1",
     )
     greedy = build_greedy_decoder(dec, dec_vars, dcfg)
+    # W8A8 int8 encoder blocks — measured NEUTRAL at medium/batch 32
+    # (707.6x vs 709.5x): the per-matmul activation-quant pass (amax read
+    # over the bf16 activations + int8 copy materialization) costs about
+    # what the doubled MXU rate saves on these shapes. Kept as a knob; the
+    # decode loop is different (weights are re-read per token, activations
+    # are tiny), which is why BENCH_INT8_W stays on.
+    enc_qw = None
+    if os.environ.get("BENCH_INT8_ENC_W", "0") == "1":
+        from robustsq_whisper_tpu.models.ts_encoder import (
+            quantize_encoder_weights,
+        )
+
+        enc_qw = jax.jit(quantize_encoder_weights)(enc_vars)
     encode = jax.jit(
-        lambda v, m, fl, em, el: enc.apply(v, m, fl, em, el)
+        lambda v, qw, m, fl, em, el: enc.apply(v, m, fl, em, el, qw=qw)
     )
 
     def pipeline():
         memory, out_lens, spk_prompt, _ = encode(
-            enc_vars, mel, feats_lens, emel, emel_lens
+            enc_vars, enc_qw, mel, feats_lens, emel, emel_lens
         )
         return greedy(memory, spk_prompt)
 
@@ -266,7 +281,7 @@ def main():
         "vs_baseline": round(rtf / 50.0, 3),
     }
     if os.environ.get("BENCH_TRAIN", "1") == "1":
-        del enc_vars, dec_vars, tokens, scores, greedy, encode
+        del enc_vars, enc_qw, dec_vars, tokens, scores, greedy, encode
         train_stats = bench_train(model_name, dims, ts)
         if train_stats is not None:
             result["train"] = train_stats

@@ -213,6 +213,7 @@ class QFormerTSEncoder(nn.Module):
         enroll_feats_lens: Optional[jax.Array],
         deterministic: bool = True,
         dropout_rng: Optional[jax.Array] = None,
+        qw: Optional[dict] = None,  # W8A8 int8 block weights (inference)
     ) -> Tuple[jax.Array, Optional[jax.Array], jax.Array, jax.Array]:
         max_ctx = self.dims.n_audio_ctx
 
@@ -243,7 +244,7 @@ class QFormerTSEncoder(nn.Module):
                 x_lens = x_lens + self.ts.num_query_tokens
 
         # 5. whisper blocks + ln_post (:497-502).
-        x = self.encoder.run_blocks(x)
+        x = self.encoder.run_blocks(x, qw=qw)
         return x, x_lens, spk_prompt, enroll_embedding
 
     @property
@@ -333,3 +334,13 @@ class SpkAdapterTSEncoder(nn.Module):
         if feats_lens is not None:
             olens = AudioEncoder.output_lengths(feats_lens, self.dims.n_audio_ctx)
         return x, olens
+
+
+def quantize_encoder_weights(variables) -> dict:
+    """Int8 W8A8 weights for a QFormerTSEncoder variables dict (see
+    whisper.modules.quantize_encoder_weights): quantizes the 24 whisper
+    blocks, which dominate encoder wall time; the conv stem, Qformer, and
+    prompt projection stay dense. Inference-only."""
+    from .whisper.modules import quantize_encoder_weights as _q
+
+    return _q(variables["params"]["encoder"])

@@ -94,6 +94,44 @@ def quantize_step_weights(decoder_params: dict) -> dict:
     return {"layers": layers, "emb": (emb_q, emb_s)}
 
 
+def quantize_encoder_weights(encoder_params: dict) -> dict:
+    """Int8-quantize the encoder block matmuls (self q/k/v/out, mlp fc1/fc2)
+    for W8A8 inference — the encoder is ~35% of the decode pipeline's wall
+    time and its block loop is MXU-bound, so native int8 dots double the
+    matmul rate. Same stacked layout/convention as ``quantize_step_weights``;
+    conv stem, positions, layernorms and the Qformer stay in bf16/fp32.
+    Inference-only: training always runs the dense fp weights."""
+
+    def dense(p: dict, with_bias: bool = True):
+        w_q, s = quantize_weight(p["kernel"], contract_axis=-2)
+        b = p["bias"].astype(jnp.float32) if with_bias else None
+        return (w_q, s, b)
+
+    if "block" in encoder_params:
+        blk = encoder_params["block"]
+    else:
+        names = sorted(
+            (k for k in encoder_params if k.startswith("blocks_")),
+            key=lambda k: int(k.split("_")[-1]),
+        )
+        blk = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves),
+            *(encoder_params[n] for n in names),
+        )
+    return {
+        "layers": {
+            "attn": {
+                "query": dense(blk["attn"]["query"]),
+                "key": dense(blk["attn"]["key"], with_bias=False),
+                "value": dense(blk["attn"]["value"]),
+                "out": dense(blk["attn"]["out"]),
+            },
+            "fc1": dense(blk["mlp_fc1"]),
+            "fc2": dense(blk["mlp_fc2"]),
+        }
+    }
+
+
 def _gelu(x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=False)
 
@@ -362,11 +400,28 @@ class ResidualAttentionBlock(nn.Module):
         x: jax.Array,
         xa: Optional[jax.Array] = None,
         mask: Optional[jax.Array] = None,
+        qw: Optional[dict] = None,
     ) -> jax.Array:
-        x = x + self.attn(self._cast(self.attn_ln(x)), mask=mask)
+        """Full-sequence block. ``qw`` (quantize_encoder_weights per-layer
+        entry) runs the self-attn projections and the MLP as W8A8 int8 —
+        the encoder inference path; cross-attention (decoder training
+        forward) always stays dense."""
+        h = self._cast(self.attn_ln(x))
+        if qw is None:
+            x = x + self.attn(h, mask=mask)
+        else:
+            a = qw["attn"]
+            k = self.attn._split(qmatmul(h, *a["key"], out_dtype=self.dtype))
+            v = self.attn._split(qmatmul(h, *a["value"], out_dtype=self.dtype))
+            x = x + self.attn.attend(h, k, v, mask=mask, qw=a)
         if self.cross_attention:
             x = x + self.cross_attn(self._cast(self.cross_attn_ln(x)), xa=xa)
-        x = x + self._mlp(self._cast(self.mlp_ln(x)))
+        h2 = self._cast(self.mlp_ln(x))
+        if qw is None:
+            x = x + self._mlp(h2)
+        else:
+            hid = _gelu(qmatmul(h2, *qw["fc1"], out_dtype=self.dtype))
+            x = x + qmatmul(hid, *qw["fc2"], out_dtype=self.dtype)
         return x
 
     def _cross(
@@ -542,16 +597,24 @@ class AudioEncoder(nn.Module):
             x = x + self.pos_table.value[: x.shape[1]].astype(x.dtype)
         return x
 
-    def run_blocks(self, x: jax.Array) -> jax.Array:
+    def run_blocks(self, x: jax.Array, qw: Optional[dict] = None) -> jax.Array:
+        """``qw`` = quantize_encoder_weights output: W8A8 inference blocks."""
         x = x.astype(self.dtype)
+        layers_qw = None if qw is None else qw["layers"]
         if self.scan_layers:
-            def body(block, carry, _):
-                return block(carry), None
+            def body(block, carry, qw_l):
+                return block(carry, qw=qw_l), None
 
-            x, _ = _scan(body, self.dims.n_audio_layer)(self.block, x, None)
+            x, _ = _scan(body, self.dims.n_audio_layer)(
+                self.block, x, layers_qw
+            )
         else:
-            for block in self.blocks:
-                x = block(x)
+            for i, block in enumerate(self.blocks):
+                qw_i = (
+                    None if layers_qw is None
+                    else jax.tree_util.tree_map(lambda a: a[i], layers_qw)
+                )
+                x = block(x, qw=qw_i)
         return self.ln_post(x).astype(self.dtype)
 
     def __call__(self, mel: jax.Array) -> jax.Array:

@@ -452,3 +452,37 @@ def test_ts_model_loss_forward():
     # epoch scalar changes the loss only through schedules (finite either way)
     loss10, _ = model.apply(params, batch, key, 10, train=True, rngs={})
     assert np.isfinite(float(loss10))
+
+
+def test_ts_encoder_quantized_weights_close_to_dense():
+    """W8A8 int8 encoder blocks (quantize_encoder_weights) stay within a few
+    percent of the dense output and leave the Qformer prompt untouched (only
+    the whisper blocks are quantized). Inference-only path."""
+    from robustsq_whisper_tpu.models.ts_encoder import quantize_encoder_weights
+
+    enc = QFormerTSEncoder(
+        DIMS,
+        TSEncoderConfig(
+            num_query_tokens=3, num_hidden_layers=1, qformer_hidden_size=48,
+            qformer_heads=4, qformer_intermediate_size=96,
+        ),
+    )
+    rng = np.random.default_rng(5)
+    frames = 2 * DIMS.n_audio_ctx
+    feats = jnp.asarray(rng.standard_normal((2, 80, frames)), jnp.float32)
+    efeats = jnp.asarray(rng.standard_normal((2, 80, 20)), jnp.float32)
+    feats_lens = jnp.asarray([frames, frames])
+    efeats_lens = jnp.asarray([20, 20])
+    params = enc.init(jax.random.PRNGKey(5), feats, feats_lens, efeats, efeats_lens)
+    qw = quantize_encoder_weights(params)
+    w_q, w_s, _ = qw["layers"]["attn"]["query"]
+    assert w_q.dtype == jnp.int8 and w_q.shape[0] == DIMS.n_audio_layer
+
+    out_d, _, prompt_d, _ = enc.apply(params, feats, feats_lens, efeats, efeats_lens)
+    out_q, _, prompt_q, _ = enc.apply(
+        params, feats, feats_lens, efeats, efeats_lens, qw=qw
+    )
+    np.testing.assert_array_equal(np.asarray(prompt_d), np.asarray(prompt_q))
+    d = np.asarray(out_d, np.float32)
+    dev = np.abs(np.asarray(out_q, np.float32) - d).max()
+    assert dev < 0.1 * d.std(), dev
