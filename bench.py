@@ -60,7 +60,8 @@ def bench_train(model_name: str, dims, ts) -> dict | None:
 
     import dataclasses
 
-    ts_train = dataclasses.replace(ts, remat=True)
+    # training keeps the exact reference GELU (gelu_approx is inference-only)
+    ts_train = dataclasses.replace(ts, remat=True, gelu_approx=False)
     model = TSASRModel(
         dims, ts_train, TSModelConfig(), dtype=jnp.bfloat16
     )
@@ -167,6 +168,7 @@ def main():
         num_query_tokens=16,
         num_hidden_layers=2,
         use_flash_attention=os.environ.get("BENCH_FLASH", "1") == "1",
+        gelu_approx=os.environ.get("BENCH_GELU_APPROX", "1") == "1",
     )
     log(f"devices: {jax.devices()}")
     dev = jax.devices()[0]

@@ -48,6 +48,13 @@ def main(argv=None):
         "per-channel quantization, see ops/decode_attention.py)",
     )
     parser.add_argument(
+        "--gelu_approx", type=lambda s: s.lower() != "false", default=False,
+        help="tanh-approximate GELU in the encoder (~1e-3 abs deviation "
+        "from the reference's exact erf GELU; measurably faster — the "
+        "exact form's erfc polynomial is the most expensive encoder "
+        "fusion on TPU). Default off for strict reference parity",
+    )
+    parser.add_argument(
         "--int8_weights", type=lambda s: s.lower() != "false", default=False,
         help="W8A8 int8 matmuls in the decode token loop (per-output-channel "
         "int8 kernels quantized once at startup, dynamic activation scales, "
@@ -94,6 +101,10 @@ def main(argv=None):
     if args.use_flash:
         exp = dataclasses.replace(
             exp, ts=dataclasses.replace(exp.ts, use_flash_attention=True)
+        )
+    if args.gelu_approx:
+        exp = dataclasses.replace(
+            exp, ts=dataclasses.replace(exp.ts, gelu_approx=True)
         )
     dtype = jnp.bfloat16 if exp.compute_dtype == "bfloat16" else jnp.float32
     tokenizer = load_tokenizer(args.tokenizer_assets)

@@ -164,6 +164,12 @@ class TSEncoderConfig:
     # Default False so tiny CPU test configs skip the interpret-mode kernel.
     use_flash_attention: bool = False
     remat: bool = False  # rematerialize encoder blocks in backward
+    # tanh-approximate GELU in the encoder blocks + conv stem (~1e-3 abs
+    # deviation from the reference's exact erf GELU): the exact form lowers
+    # to a double-evaluated f32 erfc polynomial fused into the fc2 matmul —
+    # the single most expensive encoder fusion on-profile. Inference knob;
+    # training configs keep the exact GELU.
+    gelu_approx: bool = False
 
 
 class QFormerTSEncoder(nn.Module):
@@ -185,6 +191,7 @@ class QFormerTSEncoder(nn.Module):
         self.encoder = AudioEncoder(
             self.dims, dtype=self.dtype,
             use_flash=self.ts.use_flash_attention, remat=self.ts.remat,
+            gelu_approx=self.ts.gelu_approx,
             name="encoder",
         )
         qcfg = QformerConfig(

@@ -372,6 +372,11 @@ class ResidualAttentionBlock(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     cross_kv_bits: int = 8  # quantized decode cross-KV width (8 or 4)
+    # tanh-approximate GELU (~1e-3 abs deviation): the exact erf lowers to a
+    # double-evaluated f32 erfc polynomial + sign-bit pack fused into the fc2
+    # matmul — measured as the single most expensive encoder fusion. Inference
+    # knob; training keeps the exact reference GELU.
+    gelu_approx: bool = False
 
     def setup(self):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
@@ -389,8 +394,11 @@ class ResidualAttentionBlock(nn.Module):
         self.mlp_fc1 = nn.Dense(4 * self.n_state, dtype=self.dtype, name="mlp_fc1")
         self.mlp_fc2 = nn.Dense(self.n_state, dtype=self.dtype, name="mlp_fc2")
 
+    def _gelu(self, x: jax.Array) -> jax.Array:
+        return jax.nn.gelu(x, approximate=self.gelu_approx)
+
     def _mlp(self, x: jax.Array) -> jax.Array:
-        return self.mlp_fc2(_gelu(self.mlp_fc1(x)))
+        return self.mlp_fc2(self._gelu(self.mlp_fc1(x)))
 
     def _cast(self, x: jax.Array) -> jax.Array:
         return x.astype(self.dtype)
@@ -420,7 +428,7 @@ class ResidualAttentionBlock(nn.Module):
         if qw is None:
             x = x + self._mlp(h2)
         else:
-            hid = _gelu(qmatmul(h2, *qw["fc1"], out_dtype=self.dtype))
+            hid = self._gelu(qmatmul(h2, *qw["fc1"], out_dtype=self.dtype))
             x = x + qmatmul(hid, *qw["fc2"], out_dtype=self.dtype)
         return x
 
@@ -529,7 +537,7 @@ class ResidualAttentionBlock(nn.Module):
         if qw is None:
             x = x + self._mlp(h2)
         else:
-            hid = _gelu(qmatmul(h2, *qw["fc1"], out_dtype=self.dtype))
+            hid = self._gelu(qmatmul(h2, *qw["fc1"], out_dtype=self.dtype))
             x = x + qmatmul(hid, *qw["fc2"], out_dtype=self.dtype)
         return x, k_new, v_new
 
@@ -544,6 +552,7 @@ class AudioEncoder(nn.Module):
     scan_layers: bool = True
     use_flash: bool = False
     remat: bool = False  # rematerialize blocks in backward (training memory)
+    gelu_approx: bool = False  # tanh GELU (inference; see block docstring)
 
     def setup(self):
         d = self.dims
@@ -572,13 +581,15 @@ class AudioEncoder(nn.Module):
             )
             self.block = block_cls(
                 d.n_audio_state, d.n_audio_head, dtype=self.dtype,
-                use_flash=self.use_flash, name="block",
+                use_flash=self.use_flash, gelu_approx=self.gelu_approx,
+                name="block",
             )
         else:
             self.blocks = [
                 ResidualAttentionBlock(
                     d.n_audio_state, d.n_audio_head, dtype=self.dtype,
-                    use_flash=self.use_flash, name=f"blocks_{i}",
+                    use_flash=self.use_flash, gelu_approx=self.gelu_approx,
+                    name=f"blocks_{i}",
                 )
                 for i in range(d.n_audio_layer)
             ]
@@ -591,8 +602,9 @@ class AudioEncoder(nn.Module):
         positional embeddings (reference whisper_encoder.py:464-472).
         """
         x = mel.astype(self.dtype).transpose(0, 2, 1)  # NLC for flax conv
-        x = _gelu(self.conv1(x))
-        x = _gelu(self.conv2(x))
+        gelu = lambda t: jax.nn.gelu(t, approximate=self.gelu_approx)
+        x = gelu(self.conv1(x))
+        x = gelu(self.conv2(x))
         if add_positions:
             x = x + self.pos_table.value[: x.shape[1]].astype(x.dtype)
         return x

@@ -486,3 +486,29 @@ def test_ts_encoder_quantized_weights_close_to_dense():
     d = np.asarray(out_d, np.float32)
     dev = np.abs(np.asarray(out_q, np.float32) - d).max()
     assert dev < 0.1 * d.std(), dev
+
+
+def test_ts_encoder_gelu_approx_close_to_exact():
+    """tanh-approximate GELU (inference knob) stays within ~1e-2 of the
+    exact-erf encoder output on the tiny model — the approximation error
+    (max ~1e-3 per activation) does not compound materially over layers."""
+    ts_exact = TSEncoderConfig(
+        num_query_tokens=3, num_hidden_layers=1, qformer_hidden_size=48,
+        qformer_heads=4, qformer_intermediate_size=96,
+    )
+    import dataclasses as dc
+
+    ts_approx = dc.replace(ts_exact, gelu_approx=True)
+    rng = np.random.default_rng(7)
+    frames = 2 * DIMS.n_audio_ctx
+    feats = jnp.asarray(rng.standard_normal((2, 80, frames)), jnp.float32)
+    efeats = jnp.asarray(rng.standard_normal((2, 80, 20)), jnp.float32)
+    fl = jnp.asarray([frames, frames]); el = jnp.asarray([20, 20])
+    enc_e = QFormerTSEncoder(DIMS, ts_exact)
+    enc_a = QFormerTSEncoder(DIMS, ts_approx)
+    params = enc_e.init(jax.random.PRNGKey(7), feats, fl, efeats, el)
+    out_e, _, _, _ = enc_e.apply(params, feats, fl, efeats, el)
+    out_a, _, _, _ = enc_a.apply(params, feats, fl, efeats, el)
+    e = np.asarray(out_e, np.float32)
+    dev = np.abs(np.asarray(out_a, np.float32) - e).max()
+    assert 0 < dev < 0.02 * e.std(), dev
