@@ -182,12 +182,15 @@ def quantize_kv_tensors(
         q8 = jnp.round((tt - zp[..., None]) / scale[..., None]).astype(
             jnp.int8
         )
-        if pad:
-            q8 = jnp.pad(q8, [(0, 0)] * (q8.ndim - 1) + [(0, pad)])
         if bits == 4:
+            # head_dim-axis nibble packing: fuses into this quantize pass
+            # (the old time-tile packing cost ~74 ms of lane-retiling
+            # reshapes per medium/batch-32 session — profiled round 2)
             from ...ops.decode_attention import pack_int4
 
-            q8 = pack_int4(q8, block_t=pad_to)
+            q8 = pack_int4(q8)
+        if pad:
+            q8 = jnp.pad(q8, [(0, 0)] * (q8.ndim - 1) + [(0, pad)])
         return q8, scale, zp
 
     k_q, k_s, _ = quant(k)  # k_zp dropped: softmax-invariant

@@ -21,11 +21,15 @@ so pallas double-buffers the K/V tile DMAs against compute.
 int4 mode (``packed_int4=True``): K/V ride as two 4-bit values per int8 byte
 — HALF the HBM traffic of int8 on the decode loop's dominant term. jax's
 native int4 dtype currently fails dispatch (RecursionError, round-1 note), so
-the packing is explicit: within each ``block_t`` time tile, column ``u`` of
-the packed tile holds time step ``u`` in its low nibble and time step
-``u + block_t/2`` in its high nibble (``pack_int4``). The kernel sign-extends
-both nibbles with int32 shifts in registers; tile-local packing means every
-grid step unpacks independently. Scales still fold outside, exactly as int8.
+the packing is explicit — along the HEAD_DIM axis: byte (h, i, t) of the
+packed (..., heads, head_dim/2, T) tensor holds channel ``i`` in its low
+nibble and channel ``i + head_dim/2`` in its high nibble (``pack_int4``).
+Packing along head_dim (a sublane axis) leaves the lane/time axis untouched,
+so XLA fuses quantize+pack into ONE pass over the dense K/V; the original
+time-tile packing forced ~74 ms of lane-retiling reshapes per medium/batch-32
+decode session (profiled round 2). The kernel sign-extends both nibbles with
+shifts in registers and splits q / concatenates the output along head_dim.
+Scales still fold outside, exactly as int8.
 """
 
 from __future__ import annotations
@@ -42,36 +46,34 @@ DEFAULT_BLOCK_T = 512
 NEG_INF = -1e30
 
 
-def pack_int4(q4: jax.Array, block_t: int = DEFAULT_BLOCK_T) -> jax.Array:
-    """Pack int4 values (int8 in [-7, 7], last axis = time, length a
-    multiple of ``block_t``) two-per-byte: within each block_t tile, byte
-    ``u`` = (time ``u`` low nibble) | (time ``u + block_t/2`` high nibble).
-    Returns int8 of shape (..., T // 2).
+def pack_int4(q4: jax.Array) -> jax.Array:
+    """Pack int4 values (int8 in [-7, 7], axis -2 = head_dim, even length)
+    two-per-byte along HEAD_DIM: byte (..., i, t) = (channel ``i`` low
+    nibble) | (channel ``i + d/2`` high nibble). Returns int8 of shape
+    (..., head_dim // 2, T).
 
+    Packing along a sublane axis leaves the lane/time axis untouched, so
+    this is two strided views + shift/or — XLA fuses it straight into the
+    quantization pass (no lane-retiling reshapes; see module docstring).
     Stays entirely in int8 arithmetic — ``hi << 4`` wraps to exactly the
-    byte we want in two's complement, so no int32 upcast / re-narrowing
-    pass (this runs over the full K/V at decode-session setup)."""
-    t = q4.shape[-1]
-    assert t % block_t == 0, (t, block_t)
-    half = block_t // 2
-    v = q4.astype(jnp.int8).reshape(*q4.shape[:-1], t // block_t, 2, half)
-    lo, hi = v[..., 0, :], v[..., 1, :]
-    packed = jnp.left_shift(hi, 4) | (lo & jnp.int8(0xF))
-    return packed.reshape(*q4.shape[:-1], t // 2)
+    byte we want in two's complement."""
+    d = q4.shape[-2]
+    assert d % 2 == 0, d
+    half = d // 2
+    v = q4.astype(jnp.int8)
+    lo = jax.lax.slice_in_dim(v, 0, half, axis=v.ndim - 2)
+    hi = jax.lax.slice_in_dim(v, half, d, axis=v.ndim - 2)
+    return jnp.left_shift(hi, 4) | (lo & jnp.int8(0xF))
 
 
-def unpack_int4(packed: jax.Array, block_t: int = DEFAULT_BLOCK_T) -> jax.Array:
-    """Inverse of ``pack_int4`` (XLA path, used by the multi-token prefill
-    which runs once per utterance). Returns int32 in [-8, 7]."""
-    half = block_t // 2
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """Inverse of ``pack_int4`` (XLA path, used by tests and any quantized
+    multi-token attention). Returns int32 in [-8, 7], head_dim restored on
+    axis -2."""
     w = packed.astype(jnp.int32)
     lo = jnp.left_shift(w, 28) >> 28  # sign-extended low nibble
     hi = jnp.left_shift(w, 24) >> 28
-    t2 = packed.shape[-1]
-    shape = (*packed.shape[:-1], t2 * 2 // block_t, half)
-    lo, hi = lo.reshape(shape), hi.reshape(shape)
-    out = jnp.concatenate([lo, hi], axis=-1)  # (..., nt, block_t)
-    return out.reshape(*packed.shape[:-1], t2 * 2)
+    return jnp.concatenate([lo, hi], axis=w.ndim - 2)
 
 
 def _kernel(
@@ -97,7 +99,7 @@ def _kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    def unpack(w):  # (h, d, bt/2) int8 -> 2x (h, d, bt/2) f32 nibbles
+    def unpack(w):  # (h, d/2, bt) int8 -> 2x (h, d/2, bt) f32 nibbles
         w = w.astype(jnp.int32)
         lo = jnp.left_shift(w, 28) >> 28
         hi = jnp.left_shift(w, 24) >> 28
@@ -108,14 +110,12 @@ def _kernel(
     # non-contracting dim; the kernel is BW-bound so VPU reduce is free):
     # s[h, t] = sum_d q[h, d] * kt[h, d, t]
     if packed:
+        # head_dim-packed nibbles: low = channels [:d/2], high = [d/2:]
+        half = d // 2
         k_lo, k_hi = unpack(kt_ref[:])
-        s = jnp.concatenate(
-            [
-                jnp.sum(k_lo * q[:, :, None], axis=1),
-                jnp.sum(k_hi * q[:, :, None], axis=1),
-            ],
-            axis=-1,
-        )  # (h, bt) — [lo half; hi half] matches pack_int4's column order
+        q_lo = jnp.expand_dims(jax.lax.slice_in_dim(q, 0, half, axis=1), 2)
+        q_hi = jnp.expand_dims(jax.lax.slice_in_dim(q, half, d, axis=1), 2)
+        s = jnp.sum(k_lo * q_lo, axis=1) + jnp.sum(k_hi * q_hi, axis=1)
     else:
         kt = kt_ref[:].astype(jnp.float32)  # (h, d, bt)
         s = jnp.sum(kt * q[:, :, None], axis=1)  # (h, bt)
@@ -129,15 +129,13 @@ def _kernel(
     alpha = jnp.exp(m_prev - m_new)  # (h, 1)
     # out[h, d] = sum_t p[h, t] * vt[h, d, t]
     if packed:
+        # nibbles are head_dim halves: weight both with the same p, then
+        # reassemble the output channels by concatenation along d
         v_lo, v_hi = unpack(vt_ref[:])
-        half = block_t // 2
-        # slice + expand_dims explicitly: `p[:, None, :half]` falls off
-        # jnp's slice fast-path and lowers as a gather, which Mosaic rejects
-        p_lo = jnp.expand_dims(jax.lax.slice_in_dim(p, 0, half, axis=1), 1)
-        p_hi = jnp.expand_dims(
-            jax.lax.slice_in_dim(p, half, block_t, axis=1), 1
-        )
-        pv = jnp.sum(v_lo * p_lo, axis=2) + jnp.sum(v_hi * p_hi, axis=2)
+        pw = p[:, None, :]
+        pv = jnp.concatenate(
+            [jnp.sum(v_lo * pw, axis=2), jnp.sum(v_hi * pw, axis=2)], axis=1
+        )  # (h, d)
     else:
         vt = vt_ref[:].astype(jnp.float32)  # (h, d, bt)
         pv = jnp.sum(vt * p[:, None, :], axis=2)  # (h, d)
@@ -175,9 +173,9 @@ def decode_cross_attention(
     the true length; unpadded inputs are padded here as a fallback.
 
     ``packed_int4=True``: kt/vt are int8 holding two 4-bit values per byte in
-    ``pack_int4`` layout, shape (batch, heads, head_dim, T // 2) with T
-    already a multiple of ``block_t`` (packing is tile-local, so the time
-    padding must happen BEFORE packing — no fallback padding here).
+    ``pack_int4`` layout, shape (batch, heads, head_dim // 2, T) with T
+    already a multiple of ``block_t`` (pad once at quantization time; no
+    fallback padding here).
 
     **Stacked-layer mode** (``kt.ndim == 5`` + ``layer_idx``): kt/vt carry a
     leading LAYER axis, (layers, batch, heads, head_dim, T[/2]), and the
@@ -192,8 +190,9 @@ def decode_cross_attention(
     stacked = kt.ndim == 5
     assert stacked == (layer_idx is not None), (kt.shape, layer_idx)
     if packed_int4:
-        t_pad = kt.shape[-1] * 2
+        t_pad = kt.shape[-1]
         assert t_pad % block_t == 0, (t_pad, block_t)
+        assert kt.shape[-2] == d // 2, (kt.shape, d)
     else:
         t_in = kt.shape[-1]
         block_t = min(block_t, max(128, t_in))
@@ -218,14 +217,14 @@ def decode_cross_attention(
         ]
     )
 
-    blk = block_t // 2 if packed_int4 else block_t
+    dd = d // 2 if packed_int4 else d  # head_dim of the stored tensor
     if stacked:
         kv_spec = pl.BlockSpec(
-            (None, None, h, d, blk), lambda i, j, m: (m[0], i, 0, 0, j)
+            (None, None, h, dd, block_t), lambda i, j, m: (m[0], i, 0, 0, j)
         )
     else:
         kv_spec = pl.BlockSpec(
-            (None, h, d, blk), lambda i, j, m: (i, 0, 0, j)
+            (None, h, dd, block_t), lambda i, j, m: (i, 0, 0, j)
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -182,9 +182,9 @@ def test_int4_pack_roundtrip():
 
     rng = np.random.default_rng(0)
     vals = jnp.asarray(rng.integers(-7, 8, (2, 3, 8, 1024)), jnp.int8)
-    packed = pack_int4(vals, block_t=512)
-    assert packed.shape == (2, 3, 8, 512) and packed.dtype == jnp.int8
-    out = unpack_int4(packed, block_t=512)
+    packed = pack_int4(vals)  # head_dim axis (-2) packing
+    assert packed.shape == (2, 3, 4, 1024) and packed.dtype == jnp.int8
+    out = unpack_int4(packed)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(vals))
 
 
@@ -207,8 +207,8 @@ def test_int4_kernel_matches_dequant_oracle():
 
     out = decode_cross_attention(
         q,
-        pack_int4(jnp.asarray(k4, jnp.int8), block_t=block),
-        pack_int4(jnp.asarray(v4, jnp.int8), block_t=block),
+        pack_int4(jnp.asarray(k4, jnp.int8)),
+        pack_int4(jnp.asarray(v4, jnp.int8)),
         k_s,
         v_s,
         kv_len=jnp.int32(kv_len),
