@@ -17,7 +17,7 @@ Env knobs: BENCH_MODEL (tiny|base|small|medium, default medium),
 BENCH_BATCH (default 32), BENCH_NEW_TOKENS (default 128), BENCH_ITERS
 (default 3), BENCH_FLASH (Pallas encoder attention, default 1),
 BENCH_INT8_KV (fused quantized cross-attention decode kernel, default 1),
-BENCH_KV_BITS (cross-KV width under BENCH_INT8_KV=1: 8 or 4, default 8),
+BENCH_KV_BITS (cross-KV width under BENCH_INT8_KV=1: 8 or 4, default 4),
 BENCH_INT8_W (W8A8 int8 decode-step weight matmuls, default 1),
 BENCH_INT8_ENC_W (W8A8 int8 encoder block matmuls, default 0 — measured
 neutral at medium/batch 32, see the note in main()),
@@ -173,7 +173,9 @@ def main():
     log(f"devices: {jax.devices()}")
     dev = jax.devices()[0]
 
-    kv_bits = int(os.environ.get("BENCH_KV_BITS", "8"))
+    # int4 is the measured-best serving config (kernel + e2e plumbing are
+    # pinned by tests/test_decode.py int4 tests; int8 available for A/B)
+    kv_bits = int(os.environ.get("BENCH_KV_BITS", "4"))
     enc = QFormerTSEncoder(dims, ts, dtype=compute_dtype)
     dec = TSDecoder(dims, dtype=compute_dtype, cross_kv_bits=kv_bits)
 
