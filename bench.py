@@ -19,6 +19,8 @@ BENCH_BATCH (default 32), BENCH_NEW_TOKENS (default 128), BENCH_ITERS
 BENCH_INT8_KV (fused quantized cross-attention decode kernel, default 1),
 BENCH_KV_BITS (cross-KV width under BENCH_INT8_KV=1: 8 or 4, default 4),
 BENCH_INT8_W (W8A8 int8 decode-step weight matmuls, default 1),
+BENCH_SELF_KV_BITS (decode self-attention cache: 16 dense or 8 int8,
+default 16 — int8 measured slower, see main()),
 BENCH_INT8_ENC_W (W8A8 int8 encoder block matmuls, default 0 — measured
 neutral at medium/batch 32, see the note in main()),
 BENCH_TRAIN (default 1), BENCH_TRAIN_BATCH (default 16; halved on OOM),
@@ -177,7 +179,14 @@ def main():
     # pinned by tests/test_decode.py int4 tests; int8 available for A/B)
     kv_bits = int(os.environ.get("BENCH_KV_BITS", "4"))
     enc = QFormerTSEncoder(dims, ts, dtype=compute_dtype)
-    dec = TSDecoder(dims, dtype=compute_dtype, cross_kv_bits=kv_bits)
+    # int8 self-cache measured 773.8x -> 596.9x: XLA's s8xs8->s32 dot is
+    # ~2.3x SLOWER than bf16 at the step's matvec shapes (M=1 query — the
+    # int8 MXU advantage needs large M; see docs/KERNELS.md). Default dense.
+    self_kv_bits = int(os.environ.get("BENCH_SELF_KV_BITS", "16"))
+    dec = TSDecoder(
+        dims, dtype=compute_dtype, cross_kv_bits=kv_bits,
+        self_kv_bits=self_kv_bits,
+    )
 
     rng = jax.random.PRNGKey(0)
     seconds = 30

@@ -48,6 +48,13 @@ def main(argv=None):
         "per-channel quantization, see ops/decode_attention.py)",
     )
     parser.add_argument(
+        "--self_kv_bits", type=int, default=16, choices=(8, 16),
+        help="decode self-attention cache width: 16 (dense bf16, default) "
+        "or 8 (int8 with per-position scales and native integer dots — "
+        "halves the second-largest per-token HBM read at long outputs; "
+        "see TextDecoder.step)",
+    )
+    parser.add_argument(
         "--gelu_approx", type=lambda s: s.lower() != "false", default=False,
         help="tanh-approximate GELU in the encoder (~1e-3 abs deviation "
         "from the reference's exact erf GELU; measurably faster — the "
@@ -163,6 +170,7 @@ def main(argv=None):
         startofprev_token=exp.model.startofprev,
         dtype=dtype,
         cross_kv_bits=args.cross_kv_bits,
+        self_kv_bits=args.self_kv_bits,
     )
 
     dcfg = dataclasses.replace(

@@ -44,11 +44,13 @@ class TSDecoder(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     cross_kv_bits: int = 8  # quantized decode cross-KV width (8 or 4)
+    self_kv_bits: int = 16  # decode self-attn cache: 16 = dense, 8 = int8
 
     def setup(self):
         self.decoder = TextDecoder(
             self.dims, dtype=self.dtype, remat=self.remat,
-            cross_kv_bits=self.cross_kv_bits, name="decoder",
+            cross_kv_bits=self.cross_kv_bits,
+            self_kv_bits=self.self_kv_bits, name="decoder",
         )
 
     def __call__(

@@ -449,52 +449,79 @@ class ResidualAttentionBlock(nn.Module):
             )
         return x + self.cross_attn.attend(h, *cross, qw=qw)
 
+    @staticmethod
+    def _quantize_cache_entry(t: jax.Array):
+        """(b, L, h, d) fp -> (int8 values, per-(b, pos, h) f32 scales)."""
+        from ...ops.quant import quantize_activation
+
+        t8, sc = quantize_activation(t)
+        return t8, sc[..., 0]
+
     def prefill(
         self,
         x: jax.Array,
-        cache_k: jax.Array,
-        cache_v: jax.Array,
+        cache: Tuple[jax.Array, ...],
         mask: jax.Array,
         cross: Tuple[jax.Array, ...],
-    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        """Multi-token prefix through one block, writing cache[:, :L]."""
+    ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
+        """Multi-token prefix through one block, writing cache[:, :L].
+
+        ``cache`` is (k, v) bf16 buffers, or the int8 form
+        (k8, k_scales, v8, v_scales) — per-position scales, see ``step``.
+        Attention over the prefix itself always runs on the exact fp K/V.
+        """
         h = self._cast(self.attn_ln(x))
         k_new, v_new = self.attn.kv(h)
-        cache_k = jax.lax.dynamic_update_slice(cache_k, k_new, (0, 0, 0, 0))
-        cache_v = jax.lax.dynamic_update_slice(cache_v, v_new, (0, 0, 0, 0))
+        if len(cache) == 4:
+            news = self._quantize_cache_entry(k_new) + \
+                self._quantize_cache_entry(v_new)
+        else:
+            news = (k_new, v_new)
+        cache = tuple(
+            jax.lax.dynamic_update_slice(buf, n, (0,) * buf.ndim)
+            for buf, n in zip(cache, news)
+        )
         x = x + self.attn.attend(h, k_new, v_new, mask=mask)
         x = self._cross(x, cross)
         x = x + self._mlp(self._cast(self.mlp_ln(x)))
-        return x, cache_k, cache_v
+        return x, cache
 
     def step(
         self,
         x: jax.Array,
-        cache_k: jax.Array,
-        cache_v: jax.Array,
+        cache: Tuple[jax.Array, ...],
         pos: jax.Array,
         cross: Tuple[jax.Array, ...],
         qw: Optional[dict] = None,
         layer_idx: Optional[jax.Array] = None,
-    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
         """Single-token decode step against a READ-ONLY KV-cache prefix.
 
-        The new token's K/V are returned for the caller to write into the
-        cache buffers *outside* the layer scan — routing the full cache
-        through scan outputs would rewrite hundreds of MB per decoded token
-        (the stacked-ys copies dominated early decode profiles). Attention
-        runs over [cache[:pos]; k_new] via score concatenation, so the cache
-        is only ever read here.
+        The new token's cache entries are returned for the caller to write
+        into the cache buffers *outside* the layer scan — routing the full
+        cache through scan outputs would rewrite hundreds of MB per decoded
+        token (the stacked-ys copies dominated early decode profiles).
+        Attention runs over [cache[:pos]; k_new] via score concatenation, so
+        the cache is only ever read here.
+
+        ``cache`` is (k, v) — (batch, max_len, heads, head_dim) fp buffers —
+        or the INT8 form (k8, k_scales, v8, v_scales) with per-(b, pos, h)
+        scales. The int8 path halves the cache read (the second-largest
+        per-token HBM term at long outputs) with native integer dots — no
+        dequantized copy: K scales fold into the scores AFTER the s8xs8->s32
+        dot; V scales fold into the softmax weights BEFORE they are
+        themselves int8-quantized (exact folding — only the weight
+        quantization error remains, bounded by 1/254 of the max weight).
+        The new token's score/value always use the exact fp K/V.
 
         Args:
             x: (batch, 1, n_state) current-position hidden state.
-            cache_k/cache_v: (batch, max_len, heads, head_dim) buffers whose
-                first ``pos`` positions are valid.
             pos: scalar int32 current position (also the write slot).
             qw: optional per-layer int8 step weights (quantize_step_weights
                 ``"layers"`` entry) — every dense matmul below runs W8A8.
         Returns:
-            (new_x, k_new, v_new) — k/v of shape (batch, 1, heads, head_dim).
+            (new_x, new_entries) — new_entries matches the cache structure
+            with a length-1 time axis.
         """
         h = self._cast(self.attn_ln(x))
         if qw is None:
@@ -507,11 +534,32 @@ class ResidualAttentionBlock(nn.Module):
             v_new = split(qmatmul(h, *a["value"], out_dtype=dt))
             q = split(qmatmul(h, *a["query"], out_dtype=dt))
         scale = q.shape[-1] ** -0.5
+        quant_cache = len(cache) == 4
 
-        max_len = cache_k.shape[1]
-        s_pref = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, cache_k, preferred_element_type=jnp.float32
-        ).astype(jnp.float32) * scale
+        if quant_cache:
+            from ...ops.quant import quantize_activation
+
+            ck8, cks, cv8, cvs = cache
+            max_len = ck8.shape[1]
+            q8, q_sc = quantize_activation(q)  # q_sc (b, 1, h, 1)
+            s32 = jnp.einsum(
+                "bqhd,bkhd->bhqk", q8, ck8,
+                preferred_element_type=jnp.int32,
+            )
+            k_sc = cks.transpose(0, 2, 1)[:, :, None, :]  # (b, h, 1, k)
+            s_pref = (
+                s32.astype(jnp.float32)
+                * q_sc.transpose(0, 2, 1, 3)
+                * k_sc
+                * scale
+            )
+        else:
+            cache_k, cache_v = cache
+            max_len = cache_k.shape[1]
+            s_pref = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, cache_k,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.float32) * scale
         s_pref = jnp.where(
             (jnp.arange(max_len) < pos)[None, None, None, :], s_pref, -1e30
         )
@@ -520,12 +568,28 @@ class ResidualAttentionBlock(nn.Module):
         ).astype(jnp.float32) * scale  # (b, h, 1, 1)
         s = jnp.concatenate([s_pref, s_new], axis=-1)
         w = jax.nn.softmax(s, axis=-1)
-        o = jnp.einsum(
-            "bhqk,bkhd->bqhd",
-            w[..., :max_len].astype(cache_v.dtype),
-            cache_v,
-            preferred_element_type=jnp.float32,
-        ) + w[..., max_len:].transpose(0, 2, 1, 3) * v_new.astype(jnp.float32)
+        if quant_cache:
+            # fold per-position V scales into the weights (exact), then
+            # quantize the folded weights so the V read is a pure int8 dot
+            wp = w[..., :max_len] * cvs.transpose(0, 2, 1)[:, :, None, :]
+            w8, w_sc = quantize_activation(wp)  # w_sc (b, h, 1, 1)
+            o32 = jnp.einsum(
+                "bhqk,bkhd->bqhd", w8, cv8,
+                preferred_element_type=jnp.int32,
+            )
+            o = o32.astype(jnp.float32) * w_sc.transpose(0, 2, 1, 3)
+            o = o + w[..., max_len:].transpose(0, 2, 1, 3) * v_new.astype(
+                jnp.float32
+            )
+        else:
+            o = jnp.einsum(
+                "bhqk,bkhd->bqhd",
+                w[..., :max_len].astype(cache_v.dtype),
+                cache_v,
+                preferred_element_type=jnp.float32,
+            ) + w[..., max_len:].transpose(0, 2, 1, 3) * v_new.astype(
+                jnp.float32
+            )
         o = self.attn._merge(o.astype(self.dtype))
         o = (
             self.attn.out(o) if qw is None
@@ -542,7 +606,12 @@ class ResidualAttentionBlock(nn.Module):
         else:
             hid = self._gelu(qmatmul(h2, *qw["fc1"], out_dtype=self.dtype))
             x = x + qmatmul(hid, *qw["fc2"], out_dtype=self.dtype)
-        return x, k_new, v_new
+        if quant_cache:
+            news = self._quantize_cache_entry(k_new) + \
+                self._quantize_cache_entry(v_new)
+        else:
+            news = (k_new, v_new)
+        return x, news
 
 
 class AudioEncoder(nn.Module):
@@ -660,6 +729,7 @@ class TextDecoder(nn.Module):
     scan_layers: bool = True
     remat: bool = False
     cross_kv_bits: int = 8  # quantized decode cross-KV width (8 or 4)
+    self_kv_bits: int = 16  # decode self-attention cache: 16 = dense, 8 = int8
 
     def setup(self):
         d = self.dims
@@ -792,11 +862,24 @@ class TextDecoder(nn.Module):
         )
 
     def init_cache(self, batch: int, max_len: int) -> Cache:
+        """Preallocated self-attention cache, stacked per layer.
+
+        ``self_kv_bits=8`` returns the int8 form (k8, k_scales, v8,
+        v_scales) — per-(batch, position, head) scales; halves the cache
+        read, the second-largest per-token HBM term at long outputs."""
         d = self.dims
         shape = (
             d.n_text_layer, batch, max_len, d.n_text_head,
             d.n_text_state // d.n_text_head,
         )
+        if self.self_kv_bits == 8:
+            sc_shape = shape[:-1]
+            return (
+                jnp.zeros(shape, jnp.int8),
+                jnp.zeros(sc_shape, jnp.float32),
+                jnp.zeros(shape, jnp.int8),
+                jnp.zeros(sc_shape, jnp.float32),
+            )
         return jnp.zeros(shape, self.dtype), jnp.zeros(shape, self.dtype)
 
     def prefill(
@@ -809,27 +892,27 @@ class TextDecoder(nn.Module):
         length = x_emb.shape[1]
         x = (x_emb + self.positional_embedding[:length]).astype(self.dtype)
         mask = causal_mask(length)
-        ck, cv = cache
+        n_cache = len(cache)
         if self.scan_layers:
             def body(block, carry, layer_in):
-                lk, lv = layer_in[0], layer_in[1]
-                y, lk, lv = block.prefill(carry, lk, lv, mask, layer_in[2:])
-                return y, (lk, lv)
+                lcache = layer_in[:n_cache]
+                y, lcache = block.prefill(carry, lcache, mask, layer_in[n_cache:])
+                return y, lcache
 
-            x, (ck, cv) = _scan(body, self.dims.n_text_layer)(
-                self.block, x, (ck, cv) + tuple(cross)
+            x, cache = _scan(body, self.dims.n_text_layer)(
+                self.block, x, tuple(cache) + tuple(cross)
             )
         else:
-            new_k, new_v = [], []
+            per_layer = []
             for i, block in enumerate(self.blocks):
-                x, k_i, v_i = block.prefill(
-                    x, ck[i], cv[i], mask, tuple(c[i] for c in cross)
+                x, cache_i = block.prefill(
+                    x, tuple(c[i] for c in cache), mask,
+                    tuple(c[i] for c in cross),
                 )
-                new_k.append(k_i)
-                new_v.append(v_i)
-            ck, cv = jnp.stack(new_k), jnp.stack(new_v)
+                per_layer.append(cache_i)
+            cache = tuple(jnp.stack(parts) for parts in zip(*per_layer))
         x = self.ln(x[:, -1:]).astype(self.dtype)
-        return self.logits(x)[:, 0], (ck, cv)
+        return self.logits(x)[:, 0], tuple(cache)
 
     def step(
         self,
@@ -850,7 +933,7 @@ class TextDecoder(nn.Module):
             self.positional_embedding, pos, 1, axis=0
         )
         x = (token_emb + pos_emb[None]).astype(self.dtype)
-        ck, cv = cache
+        cache = tuple(cache)
         layers_qw = None if qw is None else qw["layers"]
         quantized_cross = len(cross) == 6
         if self.scan_layers:
@@ -863,52 +946,56 @@ class TextDecoder(nn.Module):
                 idxs = jnp.arange(self.dims.n_text_layer, dtype=jnp.int32)
 
                 def body(block, carry, layer_in, big):
-                    (lk, lv), (ks_l, vs_l, vzp_l, len_l), idx, qw_l = layer_in
+                    lcache, (ks_l, vs_l, vzp_l, len_l), idx, qw_l = layer_in
                     kq_full, vq_full = big
-                    y, k_new, v_new = block.step(
-                        carry, lk, lv, pos,
+                    y, news = block.step(
+                        carry, lcache, pos,
                         (kq_full, ks_l, vq_full, vs_l, vzp_l, len_l),
                         qw=qw_l, layer_idx=idx,
                     )
-                    return y, (k_new, v_new)
+                    return y, news
 
-                x, (k_news, v_news) = _scan(
+                x, news = _scan(
                     body, self.dims.n_text_layer, in_axes=(0, nn.broadcast)
                 )(
                     self.block,
                     x,
-                    ((ck, cv), (k_s, v_s, v_zp, kv_len), idxs, layers_qw),
+                    (cache, (k_s, v_s, v_zp, kv_len), idxs, layers_qw),
                     (k_q, v_q),
                 )
             else:
                 def body(block, carry, layer_in):
-                    (lk, lv), cross_l, qw_l = layer_in
-                    y, k_new, v_new = block.step(
-                        carry, lk, lv, pos, cross_l, qw=qw_l
+                    lcache, cross_l, qw_l = layer_in
+                    y, news = block.step(
+                        carry, lcache, pos, cross_l, qw=qw_l
                     )
-                    return y, (k_new, v_new)
+                    return y, news
 
-                x, (k_news, v_news) = _scan(body, self.dims.n_text_layer)(
-                    self.block, x, ((ck, cv), tuple(cross), layers_qw)
+                x, news = _scan(body, self.dims.n_text_layer)(
+                    self.block, x, (cache, tuple(cross), layers_qw)
                 )
         else:
-            new_k, new_v = [], []
+            per_layer = []
             for i, block in enumerate(self.blocks):
                 qw_i = (
                     None if layers_qw is None
                     else jax.tree_util.tree_map(lambda a: a[i], layers_qw)
                 )
-                x, k_i, v_i = block.step(
-                    x, ck[i], cv[i], pos, tuple(c[i] for c in cross), qw=qw_i
+                x, news_i = block.step(
+                    x, tuple(c[i] for c in cache), pos,
+                    tuple(c[i] for c in cross), qw=qw_i,
                 )
-                new_k.append(k_i)
-                new_v.append(v_i)
-            k_news, v_news = jnp.stack(new_k), jnp.stack(new_v)
-        # single cache write OUTSIDE the layer scan: only the (L, B, 1, H, D)
+                per_layer.append(news_i)
+            news = tuple(jnp.stack(parts) for parts in zip(*per_layer))
+        # single cache write OUTSIDE the layer scan: only the (L, B, 1, ...)
         # new slices move, not the whole cache (see block.step docstring)
-        ck = jax.lax.dynamic_update_slice(ck, k_news, (0, 0, pos, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v_news, (0, 0, pos, 0, 0))
+        cache = tuple(
+            jax.lax.dynamic_update_slice(
+                buf, n, (0, 0, pos) + (0,) * (buf.ndim - 3)
+            )
+            for buf, n in zip(cache, news)
+        )
         x = self.ln(x).astype(self.dtype)
         if qw is not None:
-            return self.logits_quant(x, *qw["emb"])[:, 0], (ck, cv)
-        return self.logits(x)[:, 0], (ck, cv)
+            return self.logits_quant(x, *qw["emb"])[:, 0], cache
+        return self.logits(x)[:, 0], cache

@@ -493,3 +493,23 @@ def test_quantized_weights_beam_close_to_dense_beam(dec_and_params):
     agree = (np.asarray(tb) == np.asarray(tq)).mean()
     assert agree >= 0.75, (agree, np.asarray(tb), np.asarray(tq))
     np.testing.assert_allclose(np.asarray(sb), np.asarray(sq), rtol=0.2, atol=0.5)
+
+
+def test_int8_self_cache_decode_matches_dense(dec_and_params):
+    """int8 self-attention cache (per-position scales, native integer dots,
+    V scales folded into the softmax weights before their own int8
+    quantization) reproduces dense-cache greedy tokens; composes with the
+    quantized cross-KV and W8A8 step weights."""
+    dec, variables, memory, prompt = dec_and_params
+    g = build_greedy_decoder(dec, variables, CFG)
+    t_dense, _ = g(memory, prompt)
+    dec8 = TSDecoder(DIMS, startofprev_token=3, self_kv_bits=8)
+    for qkv, qwts in ((False, False), (True, True)):
+        cfg_q = DecodeConfig(
+            max_new_tokens=8, eot=2, init_tokens=(1,),
+            quantize_cross_kv=qkv, quantize_weights=qwts,
+        )
+        gq = build_greedy_decoder(dec8, variables, cfg_q)
+        t_q, s_q = gq(memory, prompt)
+        np.testing.assert_array_equal(np.asarray(t_dense), np.asarray(t_q))
+        assert np.all(np.isfinite(np.asarray(s_q)))
