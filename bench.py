@@ -13,7 +13,9 @@ JSON object under ``"train"`` so every round's record is machine-comparable.
 
 Prints ONE JSON line to stdout; all logging goes to stderr.
 
-Env knobs: BENCH_MODEL (tiny|base|small|medium, default medium),
+Env knobs: BENCH_GELU_APPROX (tanh-approximate encoder GELU, default 1 —
+the serving default; 0 restores the reference's exact erf GELU),
+BENCH_MODEL (tiny|base|small|medium, default medium),
 BENCH_BATCH (default 32), BENCH_NEW_TOKENS (default 128), BENCH_ITERS
 (default 3), BENCH_FLASH (Pallas encoder attention, default 1),
 BENCH_INT8_KV (fused quantized cross-attention decode kernel, default 1),

@@ -19,6 +19,16 @@ import logging
 import sys
 
 
+def _str2bool(v: str) -> bool:
+    """Strict boolean flag values: true/false/1/0/yes/no/on/off."""
+    lv = v.lower()
+    if lv in ("true", "1", "yes", "on"):
+        return True
+    if lv in ("false", "0", "no", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config", required=True)
@@ -30,12 +40,12 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--language", default="en")
     parser.add_argument(
-        "--use_flash", type=lambda s: s.lower() != "false", default=True,
+        "--use_flash", type=_str2bool, default=True,
         help="Pallas flash kernel for encoder self-attn (forward-only; "
         "pass false to decode on the XLA path, e.g. for numerics debugging)",
     )
     parser.add_argument(
-        "--use_ave", type=lambda s: s.lower() != "false", default=True,
+        "--use_ave", type=_str2bool, default=True,
         help="decode from the averaged n-best checkpoint when present "
         "(the reference stage 12 decodes valid.acc.ave); pass false for "
         "the latest raw checkpoint",
@@ -55,14 +65,14 @@ def main(argv=None):
         "see TextDecoder.step)",
     )
     parser.add_argument(
-        "--gelu_approx", type=lambda s: s.lower() != "false", default=False,
+        "--gelu_approx", type=_str2bool, default=False,
         help="tanh-approximate GELU in the encoder (~1e-3 abs deviation "
         "from the reference's exact erf GELU; measurably faster — the "
         "exact form's erfc polynomial is the most expensive encoder "
         "fusion on TPU). Default off for strict reference parity",
     )
     parser.add_argument(
-        "--int8_weights", type=lambda s: s.lower() != "false", default=False,
+        "--int8_weights", type=_str2bool, default=False,
         help="W8A8 int8 matmuls in the decode token loop (per-output-channel "
         "int8 kernels quantized once at startup, dynamic activation scales, "
         "native int8 MXU dots — halves the per-token weight read; prefill "

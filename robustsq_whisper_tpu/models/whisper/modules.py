@@ -35,9 +35,34 @@ from .config import WhisperDims, sinusoids
 
 Dtype = Any
 
-# KV cache of one stack: (self_k, self_v), each (layers, batch, len, heads, hd)
-Cache = Tuple[jax.Array, jax.Array]
-CrossKV = Tuple[jax.Array, jax.Array]
+# Self-attention KV cache of one stack, stacked per layer. Dense form:
+# (k, v), each (layers, batch, len, heads, hd); int8 form (self_kv_bits=8):
+# (k8, k_scales, v8, v_scales) with scales of (layers, batch, len, heads).
+Cache = Tuple[jax.Array, ...]
+# Cross-attention K/V: dense (k, v) from ``cross_kv``, or the 6-tuple
+# quantized form (k_q, k_s, v_q, v_s, v_zp, kv_len) from ``quantize_cross``.
+CrossKV = Tuple[jax.Array, ...]
+
+
+def _quant_dense(p: dict, with_bias: bool = True):
+    """Per-output-channel int8 (kernel, scale, bias) of one flax Dense."""
+    w_q, s = quantize_weight(p["kernel"], contract_axis=-2)
+    b = p["bias"].astype(jnp.float32) if with_bias else None
+    return (w_q, s, b)
+
+
+def _stacked_blocks(params: dict) -> dict:
+    """The block param subtree with a leading layer axis: the nn.scan form
+    as-is, or unrolled ``blocks_{i}`` subtrees stacked to the same layout."""
+    if "block" in params:  # nn.scan stacked: kernels (L, in, out)
+        return params["block"]
+    names = sorted(
+        (k for k in params if k.startswith("blocks_")),
+        key=lambda k: int(k.split("_")[-1]),
+    )
+    return jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves), *(params[n] for n in names)
+    )
 
 
 def quantize_step_weights(decoder_params: dict) -> dict:
@@ -57,23 +82,8 @@ def quantize_step_weights(decoder_params: dict) -> dict:
     weight read is the second-largest per-token HBM term after the
     quantized cross-KV). Prefill and training always use the dense fp path.
     """
-
-    def dense(p: dict, with_bias: bool = True):
-        w_q, s = quantize_weight(p["kernel"], contract_axis=-2)
-        b = p["bias"].astype(jnp.float32) if with_bias else None
-        return (w_q, s, b)
-
-    if "block" in decoder_params:  # nn.scan stacked: kernels (L, in, out)
-        blk = decoder_params["block"]
-    else:  # unrolled blocks_{i}: stack to the same layout
-        names = sorted(
-            (k for k in decoder_params if k.startswith("blocks_")),
-            key=lambda k: int(k.split("_")[-1]),
-        )
-        blk = jax.tree_util.tree_map(
-            lambda *leaves: jnp.stack(leaves),
-            *(decoder_params[n] for n in names),
-        )
+    dense = _quant_dense
+    blk = _stacked_blocks(decoder_params)
     layers = {
         "attn": {
             "query": dense(blk["attn"]["query"]),
@@ -101,23 +111,8 @@ def quantize_encoder_weights(encoder_params: dict) -> dict:
     matmul rate. Same stacked layout/convention as ``quantize_step_weights``;
     conv stem, positions, layernorms and the Qformer stay in bf16/fp32.
     Inference-only: training always runs the dense fp weights."""
-
-    def dense(p: dict, with_bias: bool = True):
-        w_q, s = quantize_weight(p["kernel"], contract_axis=-2)
-        b = p["bias"].astype(jnp.float32) if with_bias else None
-        return (w_q, s, b)
-
-    if "block" in encoder_params:
-        blk = encoder_params["block"]
-    else:
-        names = sorted(
-            (k for k in encoder_params if k.startswith("blocks_")),
-            key=lambda k: int(k.split("_")[-1]),
-        )
-        blk = jax.tree_util.tree_map(
-            lambda *leaves: jnp.stack(leaves),
-            *(encoder_params[n] for n in names),
-        )
+    dense = _quant_dense
+    blk = _stacked_blocks(encoder_params)
     return {
         "layers": {
             "attn": {
@@ -130,10 +125,6 @@ def quantize_encoder_weights(encoder_params: dict) -> dict:
             "fc2": dense(blk["mlp_fc2"]),
         }
     }
-
-
-def _gelu(x: jax.Array) -> jax.Array:
-    return jax.nn.gelu(x, approximate=False)
 
 
 def _scan(body, length: int, in_axes=0):
