@@ -63,11 +63,14 @@ def decode_dataset(
     t0 = time.time()
     for batch in dataset.batches(batch_size, shuffle=False, drop_last=False):
         utts = batch["utt_ids"]
+        n_mels = encoder.dims.n_mels
         feats, feats_lens = log_mel_spectrogram(
-            jnp.asarray(batch["speech"]), jnp.asarray(batch["speech_lens"])
+            jnp.asarray(batch["speech"]), jnp.asarray(batch["speech_lens"]),
+            n_mels=n_mels,
         )
         efeats, efeats_lens = log_mel_spectrogram(
-            jnp.asarray(batch["enroll"]), jnp.asarray(batch["enroll_lens"])
+            jnp.asarray(batch["enroll"]), jnp.asarray(batch["enroll_lens"]),
+            n_mels=n_mels,
         )
         memory, _, spk_prompt, _ = encode(
             enc_vars, feats, feats_lens, efeats, efeats_lens

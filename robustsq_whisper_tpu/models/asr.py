@@ -76,7 +76,7 @@ class WhisperASR:
         st = special_tokens(self.dims.n_vocab != 51864)
         multilingual = self.dims.n_vocab >= 51865
         audio = pad_or_trim(audio, N_SAMPLES)
-        mel, _ = log_mel_spectrogram(audio)
+        mel, _ = log_mel_spectrogram(audio, n_mels=self.dims.n_mels)
         memory = enc.apply(self.enc_vars, mel)
         if self.dims.n_vocab > st.sot:  # real Whisper vocab layout
             eot = st.eot

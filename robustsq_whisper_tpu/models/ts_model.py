@@ -134,8 +134,11 @@ class TSASRModel(nn.Module):
         train: bool = False,
         dropout_rng: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Optional[jax.Array], jax.Array, jax.Array]:
-        feats, feats_lens = log_mel_spectrogram(speech, speech_lens)
-        enroll_feats, enroll_feats_lens = log_mel_spectrogram(enroll, enroll_lens)
+        n_mels = self.dims.n_mels  # 80; 128 for whisper large-v3 family
+        feats, feats_lens = log_mel_spectrogram(speech, speech_lens, n_mels=n_mels)
+        enroll_feats, enroll_feats_lens = log_mel_spectrogram(
+            enroll, enroll_lens, n_mels=n_mels
+        )
         if train and self.cfg.use_specaug and specaug_rng is not None:
             feats = apply_specaug(specaug_rng, feats, feats_lens, self.cfg.specaug)
         return self.encoder(

@@ -43,6 +43,19 @@ _PRESETS: Dict[str, Dict[str, int]] = {
                    n_text_state=1024, n_text_head=16, n_text_layer=24),
     "large": dict(n_audio_state=1280, n_audio_head=20, n_audio_layer=32,
                   n_text_state=1280, n_text_head=20, n_text_layer=32),
+    # large-v1/v2 share "large" dims; v3 moves to 128 mel bins and adds one
+    # token (<|yue|>); v3-turbo keeps the v3 encoder with a 4-layer decoder
+    "large-v1": dict(n_audio_state=1280, n_audio_head=20, n_audio_layer=32,
+                     n_text_state=1280, n_text_head=20, n_text_layer=32),
+    "large-v2": dict(n_audio_state=1280, n_audio_head=20, n_audio_layer=32,
+                     n_text_state=1280, n_text_head=20, n_text_layer=32),
+    "large-v3": dict(n_mels=128, n_vocab=51866,
+                     n_audio_state=1280, n_audio_head=20, n_audio_layer=32,
+                     n_text_state=1280, n_text_head=20, n_text_layer=32),
+    "large-v3-turbo": dict(n_mels=128, n_vocab=51866,
+                           n_audio_state=1280, n_audio_head=20,
+                           n_audio_layer=32, n_text_state=1280,
+                           n_text_head=20, n_text_layer=4),
     # test-scale preset: full pipeline shape-compatible, trivially compilable
     "dev": dict(n_audio_state=64, n_audio_head=2, n_audio_layer=2,
                 n_text_state=64, n_text_head=2, n_text_layer=2),

@@ -65,7 +65,9 @@ class SpecialTokens:
         return tuple(seq)
 
 
-def special_tokens(multilingual: bool = True) -> SpecialTokens:
+def special_tokens(
+    multilingual: bool = True, num_languages: int = 99
+) -> SpecialTokens:
     """Token layout of openai/whisper: specials appended after the base vocab.
 
     multilingual (n_vocab 51865): base 50257 + <|endoftext|>=50257,
@@ -73,13 +75,15 @@ def special_tokens(multilingual: bool = True) -> SpecialTokens:
     transcribe=50359, startoflm=50360, startofprev=50361, nospeech=50362,
     notimestamps=50363, timestamps from 50364.
     English-only (51864): one fewer language slot shifts everything by -1.
+    large-v3 family: ``num_languages=100`` (adds <|yue|>), which shifts
+    every special after the language block by +1 and gives n_vocab 51866.
     """
     if multilingual:
         eot = 50257
-        n_langs = 99
+        n_langs = num_languages
     else:
         eot = 50256  # gpt2 <|endoftext|>
-        n_langs = 99  # layout keeps slots; ids shift by -1
+        n_langs = num_languages  # layout keeps slots; ids shift by -1
     sot = eot + 1
     lang_offset = sot + 1
     translate = lang_offset + n_langs

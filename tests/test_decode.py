@@ -513,3 +513,14 @@ def test_int8_self_cache_decode_matches_dense(dec_and_params):
         t_q, s_q = gq(memory, prompt)
         np.testing.assert_array_equal(np.asarray(t_dense), np.asarray(t_q))
         assert np.all(np.isfinite(np.asarray(s_q)))
+
+
+def test_special_tokens_large_v3_layout():
+    """num_languages=100 (<|yue|>) shifts the post-language specials by +1
+    and yields the 51866-token large-v3 vocab."""
+    st = special_tokens(multilingual=True, num_languages=100)
+    assert st.sot == 50258
+    assert st.transcribe == 50360
+    assert st.startofprev == 50362
+    assert st.notimestamps == 50364
+    assert st.n_vocab == 51866

@@ -177,3 +177,51 @@ def test_vocab_expansion_preserves_original_rows():
     assert out2["token_embedding"]["embedding"].shape == (14, 4)
     with pytest.raises(ValueError):
         load.adapt_vocab(params, 5, load_origin_token_embedding=True)
+
+
+def test_large_v3_presets():
+    """large-v3 family: 128 mel bins, 51866-token vocab (<|yue|> added),
+    v3-turbo keeps the v3 encoder with a 4-layer decoder; the frontend and
+    TS model thread n_mels from dims (a large-v3 model must see 128-bin
+    features, not the default 80)."""
+    from robustsq_whisper_tpu.audio.frontend import log_mel_spectrogram
+    from robustsq_whisper_tpu.models.whisper.config import whisper_dims
+
+    v3 = whisper_dims("large-v3")
+    assert (v3.n_mels, v3.n_vocab, v3.n_text_layer) == (128, 51866, 32)
+    turbo = whisper_dims("large-v3-turbo")
+    assert (turbo.n_mels, turbo.n_text_layer) == (128, 4)
+    assert whisper_dims("large-v2").n_mels == 80
+
+    audio = jnp.zeros((1, 16000), jnp.float32)
+    mel, _ = log_mel_spectrogram(audio, n_mels=v3.n_mels)
+    assert mel.shape[1] == 128
+
+    # the TS model's frontend follows dims.n_mels (tiny dims stand-in)
+    from robustsq_whisper_tpu.models import TSASRModel, TSModelConfig, TSEncoderConfig
+
+    dims = whisper_dims("dev").replace(n_mels=128)
+    ts = TSEncoderConfig(num_query_tokens=2, num_hidden_layers=1,
+                         qformer_hidden_size=64, qformer_heads=2,
+                         qformer_intermediate_size=128)
+    cfg = TSModelConfig(vocab_size=100, sos=1, eos=2, startofprev=3,
+                        num_speakers=4, num_negatives=1)
+    model = TSASRModel(dims, ts, cfg)
+    samples = dims.n_audio_ctx * 2 * 160
+    batch = {
+        "speech": jnp.zeros((1, samples), jnp.float32),
+        "speech_lens": jnp.full((1,), samples),
+        "enroll": jnp.zeros((1, samples // 2), jnp.float32),
+        "enroll_lens": jnp.full((1,), samples // 2),
+        "text": jnp.asarray([[5, 6, -1, -1]]),
+        "text_lens": jnp.asarray([2]),
+        "neg_logits": jnp.zeros((1, 1), jnp.float32),
+        "spk_labels": jnp.asarray([0]),
+    }
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, batch, key, 0, train=False)
+    out, _, _, _ = model.apply(
+        params, batch["speech"], batch["speech_lens"],
+        batch["enroll"], batch["enroll_lens"], method=TSASRModel.encode,
+    )
+    assert out.shape[-1] == dims.n_audio_state
