@@ -1,3 +1,4 @@
+from .long_audio import chunk_waveform, decode_long_audio
 from .pipeline import DecodeResult, decode_dataset
 from .scorer import cer, edit_distance, wer
 from .search import (

@@ -1,0 +1,89 @@
+"""Long-audio TS decoding by batched 30 s windows.
+
+The reference hard-caps inputs at Whisper's 30 s positional budget and
+TRUNCATES anything longer (whisper_encoder.py:141-146, 453-455; recipe-level
+``--max_wav_duration 30`` at run_tswhisper.sh:53) — a >30 s utterance simply
+loses its tail. SURVEY.md §2.4 notes the TPU-natural answer is chunked,
+batched 30 s windows rather than sequence parallelism: static shapes, one
+compiled graph, the window axis rides the batch dimension.
+
+This module implements that: split the waveform into fixed windows (optional
+overlap), run ALL windows through the encoder as one batch with the SAME
+enrollment audio (the speaker prompt is a property of the target speaker,
+not of the window), greedy/beam decode them together, and splice the
+per-window token streams in order.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.frontend import HOP_LENGTH, SAMPLE_RATE, log_mel_spectrogram
+from .search import DecodeConfig, build_beam_decoder, strip_eot
+
+
+def chunk_waveform(
+    wav: np.ndarray,  # (samples,) float32
+    chunk_seconds: float = 30.0,
+    overlap_seconds: float = 0.0,
+    sample_rate: int = SAMPLE_RATE,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Split one waveform into fixed-size windows.
+
+    Returns (windows (n, chunk_samples) zero-padded, lens (n,) true sample
+    counts). ``overlap_seconds`` slides windows by chunk-overlap so chunk
+    boundaries don't cut words; the caller deduplicates text downstream if
+    it uses overlap (token-level splicing keeps overlap 0 by default).
+    """
+    chunk = int(round(chunk_seconds * sample_rate))
+    stride = chunk - int(round(overlap_seconds * sample_rate))
+    assert 0 < stride <= chunk, (chunk, stride)
+    n = max(1, -(-max(len(wav) - chunk + stride, 1) // stride))
+    windows = np.zeros((n, chunk), np.float32)
+    lens = np.zeros((n,), np.int32)
+    for i in range(n):
+        start = i * stride
+        piece = wav[start : start + chunk]
+        windows[i, : len(piece)] = piece
+        lens[i] = len(piece)
+    return windows, lens
+
+
+def decode_long_audio(
+    encoder: Any,  # QFormerTSEncoder
+    enc_vars: Any,
+    decoder: Any,  # TSDecoder
+    dec_vars: Any,
+    wav: np.ndarray,  # (samples,) target-speaker mixture, any length
+    enroll: np.ndarray,  # (samples,) enrollment audio of the target speaker
+    dcfg: DecodeConfig = DecodeConfig(),
+    chunk_seconds: float = 30.0,
+) -> List[int]:
+    """Transcribe arbitrarily long audio: 30 s windows batched through one
+    compiled encode+decode, per-window token streams spliced in order.
+
+    The enrollment features are computed once and broadcast across windows
+    — every window conditions on the same speaker prompt.
+    """
+    windows, lens = chunk_waveform(wav, chunk_seconds=chunk_seconds)
+    n = windows.shape[0]
+    feats, feats_lens = log_mel_spectrogram(
+        jnp.asarray(windows), jnp.asarray(lens), n_mels=encoder.dims.n_mels
+    )
+    e = np.asarray(enroll, np.float32)[None].repeat(n, axis=0)
+    efeats, efeats_lens = log_mel_spectrogram(
+        jnp.asarray(e), jnp.full((n,), len(enroll), jnp.int32),
+        n_mels=encoder.dims.n_mels,
+    )
+    memory, _, spk_prompt, _ = encoder.apply(
+        enc_vars, feats, feats_lens, efeats, efeats_lens
+    )
+    run = build_beam_decoder(decoder, dec_vars, dcfg)
+    tokens, _ = run(memory, spk_prompt)
+    out: List[int] = []
+    for row in strip_eot(np.asarray(tokens), dcfg.eot):
+        out.extend(row)
+    return out

@@ -524,3 +524,47 @@ def test_special_tokens_large_v3_layout():
     assert st.startofprev == 50362
     assert st.notimestamps == 50364
     assert st.n_vocab == 51866
+
+
+def test_long_audio_chunked_decode(dec_and_params):
+    """>30 s audio decodes as batched windows sharing one speaker prompt —
+    the reference TRUNCATES past 30 s (whisper_encoder.py:141-146); here the
+    spliced output covers every window, and chunk_waveform partitions the
+    waveform exactly."""
+    from robustsq_whisper_tpu.decode.long_audio import (
+        chunk_waveform,
+        decode_long_audio,
+    )
+    from robustsq_whisper_tpu.models import QFormerTSEncoder, TSEncoderConfig
+
+    # chunking math: 75 s at 1 Hz "sample rate" stand-in
+    wav = np.arange(75, dtype=np.float32)
+    w, lens = chunk_waveform(wav, chunk_seconds=30, sample_rate=1)
+    assert w.shape == (3, 30)
+    np.testing.assert_array_equal(lens, [30, 30, 15])
+    np.testing.assert_array_equal(np.concatenate([r[:n] for r, n in zip(w, lens)]), wav)
+    # overlap slides by chunk - overlap
+    w2, _ = chunk_waveform(wav, chunk_seconds=30, overlap_seconds=10, sample_rate=1)
+    assert w2.shape[0] == 4 and w2[1][0] == 20
+
+    # end-to-end on the tiny model: 2.5 windows of audio -> one token stream
+    enc = QFormerTSEncoder(
+        DIMS,
+        TSEncoderConfig(num_query_tokens=2, num_hidden_layers=1,
+                        qformer_hidden_size=48, qformer_heads=4,
+                        qformer_intermediate_size=96),
+    )
+    rng = np.random.default_rng(3)
+    chunk_s = (2 * DIMS.n_audio_ctx * 160) / 16000.0  # tiny ctx => short chunks
+    long_wav = rng.standard_normal(int(2.5 * chunk_s * 16000)).astype(np.float32) * 0.1
+    enroll = rng.standard_normal(int(0.5 * chunk_s * 16000)).astype(np.float32) * 0.1
+    feats = jnp.zeros((1, 80, 2 * DIMS.n_audio_ctx), jnp.float32)
+    efeats = jnp.zeros((1, 80, 20), jnp.float32)
+    enc_vars = enc.init(jax.random.PRNGKey(0), feats, None, efeats, None)
+    dec, dec_vars, _, _ = dec_and_params
+    toks = decode_long_audio(
+        enc, enc_vars, dec, dec_vars, long_wav, enroll,
+        DecodeConfig(max_new_tokens=4, eot=2, init_tokens=(1,)),
+        chunk_seconds=chunk_s,
+    )
+    assert isinstance(toks, list) and len(toks) <= 3 * 4
