@@ -93,7 +93,7 @@ def main(argv=None):
     from ..decode.pipeline import decode_dataset
     from ..decode.search import DecodeConfig
     from ..models import TSDecoder, QFormerTSEncoder
-    from ..tokenizer.whisper_tokenizer import load_tokenizer, special_tokens
+    from ..tokenizer.whisper_tokenizer import load_tokenizer, special_tokens_for_vocab
     from ..train.checkpoint import latest_step, restore_checkpoint
     from ..train.step import TrainConfig, create_train_state
     from ..utils.config import load_experiment, load_yaml, experiment_from_dict
@@ -125,7 +125,7 @@ def main(argv=None):
         )
     dtype = jnp.bfloat16 if exp.compute_dtype == "bfloat16" else jnp.float32
     tokenizer = load_tokenizer(args.tokenizer_assets)
-    st = special_tokens(multilingual=True)
+    st = special_tokens_for_vocab(exp.model.vocab_size)
 
     dataset = KaldiTSDataset(
         args.data_dir,

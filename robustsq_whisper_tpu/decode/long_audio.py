@@ -16,12 +16,12 @@ per-window token streams in order.
 
 from __future__ import annotations
 
-from typing import Any, List, Tuple
+from typing import Any, Callable, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
-from ..audio.frontend import HOP_LENGTH, SAMPLE_RATE, log_mel_spectrogram
+from ..audio.frontend import SAMPLE_RATE, log_mel_spectrogram
 from .search import DecodeConfig, build_beam_decoder, strip_eot
 
 
@@ -61,27 +61,37 @@ def decode_long_audio(
     enroll: np.ndarray,  # (samples,) enrollment audio of the target speaker
     dcfg: DecodeConfig = DecodeConfig(),
     chunk_seconds: float = 30.0,
+    run: Optional[Callable] = None,
 ) -> List[int]:
     """Transcribe arbitrarily long audio: 30 s windows batched through one
     compiled encode+decode, per-window token streams spliced in order.
 
-    The enrollment features are computed once and broadcast across windows
-    — every window conditions on the same speaker prompt.
+    The enrollment MEL features are computed once and broadcast across the
+    window batch (the encoder's enrollment stem then runs batched over the
+    identical rows — its output is the same speaker prompt per window).
+
+    ``run``: a prebuilt decoder fn from ``build_beam_decoder(decoder,
+    dec_vars, dcfg)``. Pass it when decoding many utterances — the builder
+    jit-compiles (and quantizes the step weights) per call, so rebuilding
+    per utterance pays a retrace each time; built here only as a
+    convenience default.
     """
     windows, lens = chunk_waveform(wav, chunk_seconds=chunk_seconds)
     n = windows.shape[0]
     feats, feats_lens = log_mel_spectrogram(
         jnp.asarray(windows), jnp.asarray(lens), n_mels=encoder.dims.n_mels
     )
-    e = np.asarray(enroll, np.float32)[None].repeat(n, axis=0)
-    efeats, efeats_lens = log_mel_spectrogram(
-        jnp.asarray(e), jnp.full((n,), len(enroll), jnp.int32),
+    e1, _ = log_mel_spectrogram(
+        jnp.asarray(np.asarray(enroll, np.float32))[None],
         n_mels=encoder.dims.n_mels,
     )
+    efeats = jnp.broadcast_to(e1, (n,) + e1.shape[1:])
+    efeats_lens = jnp.full((n,), e1.shape[-1], jnp.int32)
     memory, _, spk_prompt, _ = encoder.apply(
         enc_vars, feats, feats_lens, efeats, efeats_lens
     )
-    run = build_beam_decoder(decoder, dec_vars, dcfg)
+    if run is None:
+        run = build_beam_decoder(decoder, dec_vars, dcfg)
     tokens, _ = run(memory, spk_prompt)
     out: List[int] = []
     for row in strip_eot(np.asarray(tokens), dcfg.eot):

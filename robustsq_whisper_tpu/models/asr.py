@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..audio.frontend import N_SAMPLES, log_mel_spectrogram, pad_or_trim
 from ..decode.search import DecodeConfig, build_beam_decoder
-from ..tokenizer.whisper_tokenizer import special_tokens
+from ..tokenizer.whisper_tokenizer import special_tokens_for_vocab
 from .ts_decoder import TSDecoder
 from .whisper.config import WhisperDims, whisper_dims
 from .whisper.modules import AudioEncoder
@@ -73,7 +73,7 @@ class WhisperASR:
         """Zero-shot transcription: pad_or_trim to 30 s, mel, encode, greedy/
         beam decode. Returns (tokens, scores)."""
         enc, dec = self.modules()
-        st = special_tokens(self.dims.n_vocab != 51864)
+        st = special_tokens_for_vocab(self.dims.n_vocab)
         multilingual = self.dims.n_vocab >= 51865
         audio = pad_or_trim(audio, N_SAMPLES)
         mel, _ = log_mel_spectrogram(audio, n_mels=self.dims.n_mels)

@@ -29,7 +29,7 @@ LANGUAGES = (
     "cs ro da hu ta no th ur hr bg lt la mi ml cy sk te fa lv bn sr az sl kn "
     "et mk br eu is hy ne mn bs kk sq sw gl mr pa si km sn yo so af oc ka be "
     "tg sd gu am yi lo uz fo ht ps tk nn mt sa lb my bo tl mg as tt haw ln ha "
-    "ba jw su"
+    "ba jw su yue"  # yue is the 100th language (large-v3 family only)
 ).split()
 
 GPT2_VOCAB = 50257  # byte-pair vocab incl. <|endoftext|>
@@ -50,7 +50,14 @@ class SpecialTokens:
     n_vocab: int
 
     def lang(self, code: str) -> int:
-        return self.lang_offset + LANGUAGES.index(code)
+        idx = LANGUAGES.index(code)
+        n_langs = self.translate - self.lang_offset
+        if idx >= n_langs:
+            raise ValueError(
+                f"language {code!r} needs a {idx + 1}-language layout "
+                f"(this one has {n_langs}; large-v3 layouts have 100)"
+            )
+        return self.lang_offset + idx
 
     def sot_sequence(
         self, language: Optional[str] = "en", task: str = "transcribe",
@@ -100,6 +107,18 @@ def special_tokens(
         nospeech=nospeech, notimestamps=notimestamps,
         timestamp_begin=timestamp_begin, n_vocab=n_vocab,
     )
+
+
+def special_tokens_for_vocab(n_vocab: int) -> SpecialTokens:
+    """The token layout a model's vocab size implies: 51864 = English-only,
+    51865 = multilingual (99 languages), 51866 = large-v3 multilingual
+    (100 languages, <|yue|>). Expanded vocabs (> 51866) keep the v2 layout
+    the expansion started from."""
+    if n_vocab == 51864:
+        return special_tokens(multilingual=False)
+    if n_vocab == 51866:
+        return special_tokens(multilingual=True, num_languages=100)
+    return special_tokens(multilingual=True)
 
 
 class ByteTokenizer:

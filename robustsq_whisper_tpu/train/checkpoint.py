@@ -10,6 +10,7 @@ and restores onto an arbitrary mesh (orbax handles resharding).
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any, Optional, Tuple
 
@@ -96,18 +97,50 @@ def restore_checkpoint(
     step: Optional[int] = None,
 ) -> Tuple[Any, int, jax.Array]:
     """Restore (state, epoch, rng). ``state_template`` provides the tree
-    structure/shardings (abstract or concrete)."""
+    structure/shardings (abstract or concrete).
+
+    Falls back to a WEIGHTS-ONLY restore (params/buffers/lora/step; fresh
+    optimizer state from the template) when the stored opt_state's tree
+    doesn't match the template — e.g. checkpoints written before the
+    trainable-subtree split changed the lora/frozen opt_state layout.
+    Serving (cli/decode.py) only needs the weights; a training resume from
+    such a checkpoint restarts the optimizer moments and logs it here."""
     ocp = _ocp()
     with ocp.CheckpointManager(os.path.abspath(ckpt_dir)) as mgr:
         step = step if step is not None else mgr.latest_step()
-        restored = mgr.restore(
-            step,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(state_template),
-                meta=ocp.args.JsonRestore(),
-            ),
-        )
+        try:
+            restored = mgr.restore(
+                step,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(state_template),
+                    meta=ocp.args.JsonRestore(),
+                ),
+            )
+            state = restored["state"]
+        except Exception:
+            # tree-structure mismatch: re-read leniently and keep the
+            # weight collections, template's optimizer state
+            restored = mgr.restore(
+                step, args=ocp.args.Composite(meta=ocp.args.JsonRestore())
+            )
+            # StandardRestore with no template returns the stored tree as-is
+            raw = mgr.restore(
+                step, args=ocp.args.Composite(state=ocp.args.StandardRestore())
+            )["state"]
+            logging.warning(
+                "opt_state layout mismatch in %s step %s; restoring weights "
+                "only (optimizer moments reset)", ckpt_dir, step,
+            )
+            to_jnp = lambda tree: jax.tree_util.tree_map(
+                jax.numpy.asarray, tree
+            )
+            state = state_template.replace(
+                params=to_jnp(raw["params"]),
+                buffers=to_jnp(raw.get("buffers", state_template.buffers)),
+                lora=to_jnp(raw.get("lora", state_template.lora)),
+                step=jax.numpy.asarray(raw["step"]),
+            )
     rng = jax.numpy.asarray(
         np.asarray(restored["meta"]["rng"], dtype=np.uint32)
     )
-    return restored["state"], int(restored["meta"]["epoch"]), rng
+    return state, int(restored["meta"]["epoch"]), rng

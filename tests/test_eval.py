@@ -134,3 +134,42 @@ def test_write_averaged_checkpoint_and_prune(tmp_path, tiny_state):
     path = write_averaged_checkpoint(ckpt, tracker, state)
     assert path is not None
     assert latest_step(os.path.join(ckpt, "ave")) == 2
+
+
+def test_restore_falls_back_to_weights_only_on_opt_state_mismatch(tmp_path):
+    """A checkpoint whose opt_state tree doesn't match the template (e.g.
+    written before the trainable-subtree split changed the lora layout) must
+    still restore its weights; optimizer moments reset from the template."""
+    import dataclasses
+
+    import optax
+
+    from robustsq_whisper_tpu.train.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from robustsq_whisper_tpu.train.step import TrainState
+
+    params = {"dense": {"kernel": jnp.ones((3, 3)), "bias": jnp.zeros((3,))}}
+    old_tx = optax.adam(1e-3)
+    old_state = TrainState(
+        step=jnp.asarray(7), params=params, buffers={}, lora={},
+        opt_state=old_tx.init(params),
+    )
+    save_checkpoint(
+        str(tmp_path), 7, old_state, epoch=2, rng=jax.random.PRNGKey(0)
+    )
+
+    # new-layout template: optimizer over a flat SUBSET of the params
+    sub = {("dense", "kernel"): jnp.zeros((3, 3))}
+    new_tx = optax.adam(1e-3)
+    template = TrainState(
+        step=jnp.asarray(0),
+        params=jax.tree_util.tree_map(jnp.zeros_like, params),
+        buffers={}, lora={}, opt_state=new_tx.init(sub),
+    )
+    state, epoch, rng = restore_checkpoint(str(tmp_path), template)
+    assert epoch == 2 and int(state.step) == 7
+    np.testing.assert_array_equal(
+        np.asarray(state.params["dense"]["kernel"]), np.ones((3, 3))
+    )
