@@ -25,6 +25,8 @@ BENCH_SELF_KV_BITS (decode self-attention cache: 16 dense or 8 int8,
 default 16 — int8 measured slower, see main()),
 BENCH_INT8_ENC_W (W8A8 int8 encoder block matmuls, default 0 — measured
 neutral at medium/batch 32, see the note in main()),
+BENCH_BEAM (beam size, default 1 = greedy fast path),
+BENCH_BEAM_REORDER (beam cache reorder: auto|dma|take, default auto),
 BENCH_TRAIN (default 1), BENCH_TRAIN_BATCH (default 16; halved on OOM),
 BENCH_TRAIN_MODE (default lora).
 """
@@ -151,7 +153,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from robustsq_whisper_tpu.decode.search import DecodeConfig, build_greedy_decoder
+    from robustsq_whisper_tpu.decode.search import DecodeConfig, build_beam_decoder
     from robustsq_whisper_tpu.models import (
         QFormerTSEncoder,
         TSDecoder,
@@ -238,11 +240,13 @@ def main():
         max_new_tokens=new_tokens,
         eot=st.eot,
         init_tokens=st.sot_sequence("en", "transcribe", True),
-        beam_size=1,
+        beam_size=int(os.environ.get("BENCH_BEAM", "1")),
         quantize_cross_kv=os.environ.get("BENCH_INT8_KV", "1") == "1",
         quantize_weights=os.environ.get("BENCH_INT8_W", "1") == "1",
+        beam_reorder=os.environ.get("BENCH_BEAM_REORDER", "auto"),
     )
-    greedy = build_greedy_decoder(dec, dec_vars, dcfg)
+    # beam_size 1 routes to the greedy fast path inside the builder
+    greedy = build_beam_decoder(dec, dec_vars, dcfg)
     # W8A8 int8 encoder blocks — measured NEUTRAL at medium/batch 32
     # (707.6x vs 709.5x): the per-matmul activation-quant pass (amax read
     # over the bf16 activations + int8 copy materialization) costs about
@@ -290,7 +294,8 @@ def main():
 
     # free decode state before the training probe needs the HBM
     result = {
-        "metric": f"ts_asr_decode_rtf_{model_name}_b{batch}",
+        "metric": f"ts_asr_decode_rtf_{model_name}_b{batch}"
+        + (f"_beam{dcfg.beam_size}" if dcfg.beam_size > 1 else ""),
         "value": round(rtf, 2),
         "unit": "audio-sec/chip-sec",
         "vs_baseline": round(rtf / 50.0, 3),

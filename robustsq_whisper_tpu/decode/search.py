@@ -10,21 +10,26 @@ over decode steps with a preallocated per-layer KV cache updated in place via
 speaker prompt prefix ([<|startofprev|>; spk_prompt]) prefilled once.
 
 Beam search flattens (batch, beam) into the leading axis so every step is one
-MXU-shaped matmul batch; hypothesis reordering is a ``jnp.take`` gather of the
-cache. Scoring follows ESPnet/Whisper beam=1..k attention-decoder semantics:
-accumulated log-probs, finished beams frozen by forcing eot with score 0.
+MXU-shaped matmul batch; hypothesis reordering copies cache rows with direct
+HBM->HBM DMAs (ops/beam_gather.py; ``jnp.take``'s gather lowering measured
+~4x below HBM bandwidth) and the quantized cross K/V is SHARED across beams
+by the grouped decode kernel instead of beam-expanded. Scoring follows
+ESPnet/Whisper beam=1..k attention-decoder semantics: accumulated log-probs,
+finished beams frozen by forcing eot with score 0.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import Any, Callable, List, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..models.ts_decoder import TSDecoder, quantize_step_weights
+from ..ops.beam_gather import beam_reorder_cache
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +53,13 @@ class DecodeConfig:
     # speech (~30-50 tokens per 30 s) this cuts decode wall time 2-3x vs the
     # fixed-length scan; the scan is kept for beam search (simpler gather)
     stop_early: bool = True
+    # beam-search cache reorder: "dma" = the Pallas HBM->HBM row-copy kernel
+    # (ops/beam_gather.py; the XLA gather lowering of jnp.take measured ~4x
+    # below HBM bandwidth on the cache and dominates the beam loop), "take"
+    # = the XLA gather, "auto" = the kernel whenever the cache rows tile
+    # into whole (32, 128) DMA tiles (padding the cache length slightly if
+    # that makes them tile), gather otherwise.
+    beam_reorder: str = "auto"
 
 
 def _step_weights(dec: TSDecoder, variables: Any, cfg: "DecodeConfig"):
@@ -176,21 +188,58 @@ def build_beam_decoder(
         total = prompt_len + len(cfg.init_tokens) + cfg.max_new_tokens
         vocab = dec.dims.n_vocab
 
-        # expand memory/prompt across beams -> (b*k, ...)
-        def expand(x):
-            return jnp.repeat(x, k, axis=0)
-
-        mem_e, prompt_e = expand(memory), expand(spk_prompt)
         m = lambda method, *a, **kw: dec.apply(variables, *a, method=method, **kw)
-        # dense prefill, quantize for the token loop (see greedy above)
-        cross = m(TSDecoder.cross_kv, mem_e, quantize=False)
-        cache = m(TSDecoder.init_cache, b * k, total)
-        init = jnp.tile(
-            jnp.asarray(cfg.init_tokens, jnp.int32)[None, :], (b * k, 1)
+        # Pick the cache-reorder path. The DMA kernel copies whole cache
+        # rows HBM->HBM, so every leaf's per-row payload must flatten into
+        # whole (32, 128) tiles: total * per_position_elements % 4096 == 0.
+        # A short extra tail on the cache length buys that for the dense
+        # bf16 cache (per-pos = n_heads * head_dim); the int8 cache's fp32
+        # scale leaves (per-pos = n_heads) would need a tail in the
+        # hundreds, so "auto" falls back to the XLA gather there.
+        per_pos = [
+            int(math.prod(x.shape[3:]))
+            for x in jax.tree_util.tree_leaves(
+                jax.eval_shape(lambda: m(TSDecoder.init_cache, b, total))
+            )
+        ]
+        required = 1
+        for pp in per_pos:
+            required = math.lcm(required, 4096 // math.gcd(pp, 4096))
+        use_dma = cfg.beam_reorder == "dma" or (
+            cfg.beam_reorder == "auto" and required <= 64
         )
-        logits, cache = m(TSDecoder.prefill, init, prompt_e, cache, cross)
+        if use_dma:
+            total = -(-total // required) * required  # pad to tile
+        # Prefill at PLAIN batch rows: every beam starts from the identical
+        # prefix, so cross K/V projection + prefill run ONCE per utterance
+        # and the resulting cache/logits are tiled across beams after — k x
+        # less prefill compute and HBM than beam-expanding the memory first.
+        cross = m(TSDecoder.cross_kv, memory, quantize=False)
+        cache = m(TSDecoder.init_cache, b, total)
+        init = jnp.tile(
+            jnp.asarray(cfg.init_tokens, jnp.int32)[None, :], (b, 1)
+        )
+        logits, cache = m(TSDecoder.prefill, init, spk_prompt, cache, cross)
         if cfg.quantize_cross_kv:
+            # The quantized cross K/V STAYS at b rows for the whole token
+            # loop: the grouped Pallas kernel reads each utterance's K/V
+            # tiles once for all k beams (attend_quant beam_group) — the
+            # decode loop's dominant HBM term does not scale with the beam
+            # width, and the k x cross-KV memory blowup never happens.
             cross = m(TSDecoder.quantize_cross, cross)
+            group = k
+        else:
+            # dense cross K/V goes through plain per-row attention and must
+            # be physically beam-expanded (stacked batch axis 1)
+            cross = jax.tree_util.tree_map(
+                lambda x: jnp.repeat(x, k, axis=1), cross
+            )
+            group = 1
+        # beam-flatten the prefix state: (layers, b, ...) -> (layers, b*k, ...)
+        cache = jax.tree_util.tree_map(
+            lambda x: jnp.repeat(x, k, axis=1), cache
+        )
+        logits = jnp.repeat(logits, k, axis=0)  # (b*k, vocab)
 
         neg_inf = jnp.float32(-1e30)
         # beam 0 active, others dead at start so the first step picks top-k
@@ -221,9 +270,19 @@ def build_beam_decoder(
             gather_idx = (
                 jnp.arange(b)[:, None] * k + src_beam
             ).reshape(-1)  # (b*k,)
-            cache2 = jax.tree_util.tree_map(
-                lambda x: jnp.take(x, gather_idx, axis=1), cache
-            )
+            if use_dma:
+                leaves, treedef = jax.tree_util.tree_flatten(cache)
+                cache2 = jax.tree_util.tree_unflatten(
+                    treedef,
+                    beam_reorder_cache(
+                        leaves, gather_idx,
+                        interpret=jax.default_backend() == "cpu",
+                    ),
+                )
+            else:
+                cache2 = jax.tree_util.tree_map(
+                    lambda x: jnp.take(x, gather_idx, axis=1), cache
+                )
             done_prev = jnp.take_along_axis(done, src_beam, axis=1)
             done2 = done_prev | (tok == cfg.eot)
             # hypothesis length follows the beam LINEAGE (gather by src_beam);
@@ -233,7 +292,8 @@ def build_beam_decoder(
             ).astype(jnp.int32)
             pos = prompt_len + len(cfg.init_tokens) + i
             new_logits, cache3 = m(
-                TSDecoder.step, tok.reshape(-1, 1), pos, cache2, cross, qw=qw
+                TSDecoder.step, tok.reshape(-1, 1), pos, cache2, cross,
+                qw=qw, beam_group=group,
             )
             return (
                 (new_logits, cache3, top_scores, done2, lengths2),

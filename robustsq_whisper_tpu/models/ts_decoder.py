@@ -129,9 +129,11 @@ class TSDecoder(nn.Module):
         cache: List[Tuple[jax.Array, jax.Array]],
         cross: List[Tuple[jax.Array, jax.Array]],
         qw=None,  # int8 step weights (quantize_step_weights)
+        beam_group: int = 1,  # beams per utterance sharing quantized cross
     ) -> Tuple[jax.Array, List[Tuple[jax.Array, jax.Array]]]:
         return self.decoder.step(
-            self.decoder.embed(token), pos, cache, cross, qw=qw
+            self.decoder.embed(token), pos, cache, cross, qw=qw,
+            beam_group=beam_group,
         )
 
 

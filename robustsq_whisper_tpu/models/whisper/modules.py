@@ -262,6 +262,7 @@ class MultiHeadAttention(nn.Module):
         kv_len: jax.Array,  # scalar int32 true length
         qw: Optional[dict] = None,  # int8 step weights for q/out projections
         layer_idx: Optional[jax.Array] = None,  # stacked k_q/v_q (see below)
+        beam_group: int = 1,  # beams per utterance sharing this K/V
     ) -> jax.Array:
         """Quantized cross attention (tuple layout from ``kv_quant``).
 
@@ -274,6 +275,12 @@ class MultiHeadAttention(nn.Module):
         axis with ``layer_idx`` selecting this block's slab *inside* the
         kernel — avoiding the per-step XLA slice-copy of the whole tensor
         (decode_cross_attention docstring).
+
+        ``beam_group=k``: x has batch*``k`` rows (beam-flattened) while the
+        K/V tensors have plain batch rows — each utterance's ``k`` beams
+        attend ONE shared K/V read (grouped kernel mode), so beam search
+        does not multiply the decode loop's dominant HBM term (and the
+        cross tensors are never beam-expanded in memory).
         """
         q = self._split(
             self.query(x) if qw is None
@@ -282,8 +289,13 @@ class MultiHeadAttention(nn.Module):
         if x.shape[1] == 1:
             from ...ops.decode_attention import decode_cross_attention
 
+            g = beam_group
+            q1 = q[:, 0]  # (b*g, h, hd)
+            if g > 1:
+                bk, h, hd = q1.shape
+                q1 = q1.reshape(bk // g, g, h, hd).transpose(0, 2, 1, 3)
             o = decode_cross_attention(
-                q[:, 0],
+                q1,
                 k_q,
                 v_q,
                 k_s,
@@ -291,13 +303,21 @@ class MultiHeadAttention(nn.Module):
                 layer_idx=layer_idx,
                 interpret=jax.default_backend() == "cpu",
                 packed_int4=self.kv_bits == 4,
-            )  # (b, h, hd), v_s/v_zp not yet applied
-            o = o.astype(jnp.float32) * v_s + v_zp
-            o = self._merge(o[:, None].astype(self.dtype))
+                group=g,
+            )  # (b, h, hd) or (b, h, g, hd); v_s/v_zp not yet applied
+            if g > 1:
+                o = o.transpose(0, 2, 1, 3)  # (b, g, h, hd)
+                o = o.astype(jnp.float32) * v_s[:, None] + v_zp[:, None]
+                o = o.reshape((-1, 1) + o.shape[2:])  # (b*g, 1, h, hd)
+                o = self._merge(o.astype(self.dtype))
+            else:
+                o = o.astype(jnp.float32) * v_s + v_zp
+                o = self._merge(o[:, None].astype(self.dtype))
             if qw is not None:
                 return qmatmul(o, *qw["out"], out_dtype=self.dtype)
             return self.out(o)
         assert layer_idx is None, "stacked K/V is decode-loop only"
+        assert beam_group == 1, "beam grouping is decode-loop only"
         if self.kv_bits == 4:  # prefill runs once; XLA unpack is fine here
             from ...ops.decode_attention import unpack_int4
 
@@ -432,12 +452,14 @@ class ResidualAttentionBlock(nn.Module):
         cross: Tuple[jax.Array, ...],
         qw: Optional[dict] = None,
         layer_idx: Optional[jax.Array] = None,
+        beam_group: int = 1,
     ) -> jax.Array:
         h = self._cast(self.cross_attn_ln(x))
         if len(cross) == 6:  # quantized transposed cross K/V (kv_quant)
             return x + self.cross_attn.attend_quant(
-                h, *cross, qw=qw, layer_idx=layer_idx
+                h, *cross, qw=qw, layer_idx=layer_idx, beam_group=beam_group
             )
+        assert beam_group == 1, "dense cross K/V must be beam-expanded"
         return x + self.cross_attn.attend(h, *cross, qw=qw)
 
     @staticmethod
@@ -485,6 +507,7 @@ class ResidualAttentionBlock(nn.Module):
         cross: Tuple[jax.Array, ...],
         qw: Optional[dict] = None,
         layer_idx: Optional[jax.Array] = None,
+        beam_group: int = 1,
     ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
         """Single-token decode step against a READ-ONLY KV-cache prefix.
 
@@ -589,7 +612,7 @@ class ResidualAttentionBlock(nn.Module):
         x = x + o
         x = self._cross(
             x, cross, qw=None if qw is None else qw["cross"],
-            layer_idx=layer_idx,
+            layer_idx=layer_idx, beam_group=beam_group,
         )
         h2 = self._cast(self.mlp_ln(x))
         if qw is None:
@@ -912,6 +935,7 @@ class TextDecoder(nn.Module):
         cache: Cache,
         cross: CrossKV,
         qw: Optional[dict] = None,
+        beam_group: int = 1,
     ) -> Tuple[jax.Array, Cache]:
         """One decode step. token_emb: (batch, 1, n_state); pos: scalar int.
 
@@ -919,6 +943,11 @@ class TextDecoder(nn.Module):
         the step — including the tied-embedding logits — through W8A8 int8
         (ops/quant.py); the per-layer entries ride the scan like the cross
         K/V do. Returns fp32 logits (batch, n_vocab) and the updated cache.
+
+        ``beam_group=k``: token_emb/cache carry batch*k beam-flattened rows
+        while the quantized ``cross`` stays at plain batch rows — the
+        grouped Pallas kernel reads each utterance's cross K/V ONCE for all
+        of its beams (attend_quant docstring). Requires quantized cross.
         """
         pos_emb = jax.lax.dynamic_slice_in_dim(
             self.positional_embedding, pos, 1, axis=0
@@ -927,6 +956,10 @@ class TextDecoder(nn.Module):
         cache = tuple(cache)
         layers_qw = None if qw is None else qw["layers"]
         quantized_cross = len(cross) == 6
+        assert beam_group == 1 or quantized_cross, (
+            "beam grouping needs the quantized cross-KV layout; expand the "
+            "dense cross K/V across beams instead"
+        )
         if self.scan_layers:
             if quantized_cross:
                 # The big stacked K/V tensors are scan-BROADCAST; peeling
@@ -942,7 +975,7 @@ class TextDecoder(nn.Module):
                     y, news = block.step(
                         carry, lcache, pos,
                         (kq_full, ks_l, vq_full, vs_l, vzp_l, len_l),
-                        qw=qw_l, layer_idx=idx,
+                        qw=qw_l, layer_idx=idx, beam_group=beam_group,
                     )
                     return y, news
 
@@ -975,6 +1008,7 @@ class TextDecoder(nn.Module):
                 x, news_i = block.step(
                     x, tuple(c[i] for c in cache), pos,
                     tuple(c[i] for c in cross), qw=qw_i,
+                    beam_group=beam_group,
                 )
                 per_layer.append(news_i)
             news = tuple(jnp.stack(parts) for parts in zip(*per_layer))

@@ -150,11 +150,98 @@ def _kernel(
         ).astype(o_ref.dtype)
 
 
+def _kernel_grouped(
+    meta_ref,  # (2,) int32 scalar-prefetch: [layer index, true kv length]
+    q_ref,  # (h, g, d) f32 — g beam queries per head, shared K/V
+    kt_ref,  # (h, d[/2], block_t) int8/bf16/f32
+    vt_ref,  # (h, d[/2], block_t)
+    o_ref,  # (h, g, d)
+    m_ref,  # scratch (h*g, 1) f32
+    l_ref,  # scratch (h*g, 1) f32
+    acc_ref,  # scratch (h*g, d) f32
+    *,
+    block_t: int,
+    packed: bool = False,
+):
+    """Beam-grouped variant of ``_kernel``: one program attends ``g`` query
+    rows (the beams of one utterance) against a SINGLE K/V read — the
+    decode loop's dominant HBM term does not scale with the beam width.
+
+    The per-tile contractions run as head-batched ``dot_general`` on the
+    MXU (M = g gives the lhs a real non-contracting dim, unlike the M = 1
+    case Mosaic rejects); the online-softmax state is kept flattened as
+    (h*g, 1) rows exactly like the ungrouped kernel.
+    """
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    h, g, d = q_ref.shape
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def unpack(w):  # (h, d/2, bt) int8 -> 2x (h, d/2, bt) f32 nibbles
+        w = w.astype(jnp.int32)
+        lo = jnp.left_shift(w, 28) >> 28
+        hi = jnp.left_shift(w, 24) >> 28
+        return lo.astype(jnp.float32), hi.astype(jnp.float32)
+
+    def bdot_qk(qg, kt):  # (h, g, dd) x (h, dd, bt) -> (h, g, bt)
+        return jax.lax.dot_general(
+            qg, kt, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    def bdot_pv(p3, vt):  # (h, g, bt) x (h, dd, bt) -> (h, g, dd)
+        return jax.lax.dot_general(
+            p3, vt, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    q = q_ref[:].astype(jnp.float32)  # (h, g, d)
+    if packed:
+        half = d // 2
+        k_lo, k_hi = unpack(kt_ref[:])
+        q_lo = jax.lax.slice_in_dim(q, 0, half, axis=2)
+        q_hi = jax.lax.slice_in_dim(q, half, d, axis=2)
+        s = bdot_qk(q_lo, k_lo) + bdot_qk(q_hi, k_hi)  # (h, g, bt)
+    else:
+        s = bdot_qk(q, kt_ref[:].astype(jnp.float32))
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + j * block_t
+    s = jnp.where(col < meta_ref[1], s, NEG_INF)
+    s2 = s.reshape(h * g, s.shape[-1])
+
+    m_prev = m_ref[:]  # (h*g, 1)
+    l_prev = l_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s2, axis=-1, keepdims=True))
+    p = jnp.exp(s2 - m_new)  # (h*g, bt)
+    alpha = jnp.exp(m_prev - m_new)
+    p3 = p.reshape(h, g, p.shape[-1])
+    if packed:
+        v_lo, v_hi = unpack(vt_ref[:])
+        pv = jnp.concatenate(
+            [bdot_pv(p3, v_lo), bdot_pv(p3, v_hi)], axis=2
+        )  # (h, g, d)
+    else:
+        pv = bdot_pv(p3, vt_ref[:].astype(jnp.float32))
+    m_ref[:] = m_new
+    l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + pv.reshape(h * g, d)
+
+    @pl.when(j == nj - 1)
+    def _():
+        o_ref[:] = (
+            acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+        ).reshape(h, g, d).astype(o_ref.dtype)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("block_t", "interpret", "packed_int4")
+    jax.jit, static_argnames=("block_t", "interpret", "packed_int4", "group")
 )
 def decode_cross_attention(
-    q: jax.Array,  # (batch, heads, head_dim) — single decode position
+    q: jax.Array,  # (batch, heads, head_dim); (batch, heads, group, head_dim) if group > 1
     kt: jax.Array,  # (batch, heads, head_dim, T) int8/bf16/f32, T % block
     vt: jax.Array,  # (batch, heads, head_dim, T)
     k_scale: Optional[jax.Array] = None,  # (batch, heads, head_dim)
@@ -164,6 +251,7 @@ def decode_cross_attention(
     block_t: int = DEFAULT_BLOCK_T,
     interpret: bool = False,
     packed_int4: bool = False,
+    group: int = 1,  # beam queries per K/V row (beam search shares K/V)
 ) -> jax.Array:
     """Softmax(q·K/sqrt(d)) @ V for one query position. Returns
     (batch, heads, head_dim) in q.dtype.
@@ -185,8 +273,20 @@ def decode_cross_attention(
     ~1.7 ms/step at medium/batch 32/int4, i.e. the decode loop's dominant
     HBM term was being read twice (profiled round 2). Indexing inside the
     kernel reads each tile exactly once, straight from the stacked tensor.
+
+    **Beam-grouped mode** (``group > 1``): ``q`` is (batch, heads, group,
+    head_dim) — the ``group`` beams of each utterance attend the SAME
+    encoder memory (the reference broadcasts the prompt/memory across beams,
+    whisper_decoder.py:330-332), so one program reads each K/V tile once for
+    all beams instead of the naive beam-expanded layout reading it ``group``
+    times. Returns (batch, heads, group, head_dim); scales fold outside
+    exactly as in the ungrouped path.
     """
-    b, h, d = q.shape
+    if group > 1:
+        b, h, gq, d = q.shape
+        assert gq == group, (q.shape, group)
+    else:
+        b, h, d = q.shape
     stacked = kt.ndim == 5
     assert stacked == (layer_idx is not None), (kt.shape, layer_idx)
     if packed_int4:
@@ -199,7 +299,8 @@ def decode_cross_attention(
 
     qs = q.astype(jnp.float32) * (d**-0.5)
     if k_scale is not None:
-        qs = qs * k_scale.astype(jnp.float32)
+        ks = k_scale.astype(jnp.float32)
+        qs = qs * (ks[:, :, None, :] if group > 1 else ks)
 
     if not packed_int4:
         pad = (-t_in) % block_t
@@ -226,30 +327,43 @@ def decode_cross_attention(
         kv_spec = pl.BlockSpec(
             (None, h, dd, block_t), lambda i, j, m: (i, 0, 0, j)
         )
+    if group > 1:
+        q_spec = pl.BlockSpec(
+            (None, h, group, d), lambda i, j, m: (i, 0, 0, 0)
+        )
+        out_shape = (b, h, group, d)
+        rows = h * group
+        kernel = functools.partial(
+            _kernel_grouped, block_t=block_t, packed=packed_int4
+        )
+    else:
+        q_spec = pl.BlockSpec((None, h, d), lambda i, j, m: (i, 0, 0))
+        out_shape = (b, h, d)
+        rows = h
+        kernel = functools.partial(
+            _kernel, block_t=block_t, packed=packed_int4
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, t_pad // block_t),
-        in_specs=[
-            pl.BlockSpec((None, h, d), lambda i, j, m: (i, 0, 0)),
-            kv_spec,
-            kv_spec,
-        ],
-        out_specs=pl.BlockSpec((None, h, d), lambda i, j, m: (i, 0, 0)),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
         scratch_shapes=[
-            pltpu.VMEM((h, 1), jnp.float32),
-            pltpu.VMEM((h, 1), jnp.float32),
-            pltpu.VMEM((h, d), jnp.float32),
+            pltpu.VMEM((rows, 1), jnp.float32),
+            pltpu.VMEM((rows, 1), jnp.float32),
+            pltpu.VMEM((rows, d), jnp.float32),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, block_t=block_t, packed=packed_int4),
+        kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct(out_shape, q.dtype),
         interpret=interpret,
     )(meta, qs, kt, vt)
 
     if v_scale is not None:
-        out = (out.astype(jnp.float32) * v_scale.astype(jnp.float32)).astype(
-            q.dtype
-        )
+        vs = v_scale.astype(jnp.float32)
+        if group > 1:
+            vs = vs[:, :, None, :]
+        out = (out.astype(jnp.float32) * vs).astype(q.dtype)
     return out

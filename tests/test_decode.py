@@ -275,6 +275,126 @@ def test_int4_cross_kv_decode_plumbing(dec_and_params):
         assert cos > 0.98, cos
 
 
+def test_grouped_kernel_matches_per_beam_calls():
+    """Beam-grouped decode kernel (one K/V read shared by ``g`` query rows)
+    == ``g`` independent ungrouped calls, across int4/int8-stacked/dense
+    variants."""
+    from robustsq_whisper_tpu.ops.decode_attention import (
+        decode_cross_attention,
+        pack_int4,
+    )
+
+    rng = np.random.default_rng(0)
+    b, g, h, d, t = 2, 3, 4, 8, 1024
+    kv_len = 900
+    q = jnp.asarray(rng.standard_normal((b, g, h, d)), jnp.float32)
+    qg = q.transpose(0, 2, 1, 3)  # kernel layout (b, h, g, d)
+    k_s = jnp.asarray(rng.uniform(0.01, 0.1, (b, h, d)), jnp.float32)
+    v_s = jnp.asarray(rng.uniform(0.01, 0.1, (b, h, d)), jnp.float32)
+
+    def compare(kt, vt, **kw):
+        out = decode_cross_attention(
+            qg, kt, vt, block_t=512, interpret=True, group=g, **kw
+        )
+        out = np.asarray(out).transpose(0, 2, 1, 3)  # (b, g, h, d)
+        ref = np.stack(
+            [
+                np.asarray(
+                    decode_cross_attention(
+                        q[:, gi], kt, vt, block_t=512, interpret=True, **kw
+                    )
+                )
+                for gi in range(g)
+            ],
+            axis=1,
+        )
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3)
+
+    # packed int4
+    k4 = pack_int4(jnp.asarray(rng.integers(-7, 8, (b, h, d, t)), jnp.int8))
+    v4 = pack_int4(jnp.asarray(rng.integers(-7, 8, (b, h, d, t)), jnp.int8))
+    compare(
+        k4, v4, k_scale=k_s, v_scale=v_s, kv_len=jnp.int32(kv_len),
+        packed_int4=True,
+    )
+    # stacked-layer int8 with scalar-prefetch layer select
+    L = 3
+    k8 = jnp.asarray(rng.integers(-127, 128, (L, b, h, d, t)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, (L, b, h, d, t)), jnp.int8)
+    compare(
+        k8, v8, k_scale=k_s, v_scale=v_s, kv_len=jnp.int32(kv_len),
+        layer_idx=jnp.int32(1),
+    )
+    # dense fp with ragged tail (wrapper-side fallback padding)
+    kf = jnp.asarray(rng.standard_normal((b, h, d, 700)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((b, h, d, 700)), jnp.float32)
+    compare(kf, vf, kv_len=jnp.int32(650))
+
+
+def test_beam_reorder_cache_matches_take():
+    """DMA row-copy cache reorder == jnp.take along the rows axis, for a
+    dense 2-leaf cache and a mixed-dtype 4-leaf (int8 + fp32 scales) one."""
+    from robustsq_whisper_tpu.ops.beam_gather import beam_reorder_cache
+
+    rng = np.random.default_rng(0)
+    L, rows, T, h, hd = 3, 6, 64, 2, 64  # per-row payload 8192 = 64 tiles
+    src = jnp.asarray([3, 0, 0, 5, 2, 1], jnp.int32)
+
+    dense = tuple(
+        jnp.asarray(rng.standard_normal((L, rows, T, h, hd)), jnp.float32)
+        for _ in range(2)
+    )
+    out = beam_reorder_cache(dense, src, interpret=True)
+    for o, x in zip(out, dense):
+        np.testing.assert_array_equal(
+            np.asarray(o), np.asarray(jnp.take(x, src, axis=1))
+        )
+
+    mixed = (
+        jnp.asarray(rng.integers(-127, 128, (L, rows, T, h, hd)), jnp.int8),
+        jnp.asarray(rng.standard_normal((L, rows, T * h, 2, hd)), jnp.float32),
+    )
+    out = beam_reorder_cache(mixed, src, interpret=True)
+    for o, x in zip(out, mixed):
+        np.testing.assert_array_equal(
+            np.asarray(o), np.asarray(jnp.take(x, src, axis=1))
+        )
+
+
+def test_beam_dma_reorder_matches_take_decode(dec_and_params):
+    """Full beam decode with the forced DMA cache reorder (padded cache
+    length, interpret-mode kernel on CPU) == the XLA-gather reorder path."""
+    dec, variables, memory, prompt = dec_and_params
+    base = dict(max_new_tokens=8, eot=2, init_tokens=(1,), beam_size=3)
+    t_take, s_take = build_beam_decoder(
+        dec, variables, DecodeConfig(**base, beam_reorder="take")
+    )(memory, prompt)
+    t_dma, s_dma = build_beam_decoder(
+        dec, variables, DecodeConfig(**base, beam_reorder="dma")
+    )(memory, prompt)
+    np.testing.assert_array_equal(np.asarray(t_take), np.asarray(t_dma))
+    np.testing.assert_allclose(
+        np.asarray(s_take), np.asarray(s_dma), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_beam_shared_cross_kv_matches_dense_beam(dec_and_params):
+    """Beam search with the shared quantized cross-KV (b-row tensors, the
+    grouped kernel reading each utterance's K/V once for all beams) must
+    reproduce the dense-beam tokens on well-conditioned inputs — same bar
+    as the greedy int8-KV equality test above."""
+    dec, variables, memory, prompt = dec_and_params
+    cfg = DecodeConfig(max_new_tokens=8, eot=2, init_tokens=(1,), beam_size=3)
+    cfg_q = DecodeConfig(
+        max_new_tokens=8, eot=2, init_tokens=(1,), beam_size=3,
+        quantize_cross_kv=True,
+    )
+    tb, sb = build_beam_decoder(dec, variables, cfg)(memory, prompt)
+    tq, sq = build_beam_decoder(dec, variables, cfg_q)(memory, prompt)
+    np.testing.assert_array_equal(np.asarray(tb), np.asarray(tq))
+    np.testing.assert_allclose(np.asarray(sb), np.asarray(sq), rtol=0.05, atol=0.1)
+
+
 def test_int4_vs_int8_attention_error():
     """Quantization-error sanity on realistic magnitudes: int8 output error
     is small, int4 stays within a usable bound and a clear ordering holds."""
