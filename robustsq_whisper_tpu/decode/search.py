@@ -276,6 +276,10 @@ def build_beam_decoder(
                     treedef,
                     beam_reorder_cache(
                         leaves, gather_idx,
+                        # positions [0, prefix + i) are filled; the tail
+                        # is zero-filled without being read
+                        live=prompt_len + len(cfg.init_tokens) + i,
+                        time_len=total,
                         interpret=jax.default_backend() == "cpu",
                     ),
                 )

@@ -1,25 +1,49 @@
-"""Pallas HBM->HBM beam reorder of the decode self-attention cache.
+"""Pallas beam reorder of the decode self-attention cache.
 
 Beam search reorders the per-beam KV cache by the step's backpointers
 (``src_beam``) before every decode step. XLA lowers the natural
-``jnp.take(cache, idx, axis=1)`` to a gather that measured ~78 GB/s on the
-(layers, batch*beam, time, heads, head_dim) cache — 4x below this chip's
-HBM bandwidth and the dominant term of the whole beam loop (~60 ms/step at
-medium/batch 32/beam 5; a one-hot-matmul reformulation only reached
-~140 GB/s). This kernel is a pure data-movement program: one grid step per
-(layer, output row) issues direct HBM->HBM DMAs of whole cache rows
-(``in``/``out`` stay in ``ANY`` memory space, never touching VMEM), with
-the source row picked from a scalar-prefetch index — the same
-machine-speed copy engines XLA uses for big contiguous copies, minus the
-gather lowering.
+``jnp.take(cache, idx, axis=1)`` to a gather measured ~4x below this
+chip's streaming bandwidth on the (layers, batch*beam, time, heads,
+head_dim) cache — the dominant term of the whole beam loop at
+medium/batch 32/beam 5 (28 ms/step isolated; ~60 ms/step in the e2e
+loop where the gather also blocks fusion around the cache update).
 
-Every row is copied in full (not just the live [0, pos) prefix): the
-output buffer of a scan-carried gather is fresh, uninitialized HBM each
-step, and the masked self-attention read multiplies the dead tail by
-exactly-0.0 softmax weights — an uninitialized NaN/inf bit pattern there
-would still poison the output (0 * NaN). Copying all tiles keeps the
-buffer fully defined (by induction from the zeros of ``init_cache``) at
-bandwidth cost only, which the DMA path has headroom for.
+Two DMA designs were measured before this one (docs/KERNELS.md §5):
+
+- per-(layer, row) HBM->HBM row DMAs: 29.2 ms/step — every 294 KB row
+  costs ~3.6 us of descriptor issue/latency against ~0.4 us of wire
+  time, so 7680 descriptors/step is ISSUE-bound, not bandwidth-bound;
+- one strided DMA per row spanning all layers (``x.at[:, src]``, 24x
+  fewer descriptors): hung the chip — DMA slices with the dynamic index
+  behind a full leading slice are not a supported Mosaic pattern (the
+  guide documents leading ``.at[idx]`` slices only).
+
+This version issues no per-row copies at all: the grid walks
+(layers, payload-chunks), Pallas streams ``(rows, chunk)`` blocks
+through VMEM with its usual double-buffered block DMAs, and the row
+reorder inside each block is a ONE-HOT MATMUL on the MXU: ``out =
+P @ x`` with ``P[i, j] = (src[i] == j)``. The product is numerically
+EXACT — each output row sums exactly one nonzero term (1 * x), and
+0 + x is exact in every float format — int8 leaves ride as bf16
+(integers <= 256 are exact in bf16), f32 leaves in f32. The matmul is
+noise next to the MXU's throughput; measured 14.5 ms/step at
+medium/batch 32/beam 5 — AT this chip's streaming-copy roofline (a
+pure pallas copy of the same buffers measures the same 318 GB/s
+effective, strided or contiguous, so the reorder itself is free).
+
+Remaining bytes are then cut with the ``live`` argument: at decode
+step i only positions [0, live) of the time axis hold data, so chunks
+past the live prefix are ZERO-FILLED WITHOUT BEING READ — their input
+block index maps clamp to the last live chunk (consecutive equal
+indices make the pipeline skip the input copy) and the ``pl.when``
+dead branch writes zeros. Zeros reproduce ``jnp.take`` exactly there
+(the cache's dead tail is all-zeros by induction from ``init_cache``;
+prefill and the per-step update only write the live prefix), and the
+write itself cannot be skipped: the output buffer is fresh HBM and the
+masked self-attention read would 0 * NaN on garbage. In-place
+``input_output_aliases`` (which would have let the write be skipped
+too) was measured and rejected: aliasing pins the buffer layouts and
+turns the surrounding free bitcast reshapes into ~2 ms copies each.
 
 Used by ``decode.search.build_beam_decoder``; equality with ``jnp.take``
 is pinned in tests/test_decode.py.
@@ -28,7 +52,7 @@ is pinned in tests/test_decode.py.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,82 +60,148 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(n_leaves, src_ref, *refs):
-    # refs: n in-HBM refs, n out-HBM refs, n DMA semaphores
-    l = pl.program_id(0)
-    rows = src_ref.shape[0]
-    ins = refs[:n_leaves]
-    outs = refs[n_leaves : 2 * n_leaves]
-    sems = refs[2 * n_leaves :]
+def _permute_kernel(meta_ref, src_ref, *refs, rows: int):
+    """o[i] = x[src[i]] within (rows, chunk, 128) VMEM blocks (module
+    docstring). refs holds n input blocks followed by n output blocks;
+    blocks past the live prefix (chunk index >= meta_ref[0]) are
+    zero-filled without being read (their input DMA is elided by the
+    clamped index map).
 
-    # Start EVERY row copy of this layer before waiting on any: a ~0.5 MB
-    # row DMA is latency-dominated (~20 us issue+completion vs ~1 us of
-    # wire time), so a start/wait-per-row loop runs at jnp.take speed
-    # (~85 GB/s measured). With all rows in flight the copy engines
-    # pipeline back-to-back and the same shapes stream at HBM speed.
-    def start(i, _):
-        src = src_ref[i]
-        for x, o, sem in zip(ins, outs, sems):
-            pltpu.make_async_copy(x.at[l, src], o.at[l, i], sem).start()
-        return 0
+    bf16 blocks go through the one-hot MXU matmul — exact, because
+    bf16 x bf16 products are exact in the f32 accumulator and each
+    output row sums exactly one nonzero term. Every other dtype copies
+    row-by-row with dynamic slices instead: the MXU truncates f32
+    inputs to bf16 passes at default precision (caught on hardware as a
+    ~1e-2 error the CPU interpreter does not reproduce), and arbitrary
+    bit patterns cannot ride a float matmul safely."""
+    n = len(refs) // 2
+    c = pl.program_id(1)
+    live = c < meta_ref[0]
 
-    jax.lax.fori_loop(0, rows, start, 0)
+    @pl.when(live)
+    def _():
+        mxu = [
+            (x, o) for x, o in zip(refs[:n], refs[n:])
+            if x.dtype == jnp.bfloat16
+        ]
+        if mxu:
+            onehot = (
+                src_ref[:]  # (rows, 1) int32
+                == jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+            ).astype(jnp.bfloat16)
+            for x_ref, o_ref in mxu:
+                out = jax.lax.dot_general(
+                    onehot, x_ref[:].reshape(rows, -1),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                o_ref[:] = out.reshape(o_ref.shape).astype(o_ref.dtype)
+        for x_ref, o_ref in zip(refs[:n], refs[n:]):
+            if x_ref.dtype == jnp.bfloat16:
+                continue
+            for i in range(rows):  # static unroll; src from SMEM scalars
+                o_ref[pl.ds(i, 1)] = x_ref[pl.ds(meta_ref[1 + i], 1)]
 
-    # Drain: every completed copy credits its byte count to the leaf's
-    # semaphore; waiting with a same-shaped descriptor debits one row.
-    def drain(i, _):
-        for x, o, sem in zip(ins, outs, sems):
-            pltpu.make_async_copy(x.at[l, 0], o.at[l, i], sem).wait()
-        return 0
+    @pl.when(jnp.logical_not(live))
+    def _():
+        # The decode cache's dead tail is all-zeros (init_cache zeros it;
+        # prefill and the per-step update only write the live prefix), so
+        # writing zeros reproduces jnp.take exactly there while skipping
+        # the read. The write itself cannot be skipped: the output buffer
+        # is fresh, and the masked self-attention read would 0 * NaN.
+        for o_ref in refs[n:]:
+            o_ref[:] = jnp.zeros_like(o_ref)
 
-    jax.lax.fori_loop(0, rows, drain, 0)
 
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("time_len", "interpret"))
 def beam_reorder_cache(
     cache: Sequence[jax.Array],  # leaves (layers, rows, time, ...)
     src_rows: jax.Array,  # (rows,) int32 source row per output row
+    live: Optional[jax.Array] = None,  # scalar: valid time positions
+    time_len: Optional[int] = None,  # static time-axis length (with live)
     interpret: bool = False,
 ) -> Tuple[jax.Array, ...]:
     """Reorder every cache leaf's ``rows`` axis (axis 1) by ``src_rows``.
 
-    Equivalent to ``tuple(jnp.take(x, src_rows, axis=1) for x in cache)``,
-    lowered as direct HBM->HBM row DMAs (module docstring). All leaves ride
-    one pallas_call so the (layers, rows) grid is walked once.
+    Equivalent to ``tuple(jnp.take(x, src_rows, axis=1) for x in cache)``
+    — except that with ``live``/``time_len``, only the leading
+    ``live/time_len`` fraction of each row's payload is read and
+    reordered; the tail is written as zeros without reading (module
+    docstring; exact for the decode cache, whose tail beyond ``live``
+    positions is always zeros).
+    Each leaf's per-row payload must flatten into whole (32, 128) tiles
+    — ``build_beam_decoder`` pads the cache length so this holds and
+    falls back to the XLA gather when it can't.
     """
     cache = tuple(cache)
-    n = len(cache)
     layers, rows = cache[0].shape[:2]
     assert all(x.shape[:2] == (layers, rows) for x in cache), [
         x.shape for x in cache
     ]
     assert src_rows.shape == (rows,), (src_rows.shape, rows)
+    assert (live is None) == (time_len is None), "live needs time_len"
 
-    # Mosaic requires the DMA'd slice to span whole (sublane, lane) tiles:
-    # reshape each row's payload (time, heads, head_dim) to (P/128, 128) so
-    # the lane dim is exactly one tile wide and the sublane dim holds the
-    # rest — a row slice [l, src] is then trivially tile-aligned. The
-    # reshape is a free bitcast (the trailing dims are contiguous) and is
-    # undone on the way out. P/128 must cover the sublane tile at the
-    # widest packing (int8: 32) — callers size the cache time axis so this
-    # holds (build_beam_decoder rounds it up to a multiple of 32).
-    flat = tuple(
-        x.reshape(layers, rows, x.size // (layers * rows * 128), 128)
-        for x in cache
-    )
-    assert all(x.shape[2] % 32 == 0 for x in flat), [x.shape for x in flat]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(layers,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n,
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n,
-        scratch_shapes=[pltpu.SemaphoreType.DMA] * n,
-    )
-    out = pl.pallas_call(
-        functools.partial(_kernel, n),
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype) for x in flat],
-        interpret=interpret,
-    )(src_rows.astype(jnp.int32), *flat)
-    return tuple(o.reshape(x.shape) for o, x in zip(out, cache))
+    src = src_rows.astype(jnp.int32)[:, None]  # (rows, 1) for VMEM
+    out: list = [None] * len(cache)
+    # One pallas_call per leaf. Merging the k and v leaves into a shared
+    # grid was measured 2x SLOWER (28.6 vs 14.5 ms/step at medium/
+    # batch 32/beam 5): the doubled block set plus the f32 matmul
+    # intermediates oversubscribe VMEM and the pipeline serializes.
+    groups = [(x.size // (layers * rows * 128), [i])
+              for i, x in enumerate(cache)]
+    for s_full, idxs in groups:
+        # (layers, rows, S, 128): lane dim exactly one tile wide, S holds
+        # the rest of the row payload — a free bitcast (trailing dims are
+        # contiguous), undone on the way out.
+        assert s_full % 32 == 0, (cache[idxs[0]].shape, s_full)
+        flats = [cache[i].reshape(layers, rows, s_full, 128) for i in idxs]
+        # chunk the payload so each block double-buffers comfortably in
+        # VMEM (~16 MB/core): 32 sublane-tiles is ~1.3 MB/block per bf16
+        # leaf at rows=160. Measured flat from 32 to 128 (the whole loop
+        # is HBM-streaming-bound), so the smallest tiling also gives the
+        # live-prefix skip its finest granularity.
+        chunk = 32
+        while s_full % chunk != 0:  # payload guaranteed % 32 only
+            chunk //= 2
+        n_chunks = s_full // chunk
+        if live is None:
+            valid = jnp.full((1,), n_chunks, jnp.int32)
+        else:
+            # ceil(live * s_full / time_len) valid sublanes -> chunks
+            valid_s = (live * s_full + time_len - 1) // time_len
+            valid = jnp.maximum(
+                1, (valid_s + chunk - 1) // chunk
+            ).astype(jnp.int32)[None]
+        # prefetch scalars: [valid_chunks, src_rows...] — index maps read
+        # element 0; the non-bf16 row-copy path reads the rest from SMEM
+        meta = jnp.concatenate([valid, src_rows.astype(jnp.int32)])
+        # inputs: clamp dead chunks to the last live one (consecutive
+        # equal indices -> the pipeline skips the fetch). Outputs must
+        # map c -> c unclamped: every block gets written exactly once.
+        in_spec = pl.BlockSpec(
+            (None, rows, chunk, 128),
+            lambda l, c, v: (l, 0, jnp.minimum(c, v[0] - 1), 0),
+        )
+        out_spec = pl.BlockSpec(
+            (None, rows, chunk, 128), lambda l, c, v: (l, 0, c, 0)
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(layers, n_chunks),
+            in_specs=[pl.BlockSpec((rows, 1), lambda l, c, v: (0, 0))]
+            + [in_spec] * len(flats),
+            out_specs=[out_spec] * len(flats),
+        )
+        # NO input_output_aliases: aliasing the big buffers pins their
+        # layouts and turns the surrounding (free, bitcast) flatten/
+        # unflatten reshapes into real copies — profiled at ~4 x 2 ms per
+        # beam step, dwarfing what in-place saved.
+        res = pl.pallas_call(
+            functools.partial(_permute_kernel, rows=rows),
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct(f.shape, f.dtype) for f in flats],
+            interpret=interpret,
+        )(meta, src, *flats)
+        for i, o in zip(idxs, res):
+            out[i] = o.reshape(cache[i].shape)
+    return tuple(out)

@@ -360,6 +360,21 @@ def test_beam_reorder_cache_matches_take():
             np.asarray(o), np.asarray(jnp.take(x, src, axis=1))
         )
 
+    # live-prefix mode: tail beyond `live` positions is zeros (the decode
+    # cache invariant) -> must still reproduce jnp.take exactly, while
+    # only the live chunks are read
+    for live in (1, 17, T):
+        zeroed = tuple(
+            x.at[:, :, live:].set(0) for x in dense
+        )
+        out = beam_reorder_cache(
+            zeroed, src, live=jnp.int32(live), time_len=T, interpret=True
+        )
+        for o, x in zip(out, zeroed):
+            np.testing.assert_array_equal(
+                np.asarray(o), np.asarray(jnp.take(x, src, axis=1))
+            )
+
 
 def test_beam_dma_reorder_matches_take_decode(dec_and_params):
     """Full beam decode with the forced DMA cache reorder (padded cache
