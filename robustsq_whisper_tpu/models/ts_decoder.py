@@ -45,12 +45,16 @@ class TSDecoder(nn.Module):
     remat: bool = False
     cross_kv_bits: int = 8  # quantized decode cross-KV width (8 or 4)
     self_kv_bits: int = 16  # decode self-attn cache: 16 = dense, 8 = int8
+    # packed flat self-KV cache (auto-disabled when dims don't support it;
+    # see TextDecoder.flat_self_cache / ops/self_attention.py)
+    flat_self_cache: bool = True
 
     def setup(self):
         self.decoder = TextDecoder(
             self.dims, dtype=self.dtype, remat=self.remat,
             cross_kv_bits=self.cross_kv_bits,
-            self_kv_bits=self.self_kv_bits, name="decoder",
+            self_kv_bits=self.self_kv_bits,
+            flat_self_cache=self.flat_self_cache, name="decoder",
         )
 
     def __call__(

@@ -483,21 +483,34 @@ class ResidualAttentionBlock(nn.Module):
         (k8, k_scales, v8, v_scales) — per-position scales, see ``step``.
         Attention over the prefix itself always runs on the exact fp K/V.
         """
-        h = self._cast(self.attn_ln(x))
-        k_new, v_new = self.attn.kv(h)
-        if len(cache) == 4:
-            news = self._quantize_cache_entry(k_new) + \
-                self._quantize_cache_entry(v_new)
-        else:
-            news = (k_new, v_new)
+        x, news = self.prefill_news(x, mask, cross, quant=len(cache) == 4)
         cache = tuple(
             jax.lax.dynamic_update_slice(buf, n, (0,) * buf.ndim)
             for buf, n in zip(cache, news)
         )
+        return x, cache
+
+    def prefill_news(
+        self,
+        x: jax.Array,
+        mask: jax.Array,
+        cross: Tuple[jax.Array, ...],
+        quant: bool = False,
+    ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
+        """Prefill body without the cache write: returns the new K/V
+        entries for the caller to store (the flat-cache path writes them
+        once, packed, outside the layer scan)."""
+        h = self._cast(self.attn_ln(x))
+        k_new, v_new = self.attn.kv(h)
+        if quant:
+            news = self._quantize_cache_entry(k_new) + \
+                self._quantize_cache_entry(v_new)
+        else:
+            news = (k_new, v_new)
         x = x + self.attn.attend(h, k_new, v_new, mask=mask)
         x = self._cross(x, cross)
         x = x + self._mlp(self._cast(self.mlp_ln(x)))
-        return x, cache
+        return x, news
 
     def step(
         self,
@@ -508,6 +521,7 @@ class ResidualAttentionBlock(nn.Module):
         qw: Optional[dict] = None,
         layer_idx: Optional[jax.Array] = None,
         beam_group: int = 1,
+        self_flat: Optional[Tuple[jax.Array, jax.Array]] = None,
     ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
         """Single-token decode step against a READ-ONLY KV-cache prefix.
 
@@ -538,6 +552,48 @@ class ResidualAttentionBlock(nn.Module):
             with a length-1 time axis.
         """
         h = self._cast(self.attn_ln(x))
+        if self_flat is not None:
+            # packed flat cache path (ops/self_attention.py): q/k/v stay in
+            # the flat (b, n_state) head-concatenated layout end to end —
+            # no head split, no 64-lane-padded 5-D tensors anywhere
+            from ...ops.self_attention import decode_self_attention
+
+            if qw is None:
+                kf = self.attn.key(h)[:, 0]
+                vf = self.attn.value(h)[:, 0]
+                qf = self.attn.query(h)[:, 0]
+            else:
+                a, dt = qw["attn"], self.dtype
+                kf = qmatmul(h, *a["key"], out_dtype=dt)[:, 0]
+                vf = qmatmul(h, *a["value"], out_dtype=dt)[:, 0]
+                qf = qmatmul(h, *a["query"], out_dtype=dt)[:, 0]
+            b = qf.shape[0]
+            o = decode_self_attention(
+                qf, kf, vf, *self_flat, pos, layer_idx,
+                heads=self.n_head,
+                interpret=jax.default_backend() == "cpu",
+            ).reshape(b, 1, -1)
+            o = (
+                self.attn.out(o.astype(self.dtype)) if qw is None
+                else qmatmul(
+                    o.astype(self.dtype), *qw["attn"]["out"],
+                    out_dtype=self.dtype,
+                )
+            )
+            x = x + o
+            x = self._cross(
+                x, cross, qw=None if qw is None else qw["cross"],
+                layer_idx=layer_idx, beam_group=beam_group,
+            )
+            h2 = self._cast(self.mlp_ln(x))
+            if qw is None:
+                x = x + self._mlp(h2)
+            else:
+                hid = self._gelu(
+                    qmatmul(h2, *qw["fc1"], out_dtype=self.dtype)
+                )
+                x = x + qmatmul(hid, *qw["fc2"], out_dtype=self.dtype)
+            return x, (kf, vf)
         if qw is None:
             k_new, v_new = self.attn.kv(h)  # (b, 1, heads, hd)
             q = self.attn._split(self.attn.query(h))
@@ -744,6 +800,24 @@ class TextDecoder(nn.Module):
     remat: bool = False
     cross_kv_bits: int = 8  # quantized decode cross-KV width (8 or 4)
     self_kv_bits: int = 16  # decode self-attention cache: 16 = dense, 8 = int8
+    # packed flat self-KV cache (layers, b, T*n_state/128, 128): the 5-D
+    # cache's 64-wide head_dim minor dim is lane-PADDED to 128 by XLA's
+    # T(8,128) tiling — physically 2x the bytes on every read, and real
+    # repack copies at the beam reorder boundary (ops/self_attention.py).
+    # Auto-disabled when the dims/cache form don't support it.
+    flat_self_cache: bool = True
+
+    @property
+    def _flat_self(self) -> bool:
+        d = self.dims
+        hd = d.n_text_state // d.n_text_head
+        return (
+            self.flat_self_cache
+            and self.scan_layers
+            and self.self_kv_bits == 16
+            and d.n_text_state % 128 == 0
+            and 128 % hd == 0
+        )
 
     def setup(self):
         d = self.dims
@@ -882,6 +956,16 @@ class TextDecoder(nn.Module):
         v_scales) — per-(batch, position, head) scales; halves the cache
         read, the second-largest per-token HBM term at long outputs."""
         d = self.dims
+        if self._flat_self:
+            from ...ops.self_attention import BLOCK_POS
+
+            # packed flat layout (ops/self_attention.py): minor dim
+            # n_state tiles exactly (no 64-lane padding); pad max_len so
+            # the kernel's position chunks divide evenly (masking covers
+            # the tail)
+            pad_len = -(-max_len // BLOCK_POS) * BLOCK_POS
+            shape = (d.n_text_layer, batch, pad_len, d.n_text_state)
+            return jnp.zeros(shape, self.dtype), jnp.zeros(shape, self.dtype)
         shape = (
             d.n_text_layer, batch, max_len, d.n_text_head,
             d.n_text_state // d.n_text_head,
@@ -907,7 +991,26 @@ class TextDecoder(nn.Module):
         x = (x_emb + self.positional_embedding[:length]).astype(self.dtype)
         mask = causal_mask(length)
         n_cache = len(cache)
-        if self.scan_layers:
+        if self._flat_self:
+            # collect news as scan ys, pack ONCE (the (b, L, n_state)
+            # row-major order IS the flat lane order), write outside
+            def body(block, carry, layer_in):
+                y, news = block.prefill_news(carry, mask, layer_in)
+                return y, news
+
+            x, news = _scan(body, self.dims.n_text_layer)(
+                self.block, x, tuple(cross)
+            )
+            L_, b_, t_ = news[0].shape[:3]
+            cache = tuple(
+                jax.lax.dynamic_update_slice(
+                    buf,
+                    n.reshape(L_, b_, t_, -1).astype(buf.dtype),
+                    (0, 0, 0, 0),
+                )
+                for buf, n in zip(cache, news)
+            )
+        elif self.scan_layers:
             def body(block, carry, layer_in):
                 lcache = layer_in[:n_cache]
                 y, lcache = block.prefill(carry, lcache, mask, layer_in[n_cache:])
@@ -961,21 +1064,26 @@ class TextDecoder(nn.Module):
             "dense cross K/V across beams instead"
         )
         if self.scan_layers:
+            # The big stacked tensors (quantized cross K/V; the flat self
+            # cache) are scan-BROADCAST; peeling them as xs makes XLA
+            # slice-copy a layer's whole K/V every token (~1.7 ms/step at
+            # medium/batch 32/int4 — profiled). The Pallas kernels index
+            # the layer themselves via layer_idx.
+            flat = self._flat_self
+            idxs = jnp.arange(self.dims.n_text_layer, dtype=jnp.int32)
+            self_big = tuple(cache) if flat else ()
+            cache_xs = () if flat else cache
             if quantized_cross:
-                # The big stacked K/V tensors are scan-BROADCAST; peeling
-                # them as xs makes XLA slice-copy a layer's whole K/V every
-                # token (~1.7 ms/step at medium/batch 32/int4 — profiled).
-                # The Pallas kernel indexes the layer itself via layer_idx.
                 k_q, k_s, v_q, v_s, v_zp, kv_len = cross
-                idxs = jnp.arange(self.dims.n_text_layer, dtype=jnp.int32)
 
                 def body(block, carry, layer_in, big):
                     lcache, (ks_l, vs_l, vzp_l, len_l), idx, qw_l = layer_in
-                    kq_full, vq_full = big
+                    kq_full, vq_full = big[:2]
                     y, news = block.step(
                         carry, lcache, pos,
                         (kq_full, ks_l, vq_full, vs_l, vzp_l, len_l),
                         qw=qw_l, layer_idx=idx, beam_group=beam_group,
+                        self_flat=big[2:] or None,
                     )
                     return y, news
 
@@ -984,19 +1092,25 @@ class TextDecoder(nn.Module):
                 )(
                     self.block,
                     x,
-                    (cache, (k_s, v_s, v_zp, kv_len), idxs, layers_qw),
-                    (k_q, v_q),
+                    (cache_xs, (k_s, v_s, v_zp, kv_len), idxs, layers_qw),
+                    (k_q, v_q) + self_big,
                 )
             else:
-                def body(block, carry, layer_in):
-                    lcache, cross_l, qw_l = layer_in
+                def body(block, carry, layer_in, big):
+                    lcache, cross_l, idx, qw_l = layer_in
                     y, news = block.step(
-                        carry, lcache, pos, cross_l, qw=qw_l
+                        carry, lcache, pos, cross_l, qw=qw_l,
+                        layer_idx=idx if flat else None,
+                        self_flat=big or None,
                     )
                     return y, news
 
-                x, news = _scan(body, self.dims.n_text_layer)(
-                    self.block, x, (cache, tuple(cross), layers_qw)
+                x, news = _scan(
+                    body, self.dims.n_text_layer, in_axes=(0, nn.broadcast)
+                )(
+                    self.block, x,
+                    (cache_xs, tuple(cross), idxs, layers_qw),
+                    self_big,
                 )
         else:
             per_layer = []
@@ -1014,12 +1128,21 @@ class TextDecoder(nn.Module):
             news = tuple(jnp.stack(parts) for parts in zip(*per_layer))
         # single cache write OUTSIDE the layer scan: only the (L, B, 1, ...)
         # new slices move, not the whole cache (see block.step docstring)
-        cache = tuple(
-            jax.lax.dynamic_update_slice(
-                buf, n, (0, 0, pos) + (0,) * (buf.ndim - 3)
+        if self._flat_self:
+            # news: (L, b, n_state) per leaf -> one packed row at pos
+            cache = tuple(
+                jax.lax.dynamic_update_slice(
+                    buf, n[:, :, None].astype(buf.dtype), (0, 0, pos, 0)
+                )
+                for buf, n in zip(cache, news)
             )
-            for buf, n in zip(cache, news)
-        )
+        else:
+            cache = tuple(
+                jax.lax.dynamic_update_slice(
+                    buf, n, (0, 0, pos) + (0,) * (buf.ndim - 3)
+                )
+                for buf, n in zip(cache, news)
+            )
         x = self.ln(x).astype(self.dtype)
         if qw is not None:
             return self.logits_quant(x, *qw["emb"])[:, 0], cache

@@ -113,6 +113,41 @@ def _permute_kernel(meta_ref, src_ref, *refs, rows: int):
             o_ref[:] = jnp.zeros_like(o_ref)
 
 
+def _permute4d_kernel(meta_ref, src_ref, x_ref, o_ref, *, rows: int):
+    """Same one-hot row permute, on a NATIVE packed 4-D block
+    (rows, t_chunk, state_chunk) — the flat decode cache's own layout, so
+    no flatten/unflatten reshape surrounds the call (on TPU the
+    (T, n_state) <-> (T*n_state/128, 128) reshape is a real retile —
+    profiled ~2.9 ms per leaf per beam step when this kernel's wrapper
+    still did it).
+
+    The output ALIASES the input (in-place: safe, each output block
+    depends only on the same input block, already resident before the
+    write), which lets XLA thread the scan carry without the ~2.8 ms/leaf
+    defensive copy it inserts for fresh pallas outputs — and makes the
+    dead tail free: both index maps clamp dead chunks to the last live
+    one, nothing is computed or written there, and the aliased buffer
+    already holds the cache's zeros."""
+    live = pl.program_id(2) < meta_ref[0]
+
+    @pl.when(live)
+    def _():
+        t_chunk = x_ref.shape[1]
+        if x_ref.dtype == jnp.bfloat16:
+            onehot = (
+                src_ref[:]
+                == jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+            ).astype(jnp.bfloat16)
+            for t in range(t_chunk):  # static: rank-2 MXU dots
+                o_ref[:, t] = jax.lax.dot_general(
+                    onehot, x_ref[:, t], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(o_ref.dtype)
+        else:
+            for i in range(rows):
+                o_ref[pl.ds(i, 1)] = x_ref[pl.ds(meta_ref[1 + i], 1)]
+
+
 @functools.partial(jax.jit, static_argnames=("time_len", "interpret"))
 def beam_reorder_cache(
     cache: Sequence[jax.Array],  # leaves (layers, rows, time, ...)
@@ -143,12 +178,62 @@ def beam_reorder_cache(
 
     src = src_rows.astype(jnp.int32)[:, None]  # (rows, 1) for VMEM
     out: list = [None] * len(cache)
+    # Packed 4-D leaves (the flat decode cache, minor dim % 128) ride a
+    # reshape-free kernel on their native layout; everything else goes
+    # through the (S, 128) flattening below.
+    packed: list = []
+    rest: list = []
+    for i, x in enumerate(cache):
+        if x.ndim == 4 and x.shape[3] % 128 == 0 and x.shape[2] % 8 == 0:
+            packed.append(i)
+        else:
+            rest.append(i)
+    for i in packed:
+        x = cache[i]
+        T, n_state = x.shape[2], x.shape[3]
+        t_chunk = 8
+        n_chunks = T // t_chunk
+        # sub-chunk the state dim so blocks stay ~1.3 MB and the pipeline
+        # double-buffers comfortably (2.6 MB blocks measured ~2x slower)
+        s_chunk = n_state
+        while s_chunk % 2 == 0 and (
+            rows * t_chunk * s_chunk * x.dtype.itemsize > 1_400_000
+        ):
+            s_chunk //= 2
+        assert s_chunk % 128 == 0, (n_state, s_chunk)
+        if live is None:
+            valid = jnp.full((1,), n_chunks, jnp.int32)
+        else:
+            valid = jnp.clip(
+                (live + t_chunk - 1) // t_chunk, 1, n_chunks
+            ).astype(jnp.int32)[None]
+        meta = jnp.concatenate([valid, src_rows.astype(jnp.int32)])
+        # t-chunks INNERMOST: dead chunks then map to the same clamped
+        # block on consecutive grid steps, so their fetch is elided
+        spec = pl.BlockSpec(
+            (None, rows, t_chunk, s_chunk),
+            lambda l, s, c, v: (l, 0, jnp.minimum(c, v[0] - 1), s),
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(layers, n_state // s_chunk, n_chunks),
+            in_specs=[
+                pl.BlockSpec((rows, 1), lambda l, s, c, v: (0, 0)), spec
+            ],
+            out_specs=spec,
+        )
+        out[i] = pl.pallas_call(
+            functools.partial(_permute4d_kernel, rows=rows),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            input_output_aliases={2: 0},
+            interpret=interpret,
+        )(meta, src, x)
     # One pallas_call per leaf. Merging the k and v leaves into a shared
     # grid was measured 2x SLOWER (28.6 vs 14.5 ms/step at medium/
     # batch 32/beam 5): the doubled block set plus the f32 matmul
     # intermediates oversubscribe VMEM and the pipeline serializes.
-    groups = [(x.size // (layers * rows * 128), [i])
-              for i, x in enumerate(cache)]
+    groups = [(cache[i].size // (layers * rows * 128), [i]) for i in rest]
     for s_full, idxs in groups:
         # (layers, rows, S, 128): lane dim exactly one tile wide, S holds
         # the rest of the row payload — a free bitcast (trailing dims are

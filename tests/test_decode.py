@@ -393,6 +393,47 @@ def test_beam_dma_reorder_matches_take_decode(dec_and_params):
     )
 
 
+def test_flat_self_cache_matches_5d():
+    """Packed flat self-KV cache (Pallas kernel, ops/self_attention.py) ==
+    the 5-D XLA score-concat path, for greedy and quantized beam decode.
+    Same params drive both module configs (the flag is not in the tree)."""
+    dims = WhisperDims(
+        n_mels=80, n_vocab=64, n_audio_ctx=16, n_audio_state=128,
+        n_audio_head=2, n_audio_layer=1, n_text_ctx=64, n_text_state=128,
+        n_text_head=2, n_text_layer=2,
+    )
+    rng = np.random.default_rng(0)
+    memory = jnp.asarray(rng.standard_normal((2, 10, 128)) * 0.3, jnp.float32)
+    prompt = jnp.asarray(rng.standard_normal((2, 2, 128)) * 0.3, jnp.float32)
+    ys = jnp.asarray(rng.integers(0, 64, (2, 4)))
+
+    dec_flat = TSDecoder(dims, startofprev_token=3, cross_kv_bits=4)
+    variables = dec_flat.init(jax.random.PRNGKey(0), memory, ys, prompt)
+    dec_5d = TSDecoder(
+        dims, startofprev_token=3, cross_kv_bits=4, flat_self_cache=False
+    )
+
+    g = dict(max_new_tokens=8, eot=2, init_tokens=(1,))
+    tf, sf = build_greedy_decoder(dec_flat, variables, DecodeConfig(**g))(
+        memory, prompt
+    )
+    t5, s5 = build_greedy_decoder(dec_5d, variables, DecodeConfig(**g))(
+        memory, prompt
+    )
+    np.testing.assert_array_equal(np.asarray(tf), np.asarray(t5))
+    np.testing.assert_allclose(np.asarray(sf), np.asarray(s5), rtol=1e-4, atol=1e-4)
+
+    bq = DecodeConfig(
+        **g, beam_size=3, quantize_cross_kv=True, quantize_weights=True
+    )
+    tfb, sfb = build_beam_decoder(dec_flat, variables, bq)(memory, prompt)
+    t5b, s5b = build_beam_decoder(dec_5d, variables, bq)(memory, prompt)
+    np.testing.assert_array_equal(np.asarray(tfb), np.asarray(t5b))
+    np.testing.assert_allclose(
+        np.asarray(sfb), np.asarray(s5b), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_beam_shared_cross_kv_matches_dense_beam(dec_and_params):
     """Beam search with the shared quantized cross-KV (b-row tensors, the
     grouped kernel reading each utterance's K/V once for all beams) must
