@@ -125,27 +125,25 @@ def _permute4d_kernel(meta_ref, src_ref, x_ref, o_ref, *, rows: int):
     depends only on the same input block, already resident before the
     write), which lets XLA thread the scan carry without the ~2.8 ms/leaf
     defensive copy it inserts for fresh pallas outputs — and makes the
-    dead tail free: both index maps clamp dead chunks to the last live
-    one, nothing is computed or written there, and the aliased buffer
-    already holds the cache's zeros."""
-    live = pl.program_id(2) < meta_ref[0]
-
-    @pl.when(live)
-    def _():
-        t_chunk = x_ref.shape[1]
-        if x_ref.dtype == jnp.bfloat16:
-            onehot = (
-                src_ref[:]
-                == jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
-            ).astype(jnp.bfloat16)
-            for t in range(t_chunk):  # static: rank-2 MXU dots
-                o_ref[:, t] = jax.lax.dot_general(
-                    onehot, x_ref[:, t], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).astype(o_ref.dtype)
-        else:
-            for i in range(rows):
-                o_ref[pl.ds(i, 1)] = x_ref[pl.ds(meta_ref[1 + i], 1)]
+    dead tail completely free: the time-chunk GRID DIMENSION is the
+    traced live-chunk count, so dead chunks never execute (clamped index
+    maps were measured to still FETCH their block every step — ~2x the
+    live-only traffic), and the untouched aliased tail keeps the cache's
+    zeros."""
+    t_chunk = x_ref.shape[1]
+    if x_ref.dtype == jnp.bfloat16:
+        onehot = (
+            src_ref[:]
+            == jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+        ).astype(jnp.bfloat16)
+        for t in range(t_chunk):  # static: rank-2 MXU dots
+            o_ref[:, t] = jax.lax.dot_general(
+                onehot, x_ref[:, t], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(o_ref.dtype)
+    else:
+        for i in range(rows):
+            o_ref[pl.ds(i, 1)] = x_ref[pl.ds(meta_ref[i], 1)]
 
 
 @functools.partial(jax.jit, static_argnames=("time_len", "interpret"))
@@ -202,21 +200,21 @@ def beam_reorder_cache(
             s_chunk //= 2
         assert s_chunk % 128 == 0, (n_state, s_chunk)
         if live is None:
-            valid = jnp.full((1,), n_chunks, jnp.int32)
+            valid = jnp.int32(n_chunks)
         else:
             valid = jnp.clip(
                 (live + t_chunk - 1) // t_chunk, 1, n_chunks
-            ).astype(jnp.int32)[None]
-        meta = jnp.concatenate([valid, src_rows.astype(jnp.int32)])
-        # t-chunks INNERMOST: dead chunks then map to the same clamped
-        # block on consecutive grid steps, so their fetch is elided
+            ).astype(jnp.int32)
+        meta = src_rows.astype(jnp.int32)
+        # t-chunk grid dim is the TRACED live-chunk count: dead chunks
+        # never run, their aliased output blocks keep the cache's zeros
         spec = pl.BlockSpec(
             (None, rows, t_chunk, s_chunk),
-            lambda l, s, c, v: (l, 0, jnp.minimum(c, v[0] - 1), s),
+            lambda l, s, c, v: (l, 0, c, s),
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(layers, n_state // s_chunk, n_chunks),
+            grid=(layers, n_state // s_chunk, valid),
             in_specs=[
                 pl.BlockSpec((rows, 1), lambda l, s, c, v: (0, 0)), spec
             ],

@@ -81,7 +81,6 @@ def _kernel(
     block_pos: int,
 ):
     c = pl.program_id(1)
-    nj = pl.num_programs(1)
     b = q_ref.shape[0]
     hd = n_state // heads
     NEG = jnp.float32(-1e30)
@@ -110,25 +109,26 @@ def _kernel(
         l_sc[:] = jnp.zeros_like(l_sc)
         acc_sc[:] = jnp.zeros_like(acc_sc)
 
-    @pl.when(c < meta_ref[2])
-    def _():
-        k = k_ref[:].astype(jnp.float32)  # (b, p, n_state)
-        s = reduce_heads(k * q[:, None, :])  # (b, p, heads)
-        pglob = c * block_pos + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, 1
-        )
-        s = jnp.where(pglob < meta_ref[1], s, NEG)
-        m_prev = m_sc[:]  # (b, heads)
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
-        p = jnp.exp(s - m_new[:, None, :])  # (b, p, heads)
-        alpha = jnp.exp(m_prev - m_new)  # (b, heads)
-        w = expand_heads(p)  # (b, p, n_state)
-        pv = jnp.sum(w * v_ref[:].astype(jnp.float32), axis=1)
-        m_sc[:] = m_new
-        l_sc[:] = l_sc[:] * alpha + jnp.sum(p, axis=1)
-        acc_sc[:] = acc_sc[:] * expand_heads(alpha) + pv
+    # every grid step is live: the chunk grid dim is the TRACED
+    # live-chunk count (dead chunks never execute; the position mask
+    # below covers the partial last chunk)
+    k = k_ref[:].astype(jnp.float32)  # (b, p, n_state)
+    s = reduce_heads(k * q[:, None, :])  # (b, p, heads)
+    pglob = c * block_pos + jax.lax.broadcasted_iota(
+        jnp.int32, s.shape, 1
+    )
+    s = jnp.where(pglob < meta_ref[1], s, NEG)
+    m_prev = m_sc[:]  # (b, heads)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
+    p = jnp.exp(s - m_new[:, None, :])  # (b, p, heads)
+    alpha = jnp.exp(m_prev - m_new)  # (b, heads)
+    w = expand_heads(p)  # (b, p, n_state)
+    pv = jnp.sum(w * v_ref[:].astype(jnp.float32), axis=1)
+    m_sc[:] = m_new
+    l_sc[:] = l_sc[:] * alpha + jnp.sum(p, axis=1)
+    acc_sc[:] = acc_sc[:] * expand_heads(alpha) + pv
 
-    @pl.when(c == nj - 1)
+    @pl.when(c == meta_ref[2] - 1)
     def _():
         # merge the current token's K/V (score-concat equivalent), write out
         kn = kn_ref[:].astype(jnp.float32)
@@ -192,11 +192,12 @@ def decode_self_attention(
     small = pl.BlockSpec((b_tile, n_state), lambda bt, c, m: (bt, 0))
     kv_spec = pl.BlockSpec(
         (None, b_tile, BLOCK_POS, n_state),
-        lambda bt, c, m: (m[0], bt, jnp.minimum(c, m[2] - 1), 0),
+        lambda bt, c, m: (m[0], bt, c, 0),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_btiles, n_chunks),
+        # chunk dim is the TRACED live-chunk count: dead chunks never run
+        grid=(n_btiles, valid),
         in_specs=[small, small, small, kv_spec, kv_spec],
         out_specs=pl.BlockSpec((b_tile, n_state), lambda bt, c, m: (bt, 0)),
         scratch_shapes=[
