@@ -27,6 +27,8 @@ BENCH_INT8_ENC_W (W8A8 int8 encoder block matmuls, default 0 — measured
 neutral at medium/batch 32, see the note in main()),
 BENCH_BEAM (beam size, default 1 = greedy fast path),
 BENCH_BEAM_REORDER (beam cache reorder: auto|dma|take, default auto),
+BENCH_BEAM_SUB (beam width for the "beam" serving sub-record measured
+alongside the greedy headline; 0/1 disables, default 5),
 BENCH_TRAIN (default 1), BENCH_TRAIN_BATCH (default 16; halved on OOM),
 BENCH_TRAIN_MODE (default lora).
 """
@@ -300,6 +302,45 @@ def main():
         "unit": "audio-sec/chip-sec",
         "vs_baseline": round(rtf / 50.0, 3),
     }
+    # beam-search serving sub-record (same encoder output, beam 5) — the
+    # reference decodes with ESPnet BeamSearch, so the beam path is the
+    # protocol-faithful serving mode; greedy stays the headline metric.
+    beam_k = int(os.environ.get("BENCH_BEAM_SUB", "5"))
+    if dcfg.beam_size == 1 and beam_k > 1:
+        bcfg = DecodeConfig(
+            max_new_tokens=new_tokens, eot=st.eot,
+            init_tokens=dcfg.init_tokens, beam_size=beam_k,
+            quantize_cross_kv=dcfg.quantize_cross_kv,
+            quantize_weights=dcfg.quantize_weights,
+        )
+        beam_run = build_beam_decoder(dec, dec_vars, bcfg)
+
+        def beam_pipeline():
+            memory, out_lens, spk_prompt, _ = encode(
+                enc_vars, enc_qw, mel, feats_lens, emel, emel_lens
+            )
+            return beam_run(memory, spk_prompt)
+
+        t0 = time.time()
+        btokens, _ = beam_pipeline()
+        np.asarray(btokens)
+        log(f"[beam{beam_k}] compile+first run {time.time()-t0:.1f}s")
+        btimes = []
+        for i in range(max(2, iters - 1)):
+            t0 = time.time()
+            btokens, _ = beam_pipeline()
+            np.asarray(btokens)
+            btimes.append(time.time() - t0)
+            log(f"[beam{beam_k}] iter {i}: {btimes[-1]*1000:.1f} ms")
+        brtf = audio_sec / min(btimes)
+        log(f"[beam{beam_k}] RTF={brtf:.1f}x")
+        result["beam"] = {
+            "metric": f"ts_asr_decode_rtf_{model_name}_b{batch}_beam{beam_k}",
+            "value": round(brtf, 2),
+            "unit": "audio-sec/chip-sec",
+            "vs_baseline": round(brtf / 50.0, 3),
+        }
+        del beam_run, btokens
     if os.environ.get("BENCH_TRAIN", "1") == "1":
         del enc_vars, enc_qw, dec_vars, tokens, scores, greedy, encode
         train_stats = bench_train(model_name, dims, ts)

@@ -32,18 +32,24 @@ pure pallas copy of the same buffers measures the same 318 GB/s
 effective, strided or contiguous, so the reorder itself is free).
 
 Remaining bytes are then cut with the ``live`` argument: at decode
-step i only positions [0, live) of the time axis hold data, so chunks
-past the live prefix are ZERO-FILLED WITHOUT BEING READ — their input
-block index maps clamp to the last live chunk (consecutive equal
-indices make the pipeline skip the input copy) and the ``pl.when``
-dead branch writes zeros. Zeros reproduce ``jnp.take`` exactly there
-(the cache's dead tail is all-zeros by induction from ``init_cache``;
-prefill and the per-step update only write the live prefix), and the
-write itself cannot be skipped: the output buffer is fresh HBM and the
-masked self-attention read would 0 * NaN on garbage. In-place
-``input_output_aliases`` (which would have let the write be skipped
-too) was measured and rejected: aliasing pins the buffer layouts and
-turns the surrounding free bitcast reshapes into ~2 ms copies each.
+step i only positions [0, live) of the time axis hold data. Two leaf
+forms, two mechanisms:
+
+- Packed 4-D leaves (the flat decode cache, ``_permute4d_kernel``): the
+  time-chunk GRID dimension is the traced live-chunk count — dead
+  chunks never execute — and the output ALIASES the input, so the
+  untouched dead tail keeps the cache's zeros (exact: the tail is zeros
+  by induction from ``init_cache``) and XLA threads the scan carry
+  without the ~2.8 ms/leaf defensive copy it inserts for fresh pallas
+  outputs. Aliasing is safe here precisely because no reshape surrounds
+  the call; in the flattened path below it was measured and rejected —
+  aliasing pins the buffer layouts and turns the surrounding bitcast
+  reshapes into ~2 ms copies each.
+- Flattened (S, 128) leaves (legacy 5-D caches): dead chunks are
+  ZERO-FILLED WITHOUT BEING READ — their input block index maps clamp
+  to the last live chunk and the ``pl.when`` dead branch writes zeros
+  (the write cannot be skipped: the output buffer is fresh HBM and the
+  masked self-attention read would 0 * NaN on garbage).
 
 Used by ``decode.search.build_beam_decoder``; equality with ``jnp.take``
 is pinned in tests/test_decode.py.
