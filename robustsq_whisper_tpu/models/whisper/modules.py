@@ -35,9 +35,12 @@ from .config import WhisperDims, sinusoids
 
 Dtype = Any
 
-# Self-attention KV cache of one stack, stacked per layer. Dense form:
-# (k, v), each (layers, batch, len, heads, hd); int8 form (self_kv_bits=8):
-# (k8, k_scales, v8, v_scales) with scales of (layers, batch, len, heads).
+# Self-attention KV cache of one stack, stacked per layer. Dense 5-D form:
+# (k, v), each (layers, batch, len, heads, hd); 5-D int8 form
+# (self_kv_bits=8, flat_self_cache=False): (k8, k_scales, v8, v_scales)
+# with scales of (layers, batch, len, heads). Packed flat forms
+# (ops/self_attention.py): bf16 (k, v) of (layers, batch, len, n_state),
+# or int8 (k8, v8, scales) with one (layers, batch, len, 128) scale leaf.
 Cache = Tuple[jax.Array, ...]
 # Cross-attention K/V: dense (k, v) from ``cross_kv``, or the 6-tuple
 # quantized form (k_q, k_s, v_q, v_s, v_zp, kv_len) from ``quantize_cross``.
@@ -521,7 +524,7 @@ class ResidualAttentionBlock(nn.Module):
         qw: Optional[dict] = None,
         layer_idx: Optional[jax.Array] = None,
         beam_group: int = 1,
-        self_flat: Optional[Tuple[jax.Array, jax.Array]] = None,
+        self_flat: Optional[Tuple[jax.Array, ...]] = None,
     ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
         """Single-token decode step against a READ-ONLY KV-cache prefix.
 
@@ -569,7 +572,7 @@ class ResidualAttentionBlock(nn.Module):
                 qf = qmatmul(h, *a["query"], out_dtype=dt)[:, 0]
             b = qf.shape[0]
             o = decode_self_attention(
-                qf, kf, vf, *self_flat, pos, layer_idx,
+                qf, kf, vf, tuple(self_flat), pos, layer_idx,
                 heads=self.n_head,
                 interpret=jax.default_backend() == "cpu",
             ).reshape(b, 1, -1)
@@ -799,7 +802,11 @@ class TextDecoder(nn.Module):
     scan_layers: bool = True
     remat: bool = False
     cross_kv_bits: int = 8  # quantized decode cross-KV width (8 or 4)
-    self_kv_bits: int = 16  # decode self-attention cache: 16 = dense, 8 = int8
+    # decode self-attention cache width: 16 = dense, 8 = int8. With the
+    # flat cache (below) 8 selects the packed int8 form — int8 K/V plus
+    # one shared bf16 scale leaf (ops/self_attention.py module docstring);
+    # with flat_self_cache=False it selects the 5-D int8 form.
+    self_kv_bits: int = 16
     # packed flat self-KV cache (layers, b, T*n_state/128, 128): the 5-D
     # cache's 64-wide head_dim minor dim is lane-PADDED to 128 by XLA's
     # T(8,128) tiling — physically 2x the bytes on every read, and real
@@ -814,10 +821,18 @@ class TextDecoder(nn.Module):
         return (
             self.flat_self_cache
             and self.scan_layers
-            and self.self_kv_bits == 16
+            and self.self_kv_bits in (8, 16)
             and d.n_text_state % 128 == 0
             and 128 % hd == 0
+            # int8 flat packs K+V scales into one 128-lane row
+            and (self.self_kv_bits == 16 or 2 * d.n_text_head <= 128)
         )
+
+    @property
+    def _flat_quant(self) -> bool:
+        """int8 flat cache: int8 K/V data + one packed bf16 scale leaf
+        (ops/self_attention.py quantize_flat_kv)."""
+        return self._flat_self and self.self_kv_bits == 8
 
     def setup(self):
         d = self.dims
@@ -965,6 +980,12 @@ class TextDecoder(nn.Module):
             # the tail)
             pad_len = -(-max_len // BLOCK_POS) * BLOCK_POS
             shape = (d.n_text_layer, batch, pad_len, d.n_text_state)
+            if self._flat_quant:
+                return (
+                    jnp.zeros(shape, jnp.int8),
+                    jnp.zeros(shape, jnp.int8),
+                    jnp.zeros(shape[:3] + (128,), jnp.bfloat16),
+                )
             return jnp.zeros(shape, self.dtype), jnp.zeros(shape, self.dtype)
         shape = (
             d.n_text_layer, batch, max_len, d.n_text_head,
@@ -1002,11 +1023,14 @@ class TextDecoder(nn.Module):
                 self.block, x, tuple(cross)
             )
             L_, b_, t_ = news[0].shape[:3]
+            news = tuple(n.reshape(L_, b_, t_, -1) for n in news)
+            if self._flat_quant:
+                from ...ops.self_attention import quantize_flat_kv
+
+                news = quantize_flat_kv(*news, self.dims.n_text_head)
             cache = tuple(
                 jax.lax.dynamic_update_slice(
-                    buf,
-                    n.reshape(L_, b_, t_, -1).astype(buf.dtype),
-                    (0, 0, 0, 0),
+                    buf, n.astype(buf.dtype), (0, 0, 0, 0)
                 )
                 for buf, n in zip(cache, news)
             )
@@ -1129,7 +1153,12 @@ class TextDecoder(nn.Module):
         # single cache write OUTSIDE the layer scan: only the (L, B, 1, ...)
         # new slices move, not the whole cache (see block.step docstring)
         if self._flat_self:
-            # news: (L, b, n_state) per leaf -> one packed row at pos
+            # news: (L, b, n_state) per leaf -> one packed row at pos;
+            # int8 form quantizes ONCE here, outside the layer scan
+            if self._flat_quant:
+                from ...ops.self_attention import quantize_flat_kv
+
+                news = quantize_flat_kv(*news, self.dims.n_text_head)
             cache = tuple(
                 jax.lax.dynamic_update_slice(
                     buf, n[:, :, None].astype(buf.dtype), (0, 0, pos, 0)

@@ -137,14 +137,18 @@ def _permute4d_kernel(meta_ref, src_ref, x_ref, o_ref, *, rows: int):
     live-only traffic), and the untouched aliased tail keeps the cache's
     zeros."""
     t_chunk = x_ref.shape[1]
-    if x_ref.dtype == jnp.bfloat16:
+    if x_ref.dtype in (jnp.bfloat16, jnp.int8):
+        # int8 rides the same one-hot matmul as bf16: |int8| <= 127 is
+        # exactly representable in bf16, the products and f32 accumulator
+        # are exact, and the f32 -> int8 cast of exact integers is exact
         onehot = (
             src_ref[:]
             == jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
         ).astype(jnp.bfloat16)
         for t in range(t_chunk):  # static: rank-2 MXU dots
             o_ref[:, t] = jax.lax.dot_general(
-                onehot, x_ref[:, t], (((1,), (0,)), ((), ())),
+                onehot, x_ref[:, t].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(o_ref.dtype)
     else:

@@ -34,6 +34,23 @@ docstring); they enter as separate (batch, n_state) operands and merge
 into the online-softmax state at the last grid step, exactly mirroring
 the score-concatenation of the 5-D XLA path.
 
+INT8 form (``self_kv_bits=8`` + flat): the K/V data leaves are int8
+(layers, batch, time, n_state) with ONE shared bf16 scale leaf
+(layers, batch, time, 128) — per-(position, head) scales, K's in lanes
+[0, heads), V's in lanes [heads, 2*heads), the rest zero lane padding so
+the leaf is natively tiled and rides the beam reorder kernel unchanged.
+Per-position cache traffic drops from 2 * n_state * 2 B to
+2 * n_state + 256 B (0.56x at medium). Dequantization is EXACT folding,
+never a dequantized copy: the K scale multiplies the per-head scores
+AFTER the score reduction (s * ks == (k8 * ks) . q by linearity), the V
+scale multiplies the per-head softmax weights BEFORE the head->lane
+expansion (w * vs rides the same expand matmul). The int8 dots
+themselves stay f32 VPU math — the earlier 5-D experiment showed native
+s8 dots are VPU-bound at M=1 matvec shapes; the win here is pure HBM
+bandwidth. Scales are extracted from the 128-lane row by one-hot
+selector matmuls (lane slicing to non-native widths is not a Mosaic
+pattern; the selector shares the E-matmul machinery).
+
 Like the quantized cross-attention kernel, the layer's K/V slab is
 selected INSIDE the kernel from the scan-broadcast stacked tensor via a
 scalar-prefetch ``layer_idx`` (peeling stacked xs makes XLA slice-copy a
@@ -64,27 +81,46 @@ def _head_map(n_state: int, heads: int) -> jax.Array:
     ).astype(jnp.float32)
 
 
+def _scale_map(heads: int, offset: int) -> jax.Array:
+    """S[lane, g] = 1.0 iff lane == offset + g: extracts ``heads`` scale
+    lanes from a 128-lane row as a matmul (module docstring)."""
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (128, heads), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (128, heads), 1) + offset
+    ).astype(jnp.float32)
+
+
 def _kernel(
     meta_ref,  # (3,) int32: [layer_idx, pos, valid_chunks]
     q_ref,  # (b, n_state) — query, head-concatenated, UNSCALED
-    kn_ref,  # (b, n_state) — new token K
+    kn_ref,  # (b, n_state) — new token K (always exact fp)
     vn_ref,  # (b, n_state) — new token V
-    k_ref,  # (b, block_pos, n_state) cache K block (layer via index map)
-    v_ref,  # (b, block_pos, n_state)
-    o_ref,  # (b, n_state)
-    m_sc,  # (b, heads) f32 scratch — online-softmax row max
-    l_sc,  # (b, heads) f32 — row normalizer
-    acc_sc,  # (b, n_state) f32 — weighted V accumulator
-    *,
+    *refs,  # k, v (+ k_s, v_s when quantized), o, then scratch
     heads: int,
     n_state: int,
     block_pos: int,
+    quantized: bool = False,
 ):
+    if quantized:
+        # int8 cache blocks + the shared per-(position, head) bf16 scale
+        # row: K scales in lanes [0, heads), V in [heads, 2*heads)
+        # (module docstring)
+        k_ref, v_ref, s_ref, o_ref, m_sc, l_sc, acc_sc = refs
+    else:
+        k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc = refs
     c = pl.program_id(1)
     b = q_ref.shape[0]
     hd = n_state // heads
     NEG = jnp.float32(-1e30)
     E = _head_map(n_state, heads)
+
+    def pick_scales(sc, offset):  # (b, p, 128) -> (b, p, heads)
+        p = sc.shape[1]
+        return jax.lax.dot_general(
+            sc.reshape(b * p, 128), _scale_map(heads, offset),
+            (((1,), (0,)), ((), ())),
+            precision=_HI, preferred_element_type=jnp.float32,
+        ).reshape(b, p, heads)
 
     def reduce_heads(x):  # (b, p, n_state) -> (b, p, heads): per-head sums
         p = x.shape[1]
@@ -114,6 +150,11 @@ def _kernel(
     # below covers the partial last chunk)
     k = k_ref[:].astype(jnp.float32)  # (b, p, n_state)
     s = reduce_heads(k * q[:, None, :])  # (b, p, heads)
+    if quantized:
+        sc = s_ref[:].astype(jnp.float32)  # (b, p, 128)
+        # K scale folds into the per-head scores AFTER the reduction
+        # (exact by linearity: (k8 * ks) . q == (k8 . q) * ks per head)
+        s = s * pick_scales(sc, 0)
     pglob = c * block_pos + jax.lax.broadcasted_iota(
         jnp.int32, s.shape, 1
     )
@@ -122,7 +163,10 @@ def _kernel(
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
     p = jnp.exp(s - m_new[:, None, :])  # (b, p, heads)
     alpha = jnp.exp(m_prev - m_new)  # (b, heads)
-    w = expand_heads(p)  # (b, p, n_state)
+    # V scale folds into the per-head softmax weights BEFORE the
+    # head->lane expansion; `l` keeps the raw weights (the normalizer is
+    # scale-free)
+    w = expand_heads(p * pick_scales(sc, heads) if quantized else p)
     pv = jnp.sum(w * v_ref[:].astype(jnp.float32), axis=1)
     m_sc[:] = m_new
     l_sc[:] = l_sc[:] * alpha + jnp.sum(p, axis=1)
@@ -144,13 +188,43 @@ def _kernel(
         o_ref[:] = (num / den).astype(o_ref.dtype)
 
 
+def quantize_flat_kv(
+    k: jax.Array, v: jax.Array, heads: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Quantize flat K/V rows (..., n_state) to the int8 cache form.
+
+    Returns (k8, v8, scales): int8 data in the input shape plus ONE
+    (...,128) bf16 scale leaf — per-(row, head) symmetric scales, K's in
+    lanes [0, heads), V's in [heads, 2*heads), zero padding after (the
+    kernel extracts them by one-hot selector matmuls; the padded leaf is
+    natively tiled so it rides the beam reorder unchanged). The scale is
+    rounded to bf16 BEFORE the divide, so kernel-side ``q8 * scale``
+    reconstructs with only the int8 rounding error."""
+    assert 2 * heads <= 128, heads
+
+    def one(x):
+        g = x.astype(jnp.float32).reshape(*x.shape[:-1], heads, -1)
+        s = (jnp.max(jnp.abs(g), axis=-1) / 127.0).astype(jnp.bfloat16)
+        s = jnp.maximum(s, jnp.bfloat16(1e-6))
+        # bf16 rounding can shrink s below max/127: clip before the cast
+        # or 127.5-ish ratios wrap to -128
+        q8 = jnp.clip(
+            jnp.round(g / s[..., None].astype(jnp.float32)), -127, 127
+        ).astype(jnp.int8)
+        return q8.reshape(x.shape), s
+
+    k8, ks = one(k)
+    v8, vs = one(v)
+    pad = jnp.zeros(ks.shape[:-1] + (128 - 2 * heads,), jnp.bfloat16)
+    return k8, v8, jnp.concatenate([ks, vs, pad], axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "interpret"))
 def decode_self_attention(
     q: jax.Array,  # (batch, n_state) current query, head-concatenated
     k_new: jax.Array,  # (batch, n_state) current-token K (not in cache)
     v_new: jax.Array,  # (batch, n_state)
-    k_flat: jax.Array,  # (layers, batch, T_pad, n_state) packed cache K
-    v_flat: jax.Array,  # (layers, batch, T_pad, n_state)
+    cache: tuple,  # (k_flat, v_flat[, scales]) — see module docstring
     pos: jax.Array,  # scalar int32: positions [0, pos) are live
     layer_idx: jax.Array,  # scalar int32 layer slab to read
     heads: int,
@@ -158,11 +232,17 @@ def decode_self_attention(
 ) -> jax.Array:
     """softmax([q·K_cache[:pos]; q·k_new] / sqrt(hd)) @ [V_cache; v_new].
 
-    Returns (batch, n_state) in q.dtype — the head-concatenated layout,
-    ready for the output projection without any head reshape. Numerics
-    mirror the 5-D score-concat path: f32 scores and softmax, one online
-    pass over the cache, the new token merged last.
+    ``cache`` leaves are (layers, batch, T_pad, n_state) packed K/V —
+    bf16 (len 2) or int8 + the shared (layers, batch, T_pad, 128) bf16
+    scale leaf (len 3, from ``quantize_flat_kv``). Returns
+    (batch, n_state) in q.dtype — the head-concatenated layout, ready
+    for the output projection without any head reshape. Numerics mirror
+    the 5-D score-concat path: f32 scores and softmax, one online pass
+    over the cache, the new token merged last.
     """
+    cache = tuple(cache)
+    quantized = len(cache) == 3
+    k_flat, v_flat = cache[:2]
     L, b, T, n_state = k_flat.shape
     assert n_state % 128 == 0 and n_state % heads == 0, (heads, n_state)
     assert T % BLOCK_POS == 0, (T, BLOCK_POS)  # init_cache pads max_len
@@ -194,11 +274,16 @@ def decode_self_attention(
         (None, b_tile, BLOCK_POS, n_state),
         lambda bt, c, m: (m[0], bt, c, 0),
     )
+    sc_spec = pl.BlockSpec(
+        (None, b_tile, BLOCK_POS, 128),
+        lambda bt, c, m: (m[0], bt, c, 0),
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         # chunk dim is the TRACED live-chunk count: dead chunks never run
         grid=(n_btiles, valid),
-        in_specs=[small, small, small, kv_spec, kv_spec],
+        in_specs=[small, small, small, kv_spec, kv_spec]
+        + ([sc_spec] if quantized else []),
         out_specs=pl.BlockSpec((b_tile, n_state), lambda bt, c, m: (bt, 0)),
         scratch_shapes=[
             pltpu.VMEM((b_tile, heads), jnp.float32),
@@ -208,9 +293,10 @@ def decode_self_attention(
     )
     return pl.pallas_call(
         functools.partial(
-            _kernel, heads=heads, n_state=n_state, block_pos=BLOCK_POS
+            _kernel, heads=heads, n_state=n_state, block_pos=BLOCK_POS,
+            quantized=quantized,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n_state), q.dtype),
         interpret=interpret,
-    )(meta, q, k_new, v_new, k_flat, v_flat)
+    )(meta, q, k_new, v_new, *cache)

@@ -434,6 +434,94 @@ def test_flat_self_cache_matches_5d():
     )
 
 
+def test_flat_int8_kernel_close_to_dense():
+    """decode_self_attention on the int8 flat cache (quantize_flat_kv:
+    int8 K/V + one packed bf16 scale leaf) stays within the per-head int8
+    quantization error of the dense-flat kernel on the same cache."""
+    from robustsq_whisper_tpu.ops.self_attention import (
+        decode_self_attention,
+        quantize_flat_kv,
+    )
+
+    rng = np.random.default_rng(0)
+    L, b, T, n_state, heads = 2, 3, 16, 128, 2
+    k = jnp.asarray(rng.standard_normal((L, b, T, n_state)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((L, b, T, n_state)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((b, n_state)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((b, n_state)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((b, n_state)), jnp.float32)
+    pos = jnp.int32(11)
+    kq, vq, sc = quantize_flat_kv(k, v, heads)
+    assert kq.dtype == jnp.int8 and sc.shape == (L, b, T, 128)
+    # round-trip: dequantized int8 reproduces K within the scale step
+    step = np.asarray(sc[..., :heads], np.float32)
+    krt = np.asarray(kq, np.float32).reshape(L, b, T, heads, -1) * step[
+        ..., None
+    ]
+    np.testing.assert_allclose(
+        krt.reshape(k.shape), np.asarray(k), atol=float(step.max()) * 0.51
+    )
+    for layer in (0, 1):
+        dense = decode_self_attention(
+            q, kn, vn, (k, v), pos, jnp.int32(layer), heads=2,
+            interpret=True,
+        )
+        quant = decode_self_attention(
+            q, kn, vn, (kq, vq, sc), pos, jnp.int32(layer), heads=2,
+            interpret=True,
+        )
+        scale = float(jnp.max(jnp.abs(dense)))
+        err = float(jnp.max(jnp.abs(quant - dense))) / scale
+        assert err < 0.03, (layer, err)
+
+
+def test_flat_int8_self_cache_close_to_dense():
+    """End-to-end decode on the flat int8 self-KV cache (self_kv_bits=8 +
+    flat cache: int8 data leaves + the shared scale leaf riding the beam
+    reorder) reproduces dense-flat greedy tokens on well-conditioned
+    inputs, and beam search (DMA reorder of the 3-leaf cache) stays in
+    high agreement."""
+    dims = WhisperDims(
+        n_mels=80, n_vocab=64, n_audio_ctx=16, n_audio_state=128,
+        n_audio_head=2, n_audio_layer=1, n_text_ctx=64, n_text_state=128,
+        n_text_head=2, n_text_layer=2,
+    )
+    rng = np.random.default_rng(0)
+    memory = jnp.asarray(rng.standard_normal((2, 10, 128)) * 0.3, jnp.float32)
+    prompt = jnp.asarray(rng.standard_normal((2, 2, 128)) * 0.3, jnp.float32)
+    ys = jnp.asarray(rng.integers(0, 64, (2, 4)))
+
+    dec = TSDecoder(dims, startofprev_token=3, cross_kv_bits=4)
+    variables = dec.init(jax.random.PRNGKey(0), memory, ys, prompt)
+    dec8 = TSDecoder(
+        dims, startofprev_token=3, cross_kv_bits=4, self_kv_bits=8
+    )
+    from robustsq_whisper_tpu.models.whisper.modules import TextDecoder
+
+    assert TextDecoder(dims, self_kv_bits=8)._flat_quant
+
+    g = dict(max_new_tokens=8, eot=2, init_tokens=(1,))
+    td, sd = build_greedy_decoder(dec, variables, DecodeConfig(**g))(
+        memory, prompt
+    )
+    tq, sq = build_greedy_decoder(dec8, variables, DecodeConfig(**g))(
+        memory, prompt
+    )
+    np.testing.assert_array_equal(np.asarray(td), np.asarray(tq))
+    np.testing.assert_allclose(np.asarray(sd), np.asarray(sq), rtol=0.05, atol=0.1)
+
+    bq = DecodeConfig(
+        **g, beam_size=3, quantize_cross_kv=True, beam_reorder="dma"
+    )
+    tdb, sdb = build_beam_decoder(dec, variables, bq)(memory, prompt)
+    tqb, sqb = build_beam_decoder(dec8, variables, bq)(memory, prompt)
+    agree = (np.asarray(tdb) == np.asarray(tqb)).mean()
+    assert agree >= 0.75, (agree, np.asarray(tdb), np.asarray(tqb))
+    np.testing.assert_allclose(
+        np.asarray(sdb), np.asarray(sqb), rtol=0.2, atol=0.5
+    )
+
+
 def test_beam_shared_cross_kv_matches_dense_beam(dec_and_params):
     """Beam search with the shared quantized cross-KV (b-row tensors, the
     grouped kernel reading each utterance's K/V once for all beams) must
