@@ -7,3 +7,4 @@ from .search import (
     build_greedy_decoder,
     strip_eot,
 )
+from .sharded import build_sharded_decoder

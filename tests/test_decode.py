@@ -522,6 +522,49 @@ def test_flat_int8_self_cache_close_to_dense():
     )
 
 
+def test_sharded_decoder_matches_single_device():
+    """Data-parallel serving: decode sharded over an 8-device mesh
+    (shard_map on the data axis, decode/sharded.py — the TPU-native
+    analogue of the reference's inference_nj process sharding) returns
+    the single-device decoder's tokens and scores, greedy and quantized
+    beam, with the Pallas kernels running per shard at local shapes."""
+    from robustsq_whisper_tpu.decode.sharded import build_sharded_decoder
+    from robustsq_whisper_tpu.parallel.mesh import make_mesh
+
+    dims = WhisperDims(
+        n_mels=80, n_vocab=64, n_audio_ctx=16, n_audio_state=128,
+        n_audio_head=2, n_audio_layer=1, n_text_ctx=64, n_text_state=128,
+        n_text_head=2, n_text_layer=2,
+    )
+    rng = np.random.default_rng(1)
+    b = 8
+    memory = jnp.asarray(rng.standard_normal((b, 10, 128)) * 0.3, jnp.float32)
+    prompt = jnp.asarray(rng.standard_normal((b, 2, 128)) * 0.3, jnp.float32)
+    ys = jnp.asarray(rng.integers(0, 64, (b, 4)))
+    dec = TSDecoder(dims, startofprev_token=3, cross_kv_bits=4)
+    variables = dec.init(jax.random.PRNGKey(0), memory, ys, prompt)
+    mesh = make_mesh(8, 1)
+
+    g = dict(max_new_tokens=8, eot=2, init_tokens=(1,))
+    for cfg in (
+        DecodeConfig(**g),
+        DecodeConfig(
+            **g, beam_size=3, quantize_cross_kv=True, quantize_weights=True
+        ),
+    ):
+        builder = (
+            build_beam_decoder if cfg.beam_size > 1 else build_greedy_decoder
+        )
+        t1, s1 = builder(dec, variables, cfg)(memory, prompt)
+        tN, sN = build_sharded_decoder(dec, variables, cfg, mesh)(
+            memory, prompt
+        )
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(tN))
+        np.testing.assert_allclose(
+            np.asarray(s1), np.asarray(sN), rtol=1e-4, atol=1e-4
+        )
+
+
 def test_beam_shared_cross_kv_matches_dense_beam(dec_and_params):
     """Beam search with the shared quantized cross-KV (b-row tensors, the
     grouped kernel reading each utterance's K/V once for all beams) must
