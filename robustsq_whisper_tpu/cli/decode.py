@@ -78,6 +78,12 @@ def main(argv=None):
         "native int8 MXU dots — halves the per-token weight read; prefill "
         "stays dense fp, see ops/quant.py)",
     )
+    parser.add_argument(
+        "--data_parallel", type=_str2bool, default=True,
+        help="shard the decode batch over all visible devices (shard_map on "
+        "the mesh data axis — the TPU-native equivalent of the reference's "
+        "inference_nj process sharding). No-op on a single chip",
+    )
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -191,9 +197,24 @@ def main(argv=None):
         if exp.model.vocab_size >= st.n_vocab
         else (exp.model.sos,),
     )
+    mesh = None
+    batch_size = args.batch_size
+    if args.data_parallel and jax.device_count() > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.device_count(), 1)
+        n = jax.device_count()
+        if batch_size % n:
+            batch_size = ((batch_size + n - 1) // n) * n
+            logging.info(
+                "rounded batch_size %d -> %d (multiple of %d devices)",
+                args.batch_size, batch_size, n,
+            )
+        logging.info("data-parallel decode over %d devices", n)
+
     result = decode_dataset(
         encoder, enc_vars, decoder, dec_vars, dataset, tokenizer, dcfg,
-        batch_size=args.batch_size, output_dir=args.output_dir,
+        batch_size=batch_size, output_dir=args.output_dir, mesh=mesh,
     )
     logging.info(
         "decoded %d utts in %.1fs (RTF %.1fx): %s",

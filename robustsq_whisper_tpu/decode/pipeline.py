@@ -51,11 +51,25 @@ def decode_dataset(
     dcfg: DecodeConfig,
     batch_size: int = 8,
     output_dir: Optional[str] = None,
+    mesh: Optional[Any] = None,
 ) -> DecodeResult:
-    run = build_beam_decoder(decoder, dec_vars, dcfg)
-    encode = jax.jit(
-        lambda v, mel, fl, emel, el: encoder.apply(v, mel, fl, emel, el)
-    )
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        # data-parallel serving over the mesh: the TPU-native equivalent of
+        # the reference's inference_nj process sharding (run_tswhisper.sh:42-44)
+        from .sharded import build_sharded_decoder, build_sharded_encoder
+
+        assert batch_size % mesh.shape["data"] == 0, (
+            f"batch_size {batch_size} must divide the data axis "
+            f"({mesh.shape['data']})"
+        )
+        run = build_sharded_decoder(decoder, dec_vars, dcfg, mesh)
+        enc = build_sharded_encoder(encoder, enc_vars, mesh)
+        encode = lambda v, mel, fl, emel, el: enc(mel, fl, emel, el)
+    else:
+        run = build_beam_decoder(decoder, dec_vars, dcfg)
+        encode = jax.jit(
+            lambda v, mel, fl, emel, el: encoder.apply(v, mel, fl, emel, el)
+        )
 
     hyps: Dict[str, str] = {}
     refs: Dict[str, str] = {}

@@ -32,6 +32,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.ts_decoder import TSDecoder
+from ..models.ts_encoder import QFormerTSEncoder
 from ..parallel.mesh import DATA_AXIS
 from .search import DecodeConfig, build_beam_decoder, build_greedy_decoder
 
@@ -80,3 +81,43 @@ def build_sharded_decoder(
         )
 
     return run_sharded
+
+
+def build_sharded_encoder(
+    encoder: QFormerTSEncoder,
+    enc_vars: Any,
+    mesh: Mesh,
+) -> Callable[..., Tuple[jax.Array, ...]]:
+    """Returns ``encode(mel, mel_lens, enroll_mel, enroll_lens)`` running the
+    TS encoder data-parallel over ``mesh``'s ``data`` axis.
+
+    Same shard_map rationale as :func:`build_sharded_decoder` — the encoder's
+    Pallas flash-attention kernel needs LOCAL shapes, so each chip runs the
+    single-chip encoder program on its batch shard. Weights are replicated and
+    placed once; the 4-tuple outputs stay batch-sharded, feeding straight into
+    the sharded decoder without a resharding collective.
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    repl = P()
+    data = P(DATA_AXIS)
+    body = jax.shard_map(
+        lambda v, mel, fl, emel, el: encoder.apply(v, mel, fl, emel, el),
+        mesh=mesh,
+        in_specs=(repl, data, data, data, data),
+        out_specs=(data, data, data, data),
+        check_vma=False,
+    )
+    jitted = jax.jit(body)
+    enc_vars = jax.device_put(enc_vars, NamedSharding(mesh, repl))
+
+    def encode(mel, mel_lens, enroll_mel, enroll_lens):
+        assert mel.shape[0] % n_data == 0, (
+            f"batch {mel.shape[0]} must divide the data axis ({n_data})"
+        )
+        sh = NamedSharding(mesh, data)
+        return jitted(
+            enc_vars,
+            *(jax.device_put(t, sh) for t in (mel, mel_lens, enroll_mel, enroll_lens)),
+        )
+
+    return encode

@@ -127,3 +127,55 @@ def test_simulate_train_decode(tmp_path):
     assert os.path.exists(os.path.join(out_dir, "text"))
     assert os.path.exists(os.path.join(out_dir, "score.txt"))
     assert result.rtf > 0
+
+
+@pytest.mark.slow
+def test_decode_dataset_data_parallel_matches_single(tmp_path):
+    """decode_dataset over a 4-device mesh (cli --data_parallel path) emits
+    the same hypotheses as the single-device pipeline — the shard_map serving
+    path (decode/sharded.py) end-to-end through frontend+encoder+decoder."""
+    from robustsq_whisper_tpu.parallel.mesh import make_mesh
+
+    src = _make_clean_dir(tmp_path, n_speakers=4, utts_per_spk=2)
+    data_dir = str(tmp_path / "mix_dp")
+    simulate.generate_overlap_enrollment(
+        src, data_dir, simulate.OverlapConfig(num_mixtures=6, seed=0)
+    )
+    tok = ByteTokenizer()
+    speech_sec = (DIMS.n_audio_ctx * 2 * 160) / SR
+    dataset = KaldiTSDataset(
+        data_dir, tok,
+        speech_seconds=speech_sec, enroll_seconds=speech_sec / 2,
+        text_len=48, num_speakers=8, seed=0,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    encoder = QFormerTSEncoder(DIMS, TS)
+    decoder = TSDecoder(DIMS.replace(n_vocab=300), startofprev_token=259)
+    b = next(dataset.batches(4, shuffle=False))
+    from robustsq_whisper_tpu.audio.frontend import log_mel_spectrogram
+
+    feats, fl = log_mel_spectrogram(
+        jnp.asarray(b["speech"]), jnp.asarray(b["speech_lens"])
+    )
+    efeats, el = log_mel_spectrogram(
+        jnp.asarray(b["enroll"]), jnp.asarray(b["enroll_lens"])
+    )
+    enc_vars = encoder.init(rng, feats, fl, efeats, el)
+    memory, _, prompt, _ = encoder.apply(enc_vars, feats, fl, efeats, el)
+    dec_vars = decoder.init(
+        rng, memory, jnp.zeros((4, 4), jnp.int32), prompt
+    )
+    dcfg = DecodeConfig(
+        max_new_tokens=8, eot=258, init_tokens=(257,), beam_size=2
+    )
+
+    r1 = decode_dataset(
+        encoder, enc_vars, decoder, dec_vars, dataset, tok, dcfg,
+        batch_size=4,
+    )
+    rN = decode_dataset(
+        encoder, enc_vars, decoder, dec_vars, dataset, tok, dcfg,
+        batch_size=4, mesh=make_mesh(4, 1),
+    )
+    assert r1.hyps == rN.hyps
