@@ -75,9 +75,28 @@ def decode_dataset(
     refs: Dict[str, str] = {}
     audio_sec = 0.0
     t0 = time.time()
+
+    def consume(pending) -> None:
+        """Host half of one batch: fetch tokens, detokenize, score refs."""
+        nonlocal audio_sec
+        utts, speech_lens, tokens = pending
+        tokens = np.asarray(tokens)  # blocks until the chip finishes this batch
+        for i, utt in enumerate(utts):
+            if utt in hyps:  # drop_last=False wraps; skip duplicates
+                continue
+            ids = strip_eot(tokens[i : i + 1], dcfg.eot)[0]
+            hyps[utt] = tokenizer.decode(ids).strip()
+            refs[utt] = dataset.text.get(utt, "")
+            audio_sec += float(speech_lens[i]) / dataset.sample_rate
+
+    # Double-buffered loop: jax dispatch is async, so the chip runs batch i
+    # while the host loads/decodes the audio of batch i+1 and detokenizes
+    # batch i-1 — the host-side FLAC/WAV decode and BPE detokenization never
+    # sit on the device's critical path (the reference serializes these in
+    # espnet2.bin.asr_inference's per-utterance loop).
+    pending = None
+    n_mels = encoder.dims.n_mels
     for batch in dataset.batches(batch_size, shuffle=False, drop_last=False):
-        utts = batch["utt_ids"]
-        n_mels = encoder.dims.n_mels
         feats, feats_lens = log_mel_spectrogram(
             jnp.asarray(batch["speech"]), jnp.asarray(batch["speech_lens"]),
             n_mels=n_mels,
@@ -90,13 +109,11 @@ def decode_dataset(
             enc_vars, feats, feats_lens, efeats, efeats_lens
         )
         tokens, _ = run(memory, spk_prompt)
-        for i, utt in enumerate(utts):
-            if utt in hyps:  # drop_last=False wraps; skip duplicates
-                continue
-            ids = strip_eot(np.asarray(tokens[i : i + 1]), dcfg.eot)[0]
-            hyps[utt] = tokenizer.decode(ids).strip()
-            refs[utt] = dataset.text.get(utt, "")
-            audio_sec += float(batch["speech_lens"][i]) / dataset.sample_rate
+        if pending is not None:
+            consume(pending)
+        pending = (batch["utt_ids"], batch["speech_lens"], tokens)
+    if pending is not None:
+        consume(pending)
     wall = time.time() - t0
 
     pairs = [(refs[u], hyps[u]) for u in hyps if refs.get(u)]
