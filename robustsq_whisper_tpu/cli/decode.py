@@ -84,6 +84,14 @@ def main(argv=None):
         "the mesh data axis — the TPU-native equivalent of the reference's "
         "inference_nj process sharding). No-op on a single chip",
     )
+    parser.add_argument(
+        "--model_parallel", type=int, default=1,
+        help="shard the model WEIGHTS (and KV caches) over this many devices "
+        "(tensor parallelism via GSPMD, parallel/mesh.py rules) — the "
+        "capacity mode for checkpoints that exceed one chip's HBM. Forces "
+        "the dense XLA decode path (Pallas serving kernels need local "
+        "shapes); composes with --data_parallel over the remaining devices",
+    )
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -119,6 +127,20 @@ def main(argv=None):
             )
 
     dims = exp.resolved_dims()
+    tp = max(1, args.model_parallel)
+    if tp > 1:
+        assert jax.device_count() % tp == 0, (
+            f"--model_parallel {tp} must divide {jax.device_count()} devices"
+        )
+        # TP serving runs the dense XLA program under GSPMD; the Pallas
+        # serving kernels need local shapes (decode/sharded.py)
+        if args.use_flash or args.int8_weights or args.cross_kv_bits == 4:
+            logging.info(
+                "--model_parallel: forcing the dense XLA path "
+                "(flash/quantized-serving knobs are single-chip/DP only)"
+            )
+        args.use_flash = False
+        args.int8_weights = False
     # inference is forward-only: the Pallas flash kernel is safe and ~1.5x
     # faster on the long encoder self-attention (disable via --use_flash false)
     if args.use_flash:
@@ -186,7 +208,8 @@ def main(argv=None):
         startofprev_token=exp.model.startofprev,
         dtype=dtype,
         cross_kv_bits=args.cross_kv_bits,
-        self_kv_bits=args.self_kv_bits,
+        self_kv_bits=args.self_kv_bits if tp == 1 else 16,
+        flat_self_cache=tp == 1,
     )
 
     dcfg = dataclasses.replace(
@@ -197,20 +220,27 @@ def main(argv=None):
         if exp.model.vocab_size >= st.n_vocab
         else (exp.model.sos,),
     )
+    if tp > 1:
+        dcfg = dataclasses.replace(
+            dcfg, quantize_cross_kv=False, quantize_weights=False
+        )
     mesh = None
     batch_size = args.batch_size
-    if args.data_parallel and jax.device_count() > 1:
+    if tp > 1 or (args.data_parallel and jax.device_count() > 1):
         from ..parallel.mesh import make_mesh
 
-        mesh = make_mesh(jax.device_count(), 1)
-        n = jax.device_count()
+        n = jax.device_count() // tp if args.data_parallel else 1
+        mesh = make_mesh(n, tp)
         if batch_size % n:
             batch_size = ((batch_size + n - 1) // n) * n
             logging.info(
-                "rounded batch_size %d -> %d (multiple of %d devices)",
+                "rounded batch_size %d -> %d (multiple of %d data shards)",
                 args.batch_size, batch_size, n,
             )
-        logging.info("data-parallel decode over %d devices", n)
+        logging.info(
+            "sharded decode over %d devices (data=%d, model=%d)",
+            n * tp, n, tp,
+        )
 
     result = decode_dataset(
         encoder, enc_vars, decoder, dec_vars, dataset, tokenizer, dcfg,

@@ -53,7 +53,19 @@ def decode_dataset(
     output_dir: Optional[str] = None,
     mesh: Optional[Any] = None,
 ) -> DecodeResult:
-    if mesh is not None and mesh.shape.get("data", 1) > 1:
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        # tensor-parallel serving (capacity mode): weights sharded over the
+        # model axis under GSPMD, dense XLA path (decode/sharded.py)
+        from .sharded import build_tp_decoder, build_tp_encoder
+
+        assert batch_size % mesh.shape.get("data", 1) == 0, (
+            f"batch_size {batch_size} must divide the data axis "
+            f"({mesh.shape.get('data', 1)})"
+        )
+        run = build_tp_decoder(decoder, dec_vars, dcfg, mesh)
+        enc = build_tp_encoder(encoder, enc_vars, mesh)
+        encode = lambda v, mel, fl, emel, el: enc(mel, fl, emel, el)
+    elif mesh is not None and mesh.shape.get("data", 1) > 1:
         # data-parallel serving over the mesh: the TPU-native equivalent of
         # the reference's inference_nj process sharding (run_tswhisper.sh:42-44)
         from .sharded import build_sharded_decoder, build_sharded_encoder

@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.ts_decoder import TSDecoder
 from ..models.ts_encoder import QFormerTSEncoder
-from ..parallel.mesh import DATA_AXIS
+from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, batch_shardings, params_shardings
 from .search import DecodeConfig, build_beam_decoder, build_greedy_decoder
 
 
@@ -81,6 +81,97 @@ def build_sharded_decoder(
         )
 
     return run_sharded
+
+
+def build_tp_decoder(
+    dec: TSDecoder,
+    variables: Any,
+    cfg: DecodeConfig,
+    mesh: Mesh,
+) -> Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]:
+    """Tensor-parallel serving: ``run(memory, spk_prompt)`` with the decoder
+    WEIGHTS (and KV caches) sharded over ``mesh``'s ``model`` axis, batch
+    over ``data``.
+
+    This is the CAPACITY mode — for checkpoints or beam KV footprints that
+    exceed one chip's HBM — and it uses the dense XLA decode path under
+    GSPMD: parameters are placed with the Megatron-style partition rules of
+    ``parallel/mesh.py`` (q/k/v and fc1 column-sharded over heads / FFN
+    hidden, out and fc2 row-sharded, tied token embedding vocab-sharded) and
+    XLA's SPMD partitioner inserts the two all-reduces per layer plus the
+    logits all-gather on ICI. The Pallas serving kernels (quantized
+    cross-KV, flat self-cache, W8A8 step weights) cannot be auto-partitioned
+    — a ``pallas_call`` needs local shapes — so this builder requires the
+    dense configuration and the single-chip-speed kernels stay on the
+    data-parallel path (``build_sharded_decoder``). Throughput-per-chip is
+    therefore lower than DP serving; use TP only when the model does not fit.
+
+    Equality with the single-device dense decoder is pinned by
+    tests on a virtual CPU mesh (dp x tp).
+    """
+    assert mesh.shape[MODEL_AXIS] > 1, dict(mesh.shape)
+    assert not cfg.quantize_cross_kv and not cfg.quantize_weights, (
+        "TP serving runs the dense XLA decode path: build the DecodeConfig "
+        "with quantize_cross_kv=False, quantize_weights=False"
+    )
+    assert not dec.flat_self_cache, (
+        "TP serving requires TSDecoder(flat_self_cache=False) — the flat "
+        "cache's Pallas self-attention cannot be auto-partitioned"
+    )
+    builder = build_beam_decoder if cfg.beam_size > 1 else build_greedy_decoder
+    inner = builder(dec, variables, cfg)
+    run, bound = inner.func, inner.args
+
+    # jit respects committed input shardings: placing the params with the
+    # TP rules and the activations on the data axis is all GSPMD needs.
+    bound = tuple(
+        jax.device_put(b, params_shardings(mesh, b)) if b is not None else b
+        for b in bound
+    )
+    n_data = mesh.shape[DATA_AXIS]
+
+    def run_tp(memory: jax.Array, spk_prompt: jax.Array):
+        assert memory.shape[0] % n_data == 0, (
+            f"batch {memory.shape[0]} must divide the data axis ({n_data})"
+        )
+        sh = NamedSharding(mesh, P(DATA_AXIS))
+        return run(
+            *bound, jax.device_put(memory, sh), jax.device_put(spk_prompt, sh)
+        )
+
+    return run_tp
+
+
+def build_tp_encoder(
+    encoder: QFormerTSEncoder,
+    enc_vars: Any,
+    mesh: Mesh,
+) -> Callable[..., Tuple[jax.Array, ...]]:
+    """Tensor-parallel encoder companion to :func:`build_tp_decoder`: weights
+    sharded over the ``model`` axis under GSPMD (same partition rules), batch
+    over ``data``. Requires ``TSEncoderConfig(use_flash_attention=False)`` —
+    the Pallas flash kernel needs local shapes."""
+    assert mesh.shape[MODEL_AXIS] > 1, dict(mesh.shape)
+    assert not encoder.ts.use_flash_attention, (
+        "TP serving requires TSEncoderConfig(use_flash_attention=False)"
+    )
+    n_data = mesh.shape[DATA_AXIS]
+    jitted = jax.jit(
+        lambda v, mel, fl, emel, el: encoder.apply(v, mel, fl, emel, el)
+    )
+    enc_vars = jax.device_put(enc_vars, params_shardings(mesh, enc_vars))
+
+    def encode(mel, mel_lens, enroll_mel, enroll_lens):
+        assert mel.shape[0] % n_data == 0, (
+            f"batch {mel.shape[0]} must divide the data axis ({n_data})"
+        )
+        sh = NamedSharding(mesh, P(DATA_AXIS))
+        return jitted(
+            enc_vars,
+            *(jax.device_put(t, sh) for t in (mel, mel_lens, enroll_mel, enroll_lens)),
+        )
+
+    return encode
 
 
 def build_sharded_encoder(

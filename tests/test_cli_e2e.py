@@ -179,3 +179,15 @@ def test_decode_dataset_data_parallel_matches_single(tmp_path):
         batch_size=4, mesh=make_mesh(4, 1),
     )
     assert r1.hyps == rN.hyps
+
+    # tensor-parallel capacity mode (data=2, model=2): dense XLA path under
+    # GSPMD with TP-sharded weights must emit the same hypotheses
+    dec_dense = TSDecoder(
+        DIMS.replace(n_vocab=300), startofprev_token=259,
+        flat_self_cache=False,
+    )
+    rT = decode_dataset(
+        encoder, enc_vars, dec_dense, dec_vars, dataset, tok, dcfg,
+        batch_size=4, mesh=make_mesh(2, 2),
+    )
+    assert r1.hyps == rT.hyps
