@@ -248,6 +248,9 @@ def main():
         quantize_cross_kv=os.environ.get("BENCH_INT8_KV", "1") == "1",
         quantize_weights=os.environ.get("BENCH_INT8_W", "1") == "1",
         beam_reorder=os.environ.get("BENCH_BEAM_REORDER", "auto"),
+        # caps the decode session's HBM peak (the dense stacked cross-KV) —
+        # what lets large-v3 run at batch 64 on one chip (search.py)
+        prefill_quantized=os.environ.get("BENCH_PREFILL_QUANT", "0") == "1",
     )
     # beam_size 1 routes to the greedy fast path inside the builder
     greedy = build_beam_decoder(dec, dec_vars, dcfg)
@@ -268,10 +271,30 @@ def main():
         lambda v, qw, m, fl, em, el: enc.apply(v, m, fl, em, el, qw=qw)
     )
 
+    # BENCH_ENC_CHUNK: run the encoder in sub-batches of this size (decode
+    # stays full-batch). The encoder's transient activation peak (flash +
+    # 4x-wide MLP intermediates) is what OOMs large-v3 at batch 64 — the
+    # decode phase alone fits — so chunking the encode phase trades nothing
+    # but a second compile for the bigger, faster decode batch.
+    enc_chunk = int(os.environ.get("BENCH_ENC_CHUNK", "0")) or batch
+
     def pipeline():
-        memory, out_lens, spk_prompt, _ = encode(
-            enc_vars, enc_qw, mel, feats_lens, emel, emel_lens
-        )
+        if enc_chunk < batch:
+            mems, prompts = [], []
+            for s in range(0, batch, enc_chunk):
+                e = s + enc_chunk
+                m_c, _, p_c, _ = encode(
+                    enc_vars, enc_qw, mel[s:e], feats_lens[s:e],
+                    emel[s:e], emel_lens[s:e],
+                )
+                mems.append(m_c)
+                prompts.append(p_c)
+            memory = jnp.concatenate(mems, axis=0)
+            spk_prompt = jnp.concatenate(prompts, axis=0)
+        else:
+            memory, out_lens, spk_prompt, _ = encode(
+                enc_vars, enc_qw, mel, feats_lens, emel, emel_lens
+            )
         return greedy(memory, spk_prompt)
 
     t0 = time.time()

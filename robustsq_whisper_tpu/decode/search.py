@@ -60,6 +60,15 @@ class DecodeConfig:
     # into whole (32, 128) DMA tiles (padding the cache length slightly if
     # that makes them tile), gather otherwise.
     beam_reorder: str = "auto"
+    # quantize the cross K/V INSIDE the projection scan and run the prefill
+    # on the quantized form, instead of prefilling on dense K/V and
+    # quantizing after. The dense stacked cross K/V is the decode session's
+    # HBM *capacity* peak — 2 * layers * b * T * n_state bf16 (15.9 GB for
+    # large-v3 at batch 64, the measured single-chip OOM) — and this option
+    # never materializes it. Costs a per-position dequant in the prefill
+    # einsum (~130 ms at medium/b32/int4) and prefill attends the quantized
+    # K/V (the token loop already does). Requires quantize_cross_kv.
+    prefill_quantized: bool = False
 
 
 def _step_weights(dec: TSDecoder, variables: Any, cfg: "DecodeConfig"):
@@ -100,14 +109,16 @@ def build_greedy_decoder(
         m = lambda method, *a, **kw: dec.apply(variables, *a, method=method, **kw)
         # prefill on DENSE cross K/V (exact numerics, runs once), quantize
         # after for the token loop — the quantized layout costs a pack/unpack
-        # pass the one-shot prefill should never pay
-        cross = m(TSDecoder.cross_kv, memory, quantize=False)
+        # pass the one-shot prefill should never pay. prefill_quantized flips
+        # that trade to cap the HBM peak (see DecodeConfig).
+        pq = cfg.prefill_quantized and cfg.quantize_cross_kv
+        cross = m(TSDecoder.cross_kv, memory, quantize=pq)
         cache = m(TSDecoder.init_cache, b, total)
         init = jnp.tile(
             jnp.asarray(cfg.init_tokens, jnp.int32)[None, :], (b, 1)
         )
         logits, cache = m(TSDecoder.prefill, init, spk_prompt, cache, cross)
-        if cfg.quantize_cross_kv:
+        if cfg.quantize_cross_kv and not pq:
             cross = m(TSDecoder.quantize_cross, cross)
 
         def emit(logits, done, score):
@@ -214,7 +225,8 @@ def build_beam_decoder(
         # prefix, so cross K/V projection + prefill run ONCE per utterance
         # and the resulting cache/logits are tiled across beams after — k x
         # less prefill compute and HBM than beam-expanding the memory first.
-        cross = m(TSDecoder.cross_kv, memory, quantize=False)
+        pq = cfg.prefill_quantized and cfg.quantize_cross_kv
+        cross = m(TSDecoder.cross_kv, memory, quantize=pq)
         cache = m(TSDecoder.init_cache, b, total)
         init = jnp.tile(
             jnp.asarray(cfg.init_tokens, jnp.int32)[None, :], (b, 1)
@@ -226,7 +238,8 @@ def build_beam_decoder(
             # tiles once for all k beams (attend_quant beam_group) — the
             # decode loop's dominant HBM term does not scale with the beam
             # width, and the k x cross-KV memory blowup never happens.
-            cross = m(TSDecoder.quantize_cross, cross)
+            if not pq:
+                cross = m(TSDecoder.quantize_cross, cross)
             group = k
         else:
             # dense cross K/V goes through plain per-row attention and must

@@ -1,5 +1,6 @@
 """Decode tests: KV-cache greedy/beam vs naive full-recompute decode, WER."""
 
+import dataclasses
 import numpy as np
 import pytest
 
@@ -562,6 +563,28 @@ def test_sharded_decoder_matches_single_device():
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(tN))
         np.testing.assert_allclose(
             np.asarray(s1), np.asarray(sN), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_prefill_quantized_matches_post_quantized(dec_and_params):
+    """prefill_quantized=True (quantize the cross K/V inside the projection
+    scan, prefill on the quantized form — the HBM-capacity mode that never
+    materializes the dense stacked cross K/V) must reproduce the
+    prefill-dense-then-quantize decoder's tokens on well-conditioned inputs,
+    greedy and beam."""
+    dec, variables, memory, prompt = dec_and_params
+    for beam in (1, 3):
+        cfg = DecodeConfig(
+            max_new_tokens=8, eot=2, init_tokens=(1,), beam_size=beam,
+            quantize_cross_kv=True,
+        )
+        cfg_pq = dataclasses.replace(cfg, prefill_quantized=True)
+        builder = build_beam_decoder if beam > 1 else build_greedy_decoder
+        t0, s0 = builder(dec, variables, cfg)(memory, prompt)
+        t1, s1 = builder(dec, variables, cfg_pq)(memory, prompt)
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        np.testing.assert_allclose(
+            np.asarray(s0), np.asarray(s1), rtol=0.05, atol=0.1
         )
 
 
