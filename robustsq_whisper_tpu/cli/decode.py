@@ -85,6 +85,19 @@ def main(argv=None):
         "inference_nj process sharding). No-op on a single chip",
     )
     parser.add_argument(
+        "--prefill_quantized", type=_str2bool, default=False,
+        help="quantize the cross K/V inside the projection scan and prefill "
+        "on the quantized form — caps the decode session's HBM peak (the "
+        "dense stacked cross-KV, 15.9 GB for large-v3 at batch 64); "
+        "requires a quantized cross-KV config (decode/search.py)",
+    )
+    parser.add_argument(
+        "--enc_chunk", type=int, default=0,
+        help="run the encoder in sub-batches of this size (0 = full batch): "
+        "bounds the encoder's transient activation peak separately from the "
+        "decode batch for large models",
+    )
+    parser.add_argument(
         "--model_parallel", type=int, default=1,
         help="shard the model WEIGHTS (and KV caches) over this many devices "
         "(tensor parallelism via GSPMD, parallel/mesh.py rules) — the "
@@ -220,9 +233,15 @@ def main(argv=None):
         if exp.model.vocab_size >= st.n_vocab
         else (exp.model.sos,),
     )
+    if args.prefill_quantized:
+        # prefill on the quantized cross-KV (implies a quantized token loop)
+        dcfg = dataclasses.replace(
+            dcfg, quantize_cross_kv=True, prefill_quantized=True
+        )
     if tp > 1:
         dcfg = dataclasses.replace(
-            dcfg, quantize_cross_kv=False, quantize_weights=False
+            dcfg, quantize_cross_kv=False, quantize_weights=False,
+            prefill_quantized=False,
         )
     mesh = None
     batch_size = args.batch_size
@@ -245,6 +264,7 @@ def main(argv=None):
     result = decode_dataset(
         encoder, enc_vars, decoder, dec_vars, dataset, tokenizer, dcfg,
         batch_size=batch_size, output_dir=args.output_dir, mesh=mesh,
+        enc_chunk=args.enc_chunk,
     )
     logging.info(
         "decoded %d utts in %.1fs (RTF %.1fx): %s",

@@ -52,6 +52,7 @@ def decode_dataset(
     batch_size: int = 8,
     output_dir: Optional[str] = None,
     mesh: Optional[Any] = None,
+    enc_chunk: int = 0,
 ) -> DecodeResult:
     if mesh is not None and mesh.shape.get("model", 1) > 1:
         # tensor-parallel serving (capacity mode): weights sharded over the
@@ -108,6 +109,16 @@ def decode_dataset(
     # espnet2.bin.asr_inference's per-utterance loop).
     pending = None
     n_mels = encoder.dims.n_mels
+    if enc_chunk and mesh is not None:
+        # each encode sub-batch must still divide the mesh data axis
+        n_data = mesh.shape.get("data", 1)
+        rounded = -(-enc_chunk // n_data) * n_data
+        if rounded != enc_chunk:
+            logger.info(
+                "rounded enc_chunk %d -> %d (multiple of the %d-way data axis)",
+                enc_chunk, rounded, n_data,
+            )
+            enc_chunk = rounded
     for batch in dataset.batches(batch_size, shuffle=False, drop_last=False):
         feats, feats_lens = log_mel_spectrogram(
             jnp.asarray(batch["speech"]), jnp.asarray(batch["speech_lens"]),
@@ -117,9 +128,24 @@ def decode_dataset(
             jnp.asarray(batch["enroll"]), jnp.asarray(batch["enroll_lens"]),
             n_mels=n_mels,
         )
-        memory, _, spk_prompt, _ = encode(
-            enc_vars, feats, feats_lens, efeats, efeats_lens
-        )
+        if enc_chunk and enc_chunk < feats.shape[0]:
+            # bound the encoder's transient activation peak for large
+            # models: encode in sub-batches, decode the full batch
+            mems, prompts = [], []
+            for s in range(0, feats.shape[0], enc_chunk):
+                e = s + enc_chunk
+                m_c, _, p_c, _ = encode(
+                    enc_vars, feats[s:e], feats_lens[s:e],
+                    efeats[s:e], efeats_lens[s:e],
+                )
+                mems.append(m_c)
+                prompts.append(p_c)
+            memory = jnp.concatenate(mems, axis=0)
+            spk_prompt = jnp.concatenate(prompts, axis=0)
+        else:
+            memory, _, spk_prompt, _ = encode(
+                enc_vars, feats, feats_lens, efeats, efeats_lens
+            )
         tokens, _ = run(memory, spk_prompt)
         if pending is not None:
             consume(pending)

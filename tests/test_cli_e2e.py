@@ -174,9 +174,10 @@ def test_decode_dataset_data_parallel_matches_single(tmp_path):
         encoder, enc_vars, decoder, dec_vars, dataset, tok, dcfg,
         batch_size=4,
     )
+    # enc_chunk=2 exercises sub-batched encoding + the data-axis rounding
     rN = decode_dataset(
         encoder, enc_vars, decoder, dec_vars, dataset, tok, dcfg,
-        batch_size=4, mesh=make_mesh(4, 1),
+        batch_size=4, mesh=make_mesh(4, 1), enc_chunk=2,
     )
     assert r1.hyps == rN.hyps
 
