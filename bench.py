@@ -276,25 +276,15 @@ def main():
     # 4x-wide MLP intermediates) is what OOMs large-v3 at batch 64 — the
     # decode phase alone fits — so chunking the encode phase trades nothing
     # but a second compile for the bigger, faster decode batch.
-    enc_chunk = int(os.environ.get("BENCH_ENC_CHUNK", "0")) or batch
+    from robustsq_whisper_tpu.decode.pipeline import chunked_encode
+
+    enc_chunk = max(0, int(os.environ.get("BENCH_ENC_CHUNK", "0")))
 
     def pipeline():
-        if enc_chunk < batch:
-            mems, prompts = [], []
-            for s in range(0, batch, enc_chunk):
-                e = s + enc_chunk
-                m_c, _, p_c, _ = encode(
-                    enc_vars, enc_qw, mel[s:e], feats_lens[s:e],
-                    emel[s:e], emel_lens[s:e],
-                )
-                mems.append(m_c)
-                prompts.append(p_c)
-            memory = jnp.concatenate(mems, axis=0)
-            spk_prompt = jnp.concatenate(prompts, axis=0)
-        else:
-            memory, out_lens, spk_prompt, _ = encode(
-                enc_vars, enc_qw, mel, feats_lens, emel, emel_lens
-            )
+        memory, spk_prompt = chunked_encode(
+            lambda m, fl, em, el: encode(enc_vars, enc_qw, m, fl, em, el),
+            mel, feats_lens, emel, emel_lens, enc_chunk,
+        )
         return greedy(memory, spk_prompt)
 
     t0 = time.time()

@@ -155,15 +155,19 @@ def main(argv=None):
         args.use_flash = False
         args.int8_weights = False
     # inference is forward-only: the Pallas flash kernel is safe and ~1.5x
-    # faster on the long encoder self-attention (disable via --use_flash false)
-    if args.use_flash:
-        exp = dataclasses.replace(
-            exp, ts=dataclasses.replace(exp.ts, use_flash_attention=True)
+    # faster on the long encoder self-attention (disable via --use_flash
+    # false). The flag is authoritative either way — a config-enabled
+    # use_flash_attention must also be CLEARED under --model_parallel
+    # (build_tp_encoder needs the Pallas-free encoder) or --use_flash false.
+    exp = dataclasses.replace(
+        exp, ts=dataclasses.replace(
+            exp.ts, use_flash_attention=bool(args.use_flash)
         )
-    if args.gelu_approx:
-        exp = dataclasses.replace(
-            exp, ts=dataclasses.replace(exp.ts, gelu_approx=True)
-        )
+    )
+    # same authoritative-flag semantics as --use_flash
+    exp = dataclasses.replace(
+        exp, ts=dataclasses.replace(exp.ts, gelu_approx=bool(args.gelu_approx))
+    )
     dtype = jnp.bfloat16 if exp.compute_dtype == "bfloat16" else jnp.float32
     tokenizer = load_tokenizer(args.tokenizer_assets)
     st = special_tokens_for_vocab(exp.model.vocab_size)

@@ -41,6 +41,28 @@ class DecodeResult:
         return self.audio_seconds / max(self.wall_seconds, 1e-9)
 
 
+def chunked_encode(enc_fn, feats, feats_lens, efeats, efeats_lens, chunk):
+    """Encode in sub-batches of ``chunk`` rows and concatenate — bounds the
+    encoder's transient activation peak (flash + 4x-wide MLP intermediates)
+    separately from the decode batch. ``chunk`` <= 0 or >= batch encodes in
+    one call. Returns ``(memory, spk_prompt)``."""
+    b = feats.shape[0]
+    if chunk <= 0 or chunk >= b:
+        memory, _, spk_prompt, _ = enc_fn(
+            feats, feats_lens, efeats, efeats_lens
+        )
+        return memory, spk_prompt
+    mems, prompts = [], []
+    for s in range(0, b, chunk):
+        e = s + chunk
+        m_c, _, p_c, _ = enc_fn(
+            feats[s:e], feats_lens[s:e], efeats[s:e], efeats_lens[s:e]
+        )
+        mems.append(m_c)
+        prompts.append(p_c)
+    return jnp.concatenate(mems, axis=0), jnp.concatenate(prompts, axis=0)
+
+
 def decode_dataset(
     encoder: QFormerTSEncoder,
     enc_vars: Any,
@@ -60,7 +82,7 @@ def decode_dataset(
         from .sharded import build_tp_decoder, build_tp_encoder
 
         assert batch_size % mesh.shape.get("data", 1) == 0, (
-            f"batch_size {batch_size} must divide the data axis "
+            f"batch_size {batch_size} must be a multiple of the data-axis size "
             f"({mesh.shape.get('data', 1)})"
         )
         run = build_tp_decoder(decoder, dec_vars, dcfg, mesh)
@@ -72,7 +94,7 @@ def decode_dataset(
         from .sharded import build_sharded_decoder, build_sharded_encoder
 
         assert batch_size % mesh.shape["data"] == 0, (
-            f"batch_size {batch_size} must divide the data axis "
+            f"batch_size {batch_size} must be a multiple of the data-axis size "
             f"({mesh.shape['data']})"
         )
         run = build_sharded_decoder(decoder, dec_vars, dcfg, mesh)
@@ -109,6 +131,8 @@ def decode_dataset(
     # espnet2.bin.asr_inference's per-utterance loop).
     pending = None
     n_mels = encoder.dims.n_mels
+    if enc_chunk < 0:
+        raise ValueError(f"enc_chunk must be >= 0, got {enc_chunk}")
     if enc_chunk and mesh is not None:
         # each encode sub-batch must still divide the mesh data axis
         n_data = mesh.shape.get("data", 1)
@@ -128,24 +152,10 @@ def decode_dataset(
             jnp.asarray(batch["enroll"]), jnp.asarray(batch["enroll_lens"]),
             n_mels=n_mels,
         )
-        if enc_chunk and enc_chunk < feats.shape[0]:
-            # bound the encoder's transient activation peak for large
-            # models: encode in sub-batches, decode the full batch
-            mems, prompts = [], []
-            for s in range(0, feats.shape[0], enc_chunk):
-                e = s + enc_chunk
-                m_c, _, p_c, _ = encode(
-                    enc_vars, feats[s:e], feats_lens[s:e],
-                    efeats[s:e], efeats_lens[s:e],
-                )
-                mems.append(m_c)
-                prompts.append(p_c)
-            memory = jnp.concatenate(mems, axis=0)
-            spk_prompt = jnp.concatenate(prompts, axis=0)
-        else:
-            memory, _, spk_prompt, _ = encode(
-                enc_vars, feats, feats_lens, efeats, efeats_lens
-            )
+        memory, spk_prompt = chunked_encode(
+            lambda *a: encode(enc_vars, *a),
+            feats, feats_lens, efeats, efeats_lens, enc_chunk,
+        )
         tokens, _ = run(memory, spk_prompt)
         if pending is not None:
             consume(pending)

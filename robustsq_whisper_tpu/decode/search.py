@@ -98,6 +98,14 @@ def build_greedy_decoder(
     tunneled TPU.
     """
 
+    if cfg.prefill_quantized and not cfg.quantize_cross_kv:
+        raise ValueError(
+            "prefill_quantized requires quantize_cross_kv=True: the option "
+            "prefills on the QUANTIZED cross K/V so the dense stacked form "
+            "is never materialized (its whole point); without a quantized "
+            "token loop it would silently change nothing"
+        )
+
     @functools.partial(jax.jit, donate_argnums=())
     def run(
         variables: Any, qw: Any, memory: jax.Array, spk_prompt: jax.Array
@@ -111,7 +119,7 @@ def build_greedy_decoder(
         # after for the token loop — the quantized layout costs a pack/unpack
         # pass the one-shot prefill should never pay. prefill_quantized flips
         # that trade to cap the HBM peak (see DecodeConfig).
-        pq = cfg.prefill_quantized and cfg.quantize_cross_kv
+        pq = cfg.prefill_quantized
         cross = m(TSDecoder.cross_kv, memory, quantize=pq)
         cache = m(TSDecoder.init_cache, b, total)
         init = jnp.tile(
@@ -190,6 +198,14 @@ def build_beam_decoder(
     if k == 1:
         return build_greedy_decoder(dec, variables, cfg)
 
+    if cfg.prefill_quantized and not cfg.quantize_cross_kv:
+        raise ValueError(
+            "prefill_quantized requires quantize_cross_kv=True: the option "
+            "prefills on the QUANTIZED cross K/V so the dense stacked form "
+            "is never materialized (its whole point); without a quantized "
+            "token loop it would silently change nothing"
+        )
+
     @functools.partial(jax.jit, donate_argnums=())
     def run(
         variables: Any, qw: Any, memory: jax.Array, spk_prompt: jax.Array
@@ -225,7 +241,7 @@ def build_beam_decoder(
         # prefix, so cross K/V projection + prefill run ONCE per utterance
         # and the resulting cache/logits are tiled across beams after — k x
         # less prefill compute and HBM than beam-expanding the memory first.
-        pq = cfg.prefill_quantized and cfg.quantize_cross_kv
+        pq = cfg.prefill_quantized
         cross = m(TSDecoder.cross_kv, memory, quantize=pq)
         cache = m(TSDecoder.init_cache, b, total)
         init = jnp.tile(

@@ -31,9 +31,11 @@ from typing import Any, Callable, Tuple
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+import dataclasses
+
 from ..models.ts_decoder import TSDecoder
 from ..models.ts_encoder import QFormerTSEncoder
-from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, batch_shardings, params_shardings
+from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, params_shardings
 from .search import DecodeConfig, build_beam_decoder, build_greedy_decoder
 
 
@@ -73,7 +75,7 @@ def build_sharded_decoder(
 
     def run_sharded(memory: jax.Array, spk_prompt: jax.Array):
         assert memory.shape[0] % n_data == 0, (
-            f"batch {memory.shape[0]} must divide the data axis ({n_data})"
+            f"batch {memory.shape[0]} must be a multiple of the data-axis size ({n_data})"
         )
         sh = NamedSharding(mesh, data)
         return jitted(
@@ -118,6 +120,11 @@ def build_tp_decoder(
         "TP serving requires TSDecoder(flat_self_cache=False) — the flat "
         "cache's Pallas self-attention cannot be auto-partitioned"
     )
+    if cfg.beam_size > 1 and cfg.beam_reorder != "take":
+        # the "dma"/"auto" cache reorder is a Pallas HBM->HBM kernel
+        # (ops/beam_gather.py) — not partitionable either; beam TP uses the
+        # XLA gather
+        cfg = dataclasses.replace(cfg, beam_reorder="take")
     builder = build_beam_decoder if cfg.beam_size > 1 else build_greedy_decoder
     inner = builder(dec, variables, cfg)
     run, bound = inner.func, inner.args
@@ -132,7 +139,7 @@ def build_tp_decoder(
 
     def run_tp(memory: jax.Array, spk_prompt: jax.Array):
         assert memory.shape[0] % n_data == 0, (
-            f"batch {memory.shape[0]} must divide the data axis ({n_data})"
+            f"batch {memory.shape[0]} must be a multiple of the data-axis size ({n_data})"
         )
         sh = NamedSharding(mesh, P(DATA_AXIS))
         return run(
@@ -163,7 +170,7 @@ def build_tp_encoder(
 
     def encode(mel, mel_lens, enroll_mel, enroll_lens):
         assert mel.shape[0] % n_data == 0, (
-            f"batch {mel.shape[0]} must divide the data axis ({n_data})"
+            f"batch {mel.shape[0]} must be a multiple of the data-axis size ({n_data})"
         )
         sh = NamedSharding(mesh, P(DATA_AXIS))
         return jitted(
@@ -203,7 +210,7 @@ def build_sharded_encoder(
 
     def encode(mel, mel_lens, enroll_mel, enroll_lens):
         assert mel.shape[0] % n_data == 0, (
-            f"batch {mel.shape[0]} must divide the data axis ({n_data})"
+            f"batch {mel.shape[0]} must be a multiple of the data-axis size ({n_data})"
         )
         sh = NamedSharding(mesh, data)
         return jitted(
