@@ -588,6 +588,47 @@ def test_prefill_quantized_matches_post_quantized(dec_and_params):
         )
 
 
+def test_prefill_quantized_requires_quantized_loop(dec_and_params):
+    """prefill_quantized without quantize_cross_kv must raise at build time
+    (silently materializing the dense cross-KV would defeat the option)."""
+    dec, variables, memory, prompt = dec_and_params
+    cfg = DecodeConfig(
+        max_new_tokens=4, eot=2, init_tokens=(1,), prefill_quantized=True
+    )
+    with pytest.raises(ValueError, match="quantize_cross_kv"):
+        build_greedy_decoder(dec, variables, cfg)
+    with pytest.raises(ValueError, match="quantize_cross_kv"):
+        build_beam_decoder(
+            dec, variables, dataclasses.replace(cfg, beam_size=2)
+        )
+
+
+def test_chunked_encode_matches_full():
+    """chunked_encode over uneven sub-batches == one full encode call, and
+    chunk<=0 / chunk>=batch route to the single call."""
+    from robustsq_whisper_tpu.decode.pipeline import chunked_encode
+
+    calls = []
+
+    def enc_fn(feats, fl, efeats, el):
+        calls.append(feats.shape[0])
+        return feats * 2.0, fl, efeats + 1.0, el
+
+    r = np.random.default_rng(0)
+    feats = jnp.asarray(r.standard_normal((5, 3)))
+    fl = jnp.arange(5)
+    efeats = jnp.asarray(r.standard_normal((5, 2)))
+    el = jnp.arange(5)
+
+    m_full, p_full = chunked_encode(enc_fn, feats, fl, efeats, el, 0)
+    assert calls == [5]
+    calls.clear()
+    m_c, p_c = chunked_encode(enc_fn, feats, fl, efeats, el, 2)
+    assert calls == [2, 2, 1]
+    np.testing.assert_array_equal(np.asarray(m_full), np.asarray(m_c))
+    np.testing.assert_array_equal(np.asarray(p_full), np.asarray(p_c))
+
+
 def test_tp_decoder_matches_single_device():
     """Tensor-parallel serving (capacity mode): the dense XLA decode path
     jitted with the Megatron-style TP parameter shardings over a
