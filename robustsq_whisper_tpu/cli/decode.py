@@ -85,6 +85,17 @@ def main(argv=None):
         "inference_nj process sharding). No-op on a single chip",
     )
     parser.add_argument(
+        "--long_audio", type=_str2bool, default=False,
+        help="decode every utterance at FULL length via batched 30 s "
+        "windows sharing one speaker prompt (decode/long_audio.py) instead "
+        "of the fixed-window path that crops to the config window like the "
+        "reference's --max_wav_duration 30",
+    )
+    parser.add_argument(
+        "--chunk_seconds", type=float, default=30.0,
+        help="window length for --long_audio",
+    )
+    parser.add_argument(
         "--prefill_quantized", type=_str2bool, default=False,
         help="quantize the cross K/V inside the projection scan and prefill "
         "on the quantized form — caps the decode session's HBM peak (the "
@@ -185,7 +196,11 @@ def main(argv=None):
     from .train import build_model_and_variables
 
     rng = jax.random.PRNGKey(args.seed)
-    first = next(dataset.batches(args.batch_size, shuffle=False))
+    # drop_last=False: a data dir smaller than the batch size must still
+    # yield the init batch (batches() wraps to a full batch)
+    first = next(
+        dataset.batches(args.batch_size, shuffle=False, drop_last=False)
+    )
     first.pop("utt_ids", None)
     model, variables = build_model_and_variables(exp, rng, dev_batch=first)
 
@@ -265,11 +280,24 @@ def main(argv=None):
             n * tp, n, tp,
         )
 
-    result = decode_dataset(
-        encoder, enc_vars, decoder, dec_vars, dataset, tokenizer, dcfg,
-        batch_size=batch_size, output_dir=args.output_dir, mesh=mesh,
-        enc_chunk=args.enc_chunk,
-    )
+    if args.long_audio:
+        from ..decode.long_audio import decode_dataset_long
+
+        if mesh is not None:
+            logging.info(
+                "--long_audio runs the single-device per-utterance path "
+                "(window batches vary per utterance); mesh ignored"
+            )
+        result = decode_dataset_long(
+            encoder, enc_vars, decoder, dec_vars, dataset, tokenizer, dcfg,
+            chunk_seconds=args.chunk_seconds, output_dir=args.output_dir,
+        )
+    else:
+        result = decode_dataset(
+            encoder, enc_vars, decoder, dec_vars, dataset, tokenizer, dcfg,
+            batch_size=batch_size, output_dir=args.output_dir, mesh=mesh,
+            enc_chunk=args.enc_chunk,
+        )
     logging.info(
         "decoded %d utts in %.1fs (RTF %.1fx): %s",
         len(result.hyps), result.wall_seconds, result.rtf,

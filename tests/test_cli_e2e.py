@@ -192,3 +192,49 @@ def test_decode_dataset_data_parallel_matches_single(tmp_path):
         batch_size=4, mesh=make_mesh(2, 2),
     )
     assert r1.hyps == rT.hyps
+
+
+@pytest.mark.slow
+def test_decode_dataset_long_audio(tmp_path):
+    """--long_audio dataset pass: full-length utterances decoded as batched
+    windows with one shared speaker prompt per utterance; outputs written
+    like the fixed-window pipeline (decode/long_audio.py)."""
+    from robustsq_whisper_tpu.decode.long_audio import decode_dataset_long
+
+    src = _make_clean_dir(tmp_path, n_speakers=2, utts_per_spk=2)
+    data_dir = str(tmp_path / "mix_long")
+    simulate.generate_overlap_enrollment(
+        src, data_dir, simulate.OverlapConfig(num_mixtures=3, seed=0)
+    )
+    tok = ByteTokenizer()
+    speech_sec = (DIMS.n_audio_ctx * 2 * 160) / SR
+    dataset = KaldiTSDataset(
+        data_dir, tok,
+        speech_seconds=speech_sec, enroll_seconds=speech_sec / 2,
+        text_len=48, num_speakers=8, seed=0,
+    )
+    rng = jax.random.PRNGKey(0)
+    encoder = QFormerTSEncoder(DIMS, TS)
+    decoder = TSDecoder(DIMS.replace(n_vocab=300), startofprev_token=259)
+    from robustsq_whisper_tpu.audio.frontend import log_mel_spectrogram
+
+    b = next(dataset.batches(2, shuffle=False))
+    feats, fl = log_mel_spectrogram(
+        jnp.asarray(b["speech"]), jnp.asarray(b["speech_lens"])
+    )
+    efeats, el = log_mel_spectrogram(
+        jnp.asarray(b["enroll"]), jnp.asarray(b["enroll_lens"])
+    )
+    enc_vars = encoder.init(rng, feats, fl, efeats, el)
+    memory, _, prompt, _ = encoder.apply(enc_vars, feats, fl, efeats, el)
+    dec_vars = decoder.init(rng, memory, jnp.zeros((2, 4), jnp.int32), prompt)
+
+    out_dir = str(tmp_path / "decoded_long")
+    result = decode_dataset_long(
+        encoder, enc_vars, decoder, dec_vars, dataset, tok,
+        DecodeConfig(max_new_tokens=6, eot=258, init_tokens=(257,)),
+        chunk_seconds=speech_sec, output_dir=out_dir,
+    )
+    assert len(result.hyps) == len(dataset.utt_ids)
+    assert os.path.exists(os.path.join(out_dir, "text"))
+    assert result.audio_seconds > 0 and result.rtf > 0
