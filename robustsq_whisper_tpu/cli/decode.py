@@ -264,7 +264,15 @@ def main(argv=None):
         )
     mesh = None
     batch_size = args.batch_size
-    if tp > 1 or (args.data_parallel and jax.device_count() > 1):
+    if args.long_audio and tp > 1:
+        parser.error(
+            "--long_audio decodes per-utterance window batches on one device "
+            "and cannot shard the weights; it is incompatible with "
+            "--model_parallel (use the fixed-window path for TP serving)"
+        )
+    if not args.long_audio and (
+        tp > 1 or (args.data_parallel and jax.device_count() > 1)
+    ):
         from ..parallel.mesh import make_mesh
 
         n = jax.device_count() // tp if args.data_parallel else 1
@@ -283,14 +291,10 @@ def main(argv=None):
     if args.long_audio:
         from ..decode.long_audio import decode_dataset_long
 
-        if mesh is not None:
-            logging.info(
-                "--long_audio runs the single-device per-utterance path "
-                "(window batches vary per utterance); mesh ignored"
-            )
         result = decode_dataset_long(
             encoder, enc_vars, decoder, dec_vars, dataset, tokenizer, dcfg,
             chunk_seconds=args.chunk_seconds, output_dir=args.output_dir,
+            window_batch=batch_size,
         )
     else:
         result = decode_dataset(

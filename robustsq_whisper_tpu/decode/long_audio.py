@@ -109,26 +109,33 @@ def decode_dataset_long(
     dcfg: DecodeConfig = DecodeConfig(),
     chunk_seconds: float = 30.0,
     output_dir: Optional[str] = None,
+    window_batch: int = 16,
     pad_windows_to: int = 4,
 ):
     """Long-audio decode over a whole Kaldi data dir: every utterance is
     read at FULL length (the fixed-window dataset path crops to 30 s like
-    the reference), windowed, and decoded as one batch per utterance.
+    the reference), windowed, and decoded in window batches of at most
+    ``window_batch`` rows — which bounds the encoder-activation and
+    decode-session HBM peaks for arbitrarily long inputs.
 
-    Encoder and decoder are jit-compiled once; the window-batch size is
-    padded up to a multiple of ``pad_windows_to`` so utterances of similar
-    length share a compiled shape instead of retracing per window count.
+    Encoder and decoder are jit-compiled once: enrollment features are
+    padded to the dataset's fixed ``enroll_samples`` (true length rides as
+    the mask) and window counts pad up to a multiple of ``pad_windows_to``,
+    so utterances share compiled shapes instead of retracing.
     Returns a ``DecodeResult`` like ``decode_dataset``.
     """
-    import os as _os
     import time as _time
 
     import jax
 
-    from ..data import kaldi_io
-    from .pipeline import DecodeResult
-    from .scorer import cer, wer
+    from .pipeline import score_and_write
 
+    max_chunk_s = encoder.dims.n_audio_ctx * 2 * 160 / SAMPLE_RATE
+    if chunk_seconds > max_chunk_s + 1e-9:
+        raise ValueError(
+            f"chunk_seconds {chunk_seconds} exceeds the model's positional "
+            f"budget ({max_chunk_s:.2f} s = n_audio_ctx * 2 frames)"
+        )
     encode = jax.jit(
         lambda v, f, fl, ef, el: encoder.apply(v, f, fl, ef, el)
     )
@@ -137,54 +144,51 @@ def decode_dataset_long(
     audio_sec = 0.0
     t0 = _time.time()
     chunk = int(round(chunk_seconds * SAMPLE_RATE))
+    window_batch = max(pad_windows_to, window_batch)
     for utt in dataset.utt_ids:
-        wav = dataset._load_audio(dataset.wav[utt])
-        # the no-enroll fallback returns the full mixture; cap it like the
-        # fixed-window dataset path does
-        enroll = dataset._enroll_audio(utt)[: dataset.enroll_samples]
+        # wav.scp rows may carry trailing fields; path is the first token
+        wav = dataset._load_audio(dataset.wav[utt].split()[0])
+        # pad/crop enrollment to the dataset's fixed window so every
+        # utterance shares ONE compiled encode shape (true length masks)
+        enroll = np.asarray(
+            dataset._enroll_audio(utt), np.float32
+        )[: dataset.enroll_samples]
+        e_len = len(enroll)
+        if e_len < dataset.enroll_samples:
+            enroll = np.pad(enroll, (0, dataset.enroll_samples - e_len))
+        e1, e1_lens = log_mel_spectrogram(
+            jnp.asarray(enroll)[None],
+            jnp.asarray([e_len], jnp.int32),
+            n_mels=encoder.dims.n_mels,
+        )
         windows, lens = chunk_waveform(wav, chunk_seconds=chunk_seconds)
-        n = windows.shape[0]
-        n_pad = -(-n // pad_windows_to) * pad_windows_to
-        if n_pad != n:  # padded windows decode silence; dropped below
-            windows = np.concatenate(
-                [windows, np.zeros((n_pad - n, chunk), np.float32)]
-            )
-            lens = np.concatenate(
-                [lens, np.full((n_pad - n,), chunk, np.int32)]
-            )
-        feats, feats_lens = log_mel_spectrogram(
-            jnp.asarray(windows), jnp.asarray(lens),
-            n_mels=encoder.dims.n_mels,
-        )
-        e1, _ = log_mel_spectrogram(
-            jnp.asarray(np.asarray(enroll, np.float32))[None],
-            n_mels=encoder.dims.n_mels,
-        )
-        efeats = jnp.broadcast_to(e1, (n_pad,) + e1.shape[1:])
-        efeats_lens = jnp.full((n_pad,), e1.shape[-1], jnp.int32)
-        memory, _, spk_prompt, _ = encode(
-            enc_vars, feats, feats_lens, efeats, efeats_lens
-        )
-        tokens, _ = run(memory, spk_prompt)
         ids: List[int] = []
-        for row in strip_eot(np.asarray(tokens)[:n], dcfg.eot):
-            ids.extend(row)
+        for s in range(0, windows.shape[0], window_batch):
+            w = windows[s : s + window_batch]
+            wl = lens[s : s + window_batch]
+            n = w.shape[0]
+            n_pad = -(-n // pad_windows_to) * pad_windows_to
+            if n_pad != n:  # padded windows decode silence; dropped below
+                w = np.concatenate(
+                    [w, np.zeros((n_pad - n, chunk), np.float32)]
+                )
+                wl = np.concatenate(
+                    [wl, np.full((n_pad - n,), chunk, np.int32)]
+                )
+            feats, feats_lens = log_mel_spectrogram(
+                jnp.asarray(w), jnp.asarray(wl),
+                n_mels=encoder.dims.n_mels,
+            )
+            efeats = jnp.broadcast_to(e1, (n_pad,) + e1.shape[1:])
+            efeats_lens = jnp.broadcast_to(e1_lens, (n_pad,))
+            memory, _, spk_prompt, _ = encode(
+                enc_vars, feats, feats_lens, efeats, efeats_lens
+            )
+            tokens, _ = run(memory, spk_prompt)
+            for row in strip_eot(np.asarray(tokens)[:n], dcfg.eot):
+                ids.extend(row)
         hyps[utt] = tokenizer.decode(ids).strip()
         refs[utt] = dataset.text.get(utt, "")
         audio_sec += len(wav) / SAMPLE_RATE
     wall = _time.time() - t0
-
-    pairs = [(refs[u], hyps[u]) for u in hyps if refs.get(u)]
-    metrics = {}
-    if pairs:
-        r, h = zip(*pairs)
-        metrics.update(wer(list(r), list(h)))
-        metrics.update(cer(list(r), list(h)))
-    metrics["rtf"] = audio_sec / max(wall, 1e-9)
-    if output_dir:
-        _os.makedirs(output_dir, exist_ok=True)
-        kaldi_io.write_scp(_os.path.join(output_dir, "text"), hyps)
-        with open(_os.path.join(output_dir, "score.txt"), "w") as f:
-            for k, v in sorted(metrics.items()):
-                f.write(f"{k} {v}\n")
-    return DecodeResult(hyps, refs, metrics, audio_sec, wall)
+    return score_and_write(hyps, refs, audio_sec, wall, output_dir)

@@ -164,6 +164,18 @@ def decode_dataset(
         consume(pending)
     wall = time.time() - t0
 
+    return score_and_write(hyps, refs, audio_sec, wall, output_dir)
+
+
+def score_and_write(
+    hyps: Dict[str, str],
+    refs: Dict[str, str],
+    audio_sec: float,
+    wall: float,
+    output_dir: Optional[str] = None,
+) -> DecodeResult:
+    """Shared tail of every dataset decode: WER/CER/RTF metrics + the
+    ESPnet-style ``text``/``score.txt`` outputs."""
     pairs = [(refs[u], hyps[u]) for u in hyps if refs.get(u)]
     metrics: Dict[str, float] = {}
     if pairs:
