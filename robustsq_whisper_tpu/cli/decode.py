@@ -170,14 +170,13 @@ def main(argv=None):
     # false). The flag is authoritative either way — a config-enabled
     # use_flash_attention must also be CLEARED under --model_parallel
     # (build_tp_encoder needs the Pallas-free encoder) or --use_flash false.
+    # (--gelu_approx gets the same authoritative-flag semantics)
     exp = dataclasses.replace(
         exp, ts=dataclasses.replace(
-            exp.ts, use_flash_attention=bool(args.use_flash)
+            exp.ts,
+            use_flash_attention=bool(args.use_flash),
+            gelu_approx=bool(args.gelu_approx),
         )
-    )
-    # same authoritative-flag semantics as --use_flash
-    exp = dataclasses.replace(
-        exp, ts=dataclasses.replace(exp.ts, gelu_approx=bool(args.gelu_approx))
     )
     dtype = jnp.bfloat16 if exp.compute_dtype == "bfloat16" else jnp.float32
     tokenizer = load_tokenizer(args.tokenizer_assets)
