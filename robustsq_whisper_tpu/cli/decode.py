@@ -129,12 +129,11 @@ def main(argv=None):
 
     from ..data.dataset import KaldiTSDataset
     from ..decode.pipeline import decode_dataset
-    from ..decode.search import DecodeConfig
     from ..models import TSDecoder, QFormerTSEncoder
     from ..tokenizer.whisper_tokenizer import load_tokenizer, special_tokens_for_vocab
     from ..train.checkpoint import latest_step, restore_checkpoint
-    from ..train.step import TrainConfig, create_train_state
-    from ..utils.config import load_experiment, load_yaml, experiment_from_dict
+    from ..train.step import create_train_state
+    from ..utils.config import load_experiment, load_yaml
 
     exp = load_experiment(args.config)
     if args.inference_config:
