@@ -177,3 +177,77 @@ def test_greedy_scores_match_hf(hf_gen_model):
             if tok == EOT:
                 break
         np.testing.assert_allclose(float(scores[i]), want, rtol=1e-3, atol=1e-3)
+
+
+def test_greedy_transcripts_match_hf_generate_v3_layout():
+    """Same token-for-token parity with the large-v3 FAMILY layout: 128 mel
+    bins through the conv stem (the v3 frontend change,
+    models/whisper/config.py large-v3 preset). Guards the 128-mel weight
+    mapping end-to-end, not just per-module."""
+    import torch
+    from transformers import WhisperConfig, WhisperForConditionalGeneration
+
+    dims = WhisperDims(
+        n_mels=128, n_vocab=100, n_audio_ctx=50, n_audio_state=64,
+        n_audio_head=2, n_audio_layer=2, n_text_ctx=40, n_text_state=64,
+        n_text_head=2, n_text_layer=2,
+    )
+    torch.manual_seed(9)
+    cfg = WhisperConfig(
+        vocab_size=dims.n_vocab, num_mel_bins=dims.n_mels,
+        d_model=dims.n_audio_state, encoder_layers=dims.n_audio_layer,
+        encoder_attention_heads=dims.n_audio_head,
+        decoder_layers=dims.n_text_layer,
+        decoder_attention_heads=dims.n_text_head,
+        encoder_ffn_dim=4 * dims.n_audio_state,
+        decoder_ffn_dim=4 * dims.n_text_state,
+        max_source_positions=dims.n_audio_ctx,
+        max_target_positions=dims.n_text_ctx,
+        activation_function="gelu", scale_embedding=False,
+        pad_token_id=0, bos_token_id=SOT, eos_token_id=EOT,
+        decoder_start_token_id=SOT, suppress_tokens=None,
+        begin_suppress_tokens=None, forced_decoder_ids=None,
+    )
+    model = WhisperForConditionalGeneration(cfg).eval()
+    for attr in ("suppress_tokens", "begin_suppress_tokens", "forced_decoder_ids"):
+        setattr(model.generation_config, attr, None)
+    with torch.no_grad():
+        model.model.encoder.embed_positions.weight.copy_(
+            torch.from_numpy(sinusoids(dims.n_audio_ctx, dims.n_audio_state))
+        )
+
+    sd = model.model.state_dict()
+    enc = AudioEncoder(dims)
+    enc_vars = {
+        "params": load.encoder_params_from_hf(sd, dims.n_audio_layer),
+        "buffers": AudioEncoder.make_buffers(dims),
+    }
+    dec = TSDecoder(dims, use_spk_prompt=False)
+    dec_vars = {"params": {"decoder": load.decoder_params_from_hf(sd, dims.n_text_layer)}}
+
+    rng = np.random.default_rng(13)
+    mel = rng.standard_normal((2, dims.n_mels, 2 * dims.n_audio_ctx)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        hf_tokens = model.generate(
+            input_features=torch.from_numpy(mel),
+            do_sample=False, num_beams=1, max_new_tokens=MAX_NEW,
+        ).numpy()
+
+    memory = enc.apply(enc_vars, jnp.asarray(mel))
+    run = build_greedy_decoder(
+        dec, dec_vars,
+        DecodeConfig(max_new_tokens=MAX_NEW, eot=EOT, init_tokens=(SOT,)),
+    )
+    prompt = jnp.zeros((mel.shape[0], 0, dims.n_text_state), jnp.float32)
+    tokens, _ = run(memory, prompt)
+    ours = strip_eot(np.asarray(tokens), EOT)
+    for i in range(mel.shape[0]):
+        hf_row = [int(t) for t in hf_tokens[i]]
+        if hf_row and hf_row[0] == SOT:
+            hf_row = hf_row[1:]
+        if EOT in hf_row:
+            hf_row = hf_row[: hf_row.index(EOT)]
+        assert ours[i] == hf_row, f"utt {i}: flax={ours[i]} hf={hf_row}"
+    assert any(len(r) >= 3 for r in ours)
