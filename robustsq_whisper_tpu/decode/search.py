@@ -69,6 +69,16 @@ class DecodeConfig:
     # einsum (~130 ms at medium/b32/int4) and prefill attends the quantized
     # K/V (the token loop already does). Requires quantize_cross_kv.
     prefill_quantized: bool = False
+    # speculative greedy decode (decode/speculative.py): propose this many
+    # tokens per round with an early-exit draft (the first ``draft_layers``
+    # decoder layers + the shared head), then VERIFY them in one causal
+    # multi-token chunk — the per-token HBM reads (cross-KV, cache, weights)
+    # amortize over the accepted run. 0 = off. Greedy only (beam_size 1);
+    # requires a TSDecoder built with flat_self_cache=False. Output is the
+    # target model's greedy transcript token-for-token; only speed depends
+    # on the draft's acceptance rate.
+    speculative_gamma: int = 0
+    draft_layers: int = 4
 
 
 def _step_weights(dec: TSDecoder, variables: Any, cfg: "DecodeConfig"):
@@ -97,6 +107,10 @@ def build_greedy_decoder(
     fetched device->host during lowering — minutes of wall time on a
     tunneled TPU.
     """
+    if cfg.speculative_gamma > 0:
+        from .speculative import build_speculative_decoder
+
+        return build_speculative_decoder(dec, variables, cfg)
 
     if cfg.prefill_quantized and not cfg.quantize_cross_kv:
         raise ValueError(
@@ -197,6 +211,11 @@ def build_beam_decoder(
     k = cfg.beam_size
     if k == 1:
         return build_greedy_decoder(dec, variables, cfg)
+    if cfg.speculative_gamma > 0:
+        raise ValueError(
+            "speculative decode is greedy-only: beam_size must be 1 when "
+            "speculative_gamma > 0"
+        )
 
     if cfg.prefill_quantized and not cfg.quantize_cross_kv:
         raise ValueError(

@@ -319,8 +319,15 @@ class MultiHeadAttention(nn.Module):
             if qw is not None:
                 return qmatmul(o, *qw["out"], out_dtype=self.dtype)
             return self.out(o)
-        assert layer_idx is None, "stacked K/V is decode-loop only"
         assert beam_group == 1, "beam grouping is decode-loop only"
+        if layer_idx is not None:
+            # stacked-layer K/V at a multi-token query (the speculative
+            # VERIFY chunk): slice this block's slab out of the broadcast
+            # stack. The slice-copy is paid once per verify — amortized
+            # over the M tokens it confirms, unlike the per-token copy the
+            # M=1 kernel path exists to avoid (decode_cross_attention).
+            k_q = jax.lax.dynamic_index_in_dim(k_q, layer_idx, 0, False)
+            v_q = jax.lax.dynamic_index_in_dim(v_q, layer_idx, 0, False)
         if self.kv_bits == 4:  # prefill runs once; XLA unpack is fine here
             from ...ops.decode_attention import unpack_int4
 
@@ -466,6 +473,19 @@ class ResidualAttentionBlock(nn.Module):
         return x + self.cross_attn.attend(h, *cross, qw=qw)
 
     @staticmethod
+    def _new_v(w_new: jax.Array, v_new: jax.Array) -> jax.Array:
+        """New-token V contribution of ``step``: (b, h, q, m) weights x
+        (b, m, h, d) values. q = m = 1 keeps the decode loop's elementwise
+        form (the benched hot path, bit-identical to round 2); q > 1 is the
+        causal verify chunk (speculative decode) and runs a real einsum."""
+        if w_new.shape[-1] == 1:
+            return w_new.transpose(0, 2, 1, 3) * v_new.astype(jnp.float32)
+        return jnp.einsum(
+            "bhqm,bmhd->bqhd", w_new, v_new.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+
+    @staticmethod
     def _quantize_cache_entry(t: jax.Array):
         """(b, L, h, d) fp -> (int8 values, per-(b, pos, h) f32 scales)."""
         from ...ops.quant import quantize_activation
@@ -526,9 +546,18 @@ class ResidualAttentionBlock(nn.Module):
         beam_group: int = 1,
         self_flat: Optional[Tuple[jax.Array, ...]] = None,
     ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
-        """Single-token decode step against a READ-ONLY KV-cache prefix.
+        """Decode step against a READ-ONLY KV-cache prefix.
 
-        The new token's cache entries are returned for the caller to write
+        Generalized over the query length M = ``x.shape[1]`` and the
+        position form: ``pos`` may be a scalar (the uniform decode loop,
+        M = 1) or a per-row ``(batch,)`` vector (ragged positions — the
+        speculative-decode draft/verify steps, decode/speculative.py). For
+        M > 1 the new tokens attend each other causally on top of the
+        cache prefix; the K/V read from HBM — the decode loop's dominant
+        term — is paid ONCE for all M queries, which is the entire point
+        of multi-token verification.
+
+        The new tokens' cache entries are returned for the caller to write
         into the cache buffers *outside* the layer scan — routing the full
         cache through scan outputs would rewrite hundreds of MB per decoded
         token (the stacked-ys copies dominated early decode profiles).
@@ -546,16 +575,23 @@ class ResidualAttentionBlock(nn.Module):
         The new token's score/value always use the exact fp K/V.
 
         Args:
-            x: (batch, 1, n_state) current-position hidden state.
-            pos: scalar int32 current position (also the write slot).
+            x: (batch, M, n_state) current-position hidden states.
+            pos: scalar int32 position (uniform) or (batch,) int32 vector
+                (per-row) of the FIRST query's absolute position (also the
+                caller's write slot).
             qw: optional per-layer int8 step weights (quantize_step_weights
                 ``"layers"`` entry) — every dense matmul below runs W8A8.
         Returns:
             (new_x, new_entries) — new_entries matches the cache structure
-            with a length-1 time axis.
+            with a length-M time axis.
         """
+        q_len = x.shape[1]
         h = self._cast(self.attn_ln(x))
         if self_flat is not None:
+            assert q_len == 1 and jnp.ndim(pos) == 0, (
+                "the packed flat-cache Pallas path is single-token/uniform-"
+                "position only; speculative decode uses the 5-D cache"
+            )
             # packed flat cache path (ops/self_attention.py): q/k/v stay in
             # the flat (b, n_state) head-concatenated layout end to end —
             # no head split, no 64-lane-padded 5-D tensors anywhere
@@ -633,36 +669,42 @@ class ResidualAttentionBlock(nn.Module):
                 "bqhd,bkhd->bhqk", q, cache_k,
                 preferred_element_type=jnp.float32,
             ).astype(jnp.float32) * scale
+        # cache-prefix mask: positions < pos are live. Scalar pos gives the
+        # uniform (1, 1, 1, k) mask of the decode loop; vector pos gives the
+        # per-row (b, 1, 1, k) mask of ragged speculative steps.
+        live = jnp.arange(max_len) < (
+            pos[:, None] if jnp.ndim(pos) else pos
+        )
         s_pref = jnp.where(
-            (jnp.arange(max_len) < pos)[None, None, None, :], s_pref, -1e30
+            live.reshape((-1, 1, 1, max_len)), s_pref, -1e30
         )
         s_new = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k_new, preferred_element_type=jnp.float32
-        ).astype(jnp.float32) * scale  # (b, h, 1, 1)
+        ).astype(jnp.float32) * scale  # (b, h, q, q)
+        if q_len > 1:
+            # the M new tokens attend each other causally (verify chunk)
+            tri = jnp.tril(jnp.ones((q_len, q_len), bool))
+            s_new = jnp.where(tri[None, None], s_new, -1e30)
         s = jnp.concatenate([s_pref, s_new], axis=-1)
         w = jax.nn.softmax(s, axis=-1)
         if quant_cache:
             # fold per-position V scales into the weights (exact), then
             # quantize the folded weights so the V read is a pure int8 dot
             wp = w[..., :max_len] * cvs.transpose(0, 2, 1)[:, :, None, :]
-            w8, w_sc = quantize_activation(wp)  # w_sc (b, h, 1, 1)
+            w8, w_sc = quantize_activation(wp)  # w_sc (b, h, q, 1)
             o32 = jnp.einsum(
                 "bhqk,bkhd->bqhd", w8, cv8,
                 preferred_element_type=jnp.int32,
             )
             o = o32.astype(jnp.float32) * w_sc.transpose(0, 2, 1, 3)
-            o = o + w[..., max_len:].transpose(0, 2, 1, 3) * v_new.astype(
-                jnp.float32
-            )
+            o = o + self._new_v(w[..., max_len:], v_new)
         else:
             o = jnp.einsum(
                 "bhqk,bkhd->bqhd",
                 w[..., :max_len].astype(cache_v.dtype),
                 cache_v,
                 preferred_element_type=jnp.float32,
-            ) + w[..., max_len:].transpose(0, 2, 1, 3) * v_new.astype(
-                jnp.float32
-            )
+            ) + self._new_v(w[..., max_len:], v_new)
         o = self.attn._merge(o.astype(self.dtype))
         o = (
             self.attn.out(o) if qw is None
@@ -1064,23 +1106,41 @@ class TextDecoder(nn.Module):
         qw: Optional[dict] = None,
         beam_group: int = 1,
     ) -> Tuple[jax.Array, Cache]:
-        """One decode step. token_emb: (batch, 1, n_state); pos: scalar int.
+        """One decode step. token_emb: (batch, M, n_state); pos: scalar int
+        (uniform positions, the decode loop, M = 1) or a (batch,) int vector
+        (per-row ragged positions — speculative draft/verify chunks,
+        decode/speculative.py). M > 1 runs the causal multi-token VERIFY:
+        the cache and cross K/V reads are paid once for all M queries.
 
         ``qw`` (from ``quantize_step_weights``) routes every dense matmul of
         the step — including the tied-embedding logits — through W8A8 int8
         (ops/quant.py); the per-layer entries ride the scan like the cross
-        K/V do. Returns fp32 logits (batch, n_vocab) and the updated cache.
+        K/V do. Returns fp32 logits — (batch, n_vocab) at M = 1, else
+        (batch, M, n_vocab) — and the updated cache.
 
         ``beam_group=k``: token_emb/cache carry batch*k beam-flattened rows
         while the quantized ``cross`` stays at plain batch rows — the
         grouped Pallas kernel reads each utterance's cross K/V ONCE for all
         of its beams (attend_quant docstring). Requires quantized cross.
         """
-        pos_emb = jax.lax.dynamic_slice_in_dim(
-            self.positional_embedding, pos, 1, axis=0
-        )
-        x = (token_emb + pos_emb[None]).astype(self.dtype)
+        q_len = token_emb.shape[1]
+        ragged = jnp.ndim(pos) > 0
+        if ragged:
+            # per-row positions: gather M consecutive pos-emb rows per row
+            idx = pos[:, None] + jnp.arange(q_len)
+            pos_emb = jnp.take(
+                self.positional_embedding, idx, axis=0
+            )  # (b, M, d)
+        else:
+            pos_emb = jax.lax.dynamic_slice_in_dim(
+                self.positional_embedding, pos, q_len, axis=0
+            )[None]
+        x = (token_emb + pos_emb).astype(self.dtype)
         cache = tuple(cache)
+        assert not ((ragged or q_len > 1) and self._flat_self), (
+            "speculative (ragged/multi-token) steps need the 5-D cache: "
+            "build the decoder with flat_self_cache=False"
+        )
         layers_qw = None if qw is None else qw["layers"]
         quantized_cross = len(cross) == 6
         assert beam_group == 1 or quantized_cross, (
@@ -1165,6 +1225,20 @@ class TextDecoder(nn.Module):
                 )
                 for buf, n in zip(cache, news)
             )
+        elif ragged:
+            # per-row write offsets (speculative steps): vmap over the batch
+            # axis lowers to one scatter of just the (L, b, M, ...) news
+            def row_write(buf_r, n_r, p):
+                return jax.lax.dynamic_update_slice(
+                    buf_r, n_r, (0, p) + (0,) * (buf_r.ndim - 2)
+                )
+
+            cache = tuple(
+                jax.vmap(row_write, in_axes=(1, 1, 0), out_axes=1)(
+                    buf, n, pos
+                )
+                for buf, n in zip(cache, news)
+            )
         else:
             cache = tuple(
                 jax.lax.dynamic_update_slice(
@@ -1173,6 +1247,8 @@ class TextDecoder(nn.Module):
                 for buf, n in zip(cache, news)
             )
         x = self.ln(x).astype(self.dtype)
-        if qw is not None:
-            return self.logits_quant(x, *qw["emb"])[:, 0], cache
-        return self.logits(x)[:, 0], cache
+        lg = (
+            self.logits_quant(x, *qw["emb"]) if qw is not None
+            else self.logits(x)
+        )
+        return (lg[:, 0] if q_len == 1 else lg), cache

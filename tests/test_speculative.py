@@ -1,0 +1,226 @@
+"""Speculative decode (decode/speculative.py): exact greedy equality.
+
+The speculative decoder's contract is that drafting NEVER changes the
+output — every emitted token is an argmax of full-model logits over the
+identical committed context — so each test pins token-for-token (and
+score) equality against ``build_greedy_decoder`` across draft depths,
+gamma values, cross-KV quantization modes, and budget edge cases.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from robustsq_whisper_tpu.decode.search import (
+    DecodeConfig,
+    build_beam_decoder,
+    build_greedy_decoder,
+)
+from robustsq_whisper_tpu.decode.speculative import (
+    build_speculative_decoder,
+    draft_variables,
+)
+from robustsq_whisper_tpu.models import TSDecoder, WhisperDims
+
+DIMS = WhisperDims(
+    n_mels=80, n_vocab=50, n_audio_ctx=16, n_audio_state=32,
+    n_audio_head=2, n_audio_layer=1, n_text_ctx=64, n_text_state=32,
+    n_text_head=2, n_text_layer=4,
+)
+CFG = DecodeConfig(max_new_tokens=10, eot=2, init_tokens=(1,), beam_size=1)
+
+
+@pytest.fixture(scope="module")
+def dec_and_params():
+    dec = TSDecoder(DIMS, startofprev_token=3, flat_self_cache=False)
+    rng = np.random.default_rng(7)
+    memory = jnp.asarray(rng.standard_normal((3, 10, 32)), jnp.float32)
+    prompt = jnp.asarray(rng.standard_normal((3, 2, 32)), jnp.float32)
+    ys = jnp.asarray(rng.integers(0, 50, (3, 4)))
+    variables = dec.init(jax.random.PRNGKey(0), memory, ys, prompt)
+    return dec, variables, memory, prompt
+
+
+def _assert_equal(dec, variables, memory, prompt, cfg):
+    g = build_greedy_decoder(
+        dec, variables, dataclasses.replace(cfg, speculative_gamma=0)
+    )
+    s = build_speculative_decoder(dec, variables, cfg)
+    tg, sg = g(memory, prompt)
+    ts, ss = s(memory, prompt)
+    np.testing.assert_array_equal(np.asarray(tg), np.asarray(ts))
+    np.testing.assert_allclose(
+        np.asarray(sg), np.asarray(ss), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("gamma", [1, 2, 4])
+@pytest.mark.parametrize("draft_layers", [1, 2])
+def test_speculative_matches_greedy(dec_and_params, gamma, draft_layers):
+    dec, variables, memory, prompt = dec_and_params
+    cfg = dataclasses.replace(
+        CFG, speculative_gamma=gamma, draft_layers=draft_layers
+    )
+    _assert_equal(dec, variables, memory, prompt, cfg)
+
+
+def test_full_depth_draft_accepts_everything(dec_and_params):
+    """draft_layers == n_text_layer makes the draft the target itself —
+    every proposal is accepted and the output is still exactly greedy."""
+    dec, variables, memory, prompt = dec_and_params
+    cfg = dataclasses.replace(
+        CFG, speculative_gamma=3, draft_layers=DIMS.n_text_layer
+    )
+    _assert_equal(dec, variables, memory, prompt, cfg)
+
+
+def test_speculative_quantized_cross_matches_quantized_greedy(
+    dec_and_params,
+):
+    """With int8 cross-KV, spec decode must equal the QUANTIZED greedy
+    loop (both paths attend the same quantized tensors)."""
+    dec, variables, memory, prompt = dec_and_params
+    cfg = dataclasses.replace(
+        CFG, speculative_gamma=2, draft_layers=2, quantize_cross_kv=True
+    )
+    _assert_equal(dec, variables, memory, prompt, cfg)
+
+
+def test_speculative_budget_shorter_than_chunk(dec_and_params):
+    """max_new_tokens smaller than gamma+1 must truncate exactly like the
+    greedy loop's fixed budget."""
+    dec, variables, memory, prompt = dec_and_params
+    cfg = dataclasses.replace(
+        CFG, max_new_tokens=3, speculative_gamma=4, draft_layers=2
+    )
+    _assert_equal(dec, variables, memory, prompt, cfg)
+
+
+def test_builder_routes_and_validates(dec_and_params):
+    dec, variables, memory, prompt = dec_and_params
+    # build_beam_decoder routes beam=1 + gamma>0 to the speculative path
+    cfg = dataclasses.replace(CFG, speculative_gamma=2, draft_layers=1)
+    run = build_beam_decoder(dec, variables, cfg)
+    g = build_greedy_decoder(
+        dec, variables, dataclasses.replace(cfg, speculative_gamma=0)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(run(memory, prompt)[0]), np.asarray(g(memory, prompt)[0])
+    )
+    with pytest.raises(ValueError, match="greedy-only"):
+        build_beam_decoder(
+            dec, variables, dataclasses.replace(cfg, beam_size=4)
+        )
+    with pytest.raises(ValueError, match="draft_layers"):
+        build_speculative_decoder(
+            dec, variables, dataclasses.replace(cfg, draft_layers=99)
+        )
+    with pytest.raises(ValueError, match="speculative_gamma"):
+        build_speculative_decoder(
+            dec, variables, dataclasses.replace(cfg, speculative_gamma=-1)
+        )
+
+
+def test_draft_variables_slices_blocks(dec_and_params):
+    dec, variables, *_ = dec_and_params
+    dv = draft_variables(variables, 2)
+    blk = dv["params"]["decoder"]["block"]
+    full = variables["params"]["decoder"]["block"]
+    for leaf_d, leaf_f in zip(
+        jax.tree_util.tree_leaves(blk), jax.tree_util.tree_leaves(full)
+    ):
+        assert leaf_d.shape[0] == 2
+        np.testing.assert_array_equal(
+            np.asarray(leaf_d), np.asarray(leaf_f[:2])
+        )
+    # shared leaves are untouched
+    assert (
+        dv["params"]["decoder"]["token_embedding"]["embedding"]
+        is variables["params"]["decoder"]["token_embedding"]["embedding"]
+    )
+
+
+def test_ragged_step_matches_uniform_step(dec_and_params):
+    """TextDecoder.step with a per-row position VECTOR (all equal) must
+    reproduce the scalar-position step bit-for-bit — the ragged machinery
+    (pos-emb gather, per-row masks, scatter writes) is a strict
+    generalization."""
+    dec, variables, memory, prompt = dec_and_params
+    b = memory.shape[0]
+    total = 16
+
+    def run(pos):
+        m = lambda meth, *a, **kw: dec.apply(
+            variables, *a, method=meth, **kw
+        )
+        cross = m(TSDecoder.cross_kv, memory)
+        cache = m(TSDecoder.init_cache, b, total)
+        init = jnp.ones((b, 1), jnp.int32)
+        logits, cache = m(TSDecoder.prefill, init, prompt, cache, cross)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+        return m(TSDecoder.step, tok, pos, cache, cross)
+
+    base = 1 + prompt.shape[1] + 1
+    lg_s, cache_s = jax.jit(run)(jnp.int32(base))
+    lg_v, cache_v = jax.jit(run)(jnp.full((b,), base, jnp.int32))
+    np.testing.assert_allclose(
+        np.asarray(lg_s), np.asarray(lg_v), rtol=1e-6, atol=1e-6
+    )
+    for cs, cv in zip(cache_s, cache_v):
+        np.testing.assert_allclose(
+            np.asarray(cs), np.asarray(cv), rtol=1e-6, atol=1e-6
+        )
+
+
+def test_verify_chunk_matches_sequential_steps(dec_and_params):
+    """One multi-token step (M=3) must produce the same logits trajectory
+    and cache as three single-token steps over the same tokens."""
+    dec, variables, memory, prompt = dec_and_params
+    b = memory.shape[0]
+    total = 16
+    toks = jnp.asarray(
+        np.random.default_rng(3).integers(4, 50, (b, 3)), jnp.int32
+    )
+
+    m = lambda meth, *a, **kw: dec.apply(variables, *a, method=meth, **kw)
+
+    def setup():
+        cross = m(TSDecoder.cross_kv, memory)
+        cache = m(TSDecoder.init_cache, b, total)
+        init = jnp.ones((b, 1), jnp.int32)
+        _, cache = m(TSDecoder.prefill, init, prompt, cache, cross)
+        return cross, cache
+
+    base = 1 + prompt.shape[1] + 1
+    cross, cache = jax.jit(setup)()
+
+    @jax.jit
+    def multi(cache):
+        return m(
+            TSDecoder.step, toks, jnp.full((b,), base, jnp.int32), cache,
+            cross,
+        )
+
+    @jax.jit
+    def seq(cache):
+        lgs = []
+        for i in range(3):
+            lg, cache = m(
+                TSDecoder.step, toks[:, i : i + 1], base + i, cache, cross
+            )
+            lgs.append(lg)
+        return jnp.stack(lgs, axis=1), cache
+
+    lg_m, cache_m = multi(cache)
+    lg_s, cache_s = seq(cache)
+    np.testing.assert_allclose(
+        np.asarray(lg_m), np.asarray(lg_s), rtol=2e-5, atol=2e-5
+    )
+    for cm, cs in zip(cache_m, cache_s):
+        np.testing.assert_allclose(
+            np.asarray(cm), np.asarray(cs), rtol=2e-5, atol=2e-5
+        )
