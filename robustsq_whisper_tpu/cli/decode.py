@@ -109,6 +109,21 @@ def main(argv=None):
         "decode batch for large models",
     )
     parser.add_argument(
+        "--speculative_gamma", type=int, default=0,
+        help="speculative greedy decode: propose this many tokens per round "
+        "with an early-exit draft (--draft_layers decoder layers + the "
+        "shared head) and verify them in one causal multi-token chunk — the "
+        "per-token HBM reads amortize over the accepted run "
+        "(decode/speculative.py). Output is the exact greedy transcript; "
+        "speed depends on the draft's acceptance rate, a property of the "
+        "TRAINED weights — measure before enabling in production. 0 = off; "
+        "greedy only (beam_size 1)",
+    )
+    parser.add_argument(
+        "--draft_layers", type=int, default=4,
+        help="early-exit draft depth for --speculative_gamma",
+    )
+    parser.add_argument(
         "--model_parallel", type=int, default=1,
         help="shard the model WEIGHTS (and KV caches) over this many devices "
         "(tensor parallelism via GSPMD, parallel/mesh.py rules) — the "
@@ -233,18 +248,27 @@ def main(argv=None):
     }
     dec_vars = {"params": variables["params"]["decoder"]}
     encoder = QFormerTSEncoder(dims, exp.ts, dtype=dtype)
+    spec = max(0, args.speculative_gamma)
+    if spec and tp > 1:
+        parser.error(
+            "--speculative_gamma is incompatible with --model_parallel: "
+            "the ragged verify path is single-chip/DP only"
+        )
     decoder = TSDecoder(
         dims.replace(n_vocab=exp.model.vocab_size),
         startofprev_token=exp.model.startofprev,
         dtype=dtype,
         cross_kv_bits=args.cross_kv_bits,
         self_kv_bits=args.self_kv_bits if tp == 1 else 16,
-        flat_self_cache=tp == 1,
+        # speculative decode needs the 5-D cache's per-row scatter writes
+        flat_self_cache=tp == 1 and not spec,
     )
 
     dcfg = dataclasses.replace(
         exp.decode,
         quantize_weights=args.int8_weights,
+        speculative_gamma=spec,
+        draft_layers=args.draft_layers,
         eot=exp.model.eos,
         init_tokens=st.sot_sequence(args.language, "transcribe", True)
         if exp.model.vocab_size >= st.n_vocab

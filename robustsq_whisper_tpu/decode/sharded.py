@@ -55,16 +55,18 @@ def build_sharded_decoder(
     """
     builder = build_beam_decoder if cfg.beam_size > 1 else build_greedy_decoder
     inner = builder(dec, variables, cfg)
-    # the builders return functools.partial(jitted_run, variables, qw)
+    # the builders return functools.partial(jitted_run, *weights): 2 bound
+    # args for greedy/beam (variables, qw), 4 for speculative (variables,
+    # draft variables, qw, draft qw) — all replicated either way
     run, bound = inner.func, inner.args
 
     n_data = mesh.shape[DATA_AXIS]
     repl = P()
     data = P(DATA_AXIS)
     body = jax.shard_map(
-        lambda v, qw, memory, spk: run(v, qw, memory, spk),
+        lambda *a: run(*a),
         mesh=mesh,
-        in_specs=(repl, repl, data, data),
+        in_specs=(repl,) * len(bound) + (data, data),
         out_specs=(data, data),
         check_vma=False,
     )

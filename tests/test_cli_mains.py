@@ -55,6 +55,23 @@ def test_cli_train_then_decode(tmp_path, capsys):
     assert len(hyps) == 8
     assert os.path.exists(os.path.join(out_dir, "score.txt"))
 
+    # speculative decode through the same CLI surface must reproduce the
+    # plain greedy transcripts exactly (decode/speculative.py contract)
+    spec_dir = str(tmp_path / "decoded_spec")
+    rc = decode.main([
+        "--config", "conf/tswhisper/train_tsasr_whisper_dev_smoke.yaml",
+        "--inference_config", "conf/tswhisper/decode_asr_whisper_beam1.yaml",
+        "--data_dir", data_dir,
+        "--expdir", expdir,
+        "--output_dir", spec_dir,
+        "--batch_size", "4",
+        "--speculative_gamma", "2",
+        "--draft_layers", "1",
+        "--tokenizer_assets", "tests/assets/mini_ranks.tiktoken",
+    ])
+    assert rc == 0
+    assert kaldi_io.read_scp(os.path.join(spec_dir, "text")) == hyps
+
 
 def test_load_tokenizer_mini_ranks_asset():
     """The checked-in mini ranks file exercises the tiktoken BPE path:
