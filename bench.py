@@ -32,7 +32,13 @@ BENCH_BEAM_REORDER (beam cache reorder: auto|dma|take, default auto),
 BENCH_BEAM_SUB (beam width for the "beam" serving sub-record measured
 alongside the greedy headline; 0/1 disables, default 5),
 BENCH_TRAIN (default 1), BENCH_TRAIN_BATCH (default 16; halved on OOM),
-BENCH_TRAIN_MODE (default lora).
+BENCH_TRAIN_MODE (default lora),
+BENCH_SPECULATIVE (default 0: measure the speculative-decode primitives —
+per-token step, multi-token verify chunk, early-exit draft step — and
+report the implied speedup over acceptance rate; see the sub-record note),
+BENCH_SPEC_GAMMA (speculation depth, default 4), BENCH_SPEC_DRAFT (draft
+decoder layers, default 4), BENCH_SPEC_STEPS (chained iterations per
+timing, default 32).
 """
 
 from __future__ import annotations
@@ -356,6 +362,131 @@ def main():
             "vs_baseline": round(brtf / 50.0, 3),
         }
         del beam_run, btokens
+    # Speculative-decode MECHANICS sub-record (BENCH_SPECULATIVE=1, default
+    # off): random-init weights accept ~no draft proposals, so an e2e
+    # speculative RTF here would only measure worst-case overhead. Instead
+    # measure the three primitives the real speedup is built from —
+    # per-token step (5-D cache), the multi-token verify chunk, the
+    # early-exit draft step — and report the implied speedup curve over the
+    # acceptance rate (a property of TRAINED weights; decode/speculative.py
+    # cost model).
+    if os.environ.get("BENCH_SPECULATIVE", "0") == "1":
+        from robustsq_whisper_tpu.decode.search import _step_weights
+        from robustsq_whisper_tpu.decode.speculative import (
+            _slice_stack,
+            draft_variables,
+        )
+
+        sg = int(os.environ.get("BENCH_SPEC_GAMMA", "4"))
+        sd = int(os.environ.get("BENCH_SPEC_DRAFT", "4"))
+        n_chain = int(os.environ.get("BENCH_SPEC_STEPS", "32"))
+        spec_dec = TSDecoder(
+            dims, dtype=compute_dtype, cross_kv_bits=kv_bits,
+            self_kv_bits=self_kv_bits, flat_self_cache=False,
+        )
+        draft_dec = TSDecoder(
+            dims.replace(n_text_layer=sd), dtype=compute_dtype,
+            cross_kv_bits=kv_bits, self_kv_bits=self_kv_bits,
+            flat_self_cache=False,
+        )
+        dvars = draft_variables(dec_vars, sd)
+        qw = _step_weights(spec_dec, dec_vars, dcfg)
+        dqw = (
+            None if qw is None
+            else {"layers": _slice_stack(qw["layers"], sd),
+                  "emb": qw["emb"]}
+        )
+        memory, _, spk_p, _ = encode(
+            enc_vars, enc_qw, mel, feats_lens, emel, emel_lens
+        )
+        base0 = 1 + spk_p.shape[1] + len(dcfg.init_tokens)
+        total = base0 + n_chain * (sg + 1) + sg + 2
+        TSD = TSDecoder
+
+        @jax.jit
+        def spec_setup(v, memory, spk_p):
+            m = lambda meth, *a, **kw: spec_dec.apply(
+                v, *a, method=meth, **kw
+            )
+            cross = m(TSD.cross_kv, memory, quantize=dcfg.prefill_quantized)
+            cache = m(TSD.init_cache, memory.shape[0], total)
+            init = jnp.tile(
+                jnp.asarray(dcfg.init_tokens, jnp.int32)[None],
+                (memory.shape[0], 1),
+            )
+            lg, cache = m(TSD.prefill, init, spk_p, cache, cross)
+            if dcfg.quantize_cross_kv and not dcfg.prefill_quantized:
+                cross = m(TSD.quantize_cross, cross)
+            return jnp.argmax(lg, -1).astype(jnp.int32), cache, cross
+
+        tok0, cache0, cross0 = spec_setup(dec_vars, memory, spk_p)
+        dcross0, dcache0 = jax.jit(
+            lambda c, k: (_slice_stack(c, sd), _slice_stack(k, sd))
+        )(cross0, cache0)
+
+        def chain(module, mvars, mqw, crs, M, ragged):
+            @jax.jit
+            def run_chain(mvars, mqw, cache, crs, tok):
+                def body(i, c):
+                    tok, cache = c
+                    p = base0 + i * M
+                    pos = (
+                        jnp.full((tok.shape[0],), p, jnp.int32)
+                        if ragged else p
+                    )
+                    x = jnp.tile(tok[:, None], (1, M))
+                    lg, cache = module.apply(
+                        mvars, x, pos, cache, crs, qw=mqw,
+                        method=TSD.step,
+                    )
+                    lg_last = lg if lg.ndim == 2 else lg[:, -1]
+                    nxt = jnp.argmax(lg_last, -1).astype(jnp.int32)
+                    return nxt, cache
+                tok, cache = jax.lax.fori_loop(0, n_chain, body, (tok, cache))
+                return jnp.sum(tok)
+
+            return run_chain
+
+        records = {}
+        for name, (mod, mv, mq, crs, cch, M, ragged) in {
+            "step_ms": (spec_dec, dec_vars, qw, cross0, cache0, 1, False),
+            "verify_chunk_ms": (
+                spec_dec, dec_vars, qw, cross0, cache0, sg + 1, True
+            ),
+            "draft_step_ms": (
+                draft_dec, dvars, dqw, dcross0, dcache0, 1, True
+            ),
+        }.items():
+            fn = chain(mod, mv, mq, crs, M, ragged)
+            np.asarray(fn(mv, mq, cch, crs, tok0))  # compile
+            ts_ = []
+            for _ in range(max(2, iters - 1)):
+                t0 = time.time()
+                np.asarray(fn(mv, mq, cch, crs, tok0))
+                ts_.append(time.time() - t0)
+            records[name] = round(min(ts_) / n_chain * 1000, 3)
+            log(f"[spec] {name}: {records[name]} ms")
+
+        step_ms = records["step_ms"]
+        ver_ms = records["verify_chunk_ms"]
+        dr_ms = records["draft_step_ms"]
+
+        def _speedup(p):
+            etok = (
+                (1 - p ** (sg + 1)) / (1 - p) if p < 1.0 else float(sg + 1)
+            )
+            return round(etok * step_ms / (sg * dr_ms + ver_ms), 2)
+
+        result["speculative"] = {
+            "gamma": sg, "draft_layers": sd, **records,
+            "amortization": round(step_ms * (sg + 1) / ver_ms, 2),
+            "speedup_at_acceptance": {
+                "0.5": _speedup(0.5), "0.8": _speedup(0.8),
+                "0.95": _speedup(0.95),
+            },
+            "note": "mechanics only; acceptance needs trained weights",
+        }
+        del cache0, cross0, dcache0, dcross0, memory, spk_p
     if os.environ.get("BENCH_TRAIN", "1") == "1":
         del enc_vars, enc_qw, dec_vars, tokens, scores, greedy, encode
         train_stats = bench_train(model_name, dims, ts)
