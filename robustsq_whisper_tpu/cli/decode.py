@@ -124,6 +124,11 @@ def main(argv=None):
         help="early-exit draft depth for --speculative_gamma",
     )
     parser.add_argument(
+        "--min_new_tokens", type=int, default=0,
+        help="suppress <|endoftext|> until this many tokens were emitted per "
+        "utterance (the ESPnet minlenratio analog, absolute count; 0 = off)",
+    )
+    parser.add_argument(
         "--model_parallel", type=int, default=1,
         help="shard the model WEIGHTS (and KV caches) over this many devices "
         "(tensor parallelism via GSPMD, parallel/mesh.py rules) — the "
@@ -269,6 +274,7 @@ def main(argv=None):
         quantize_weights=args.int8_weights,
         speculative_gamma=spec,
         draft_layers=args.draft_layers,
+        min_new_tokens=max(0, args.min_new_tokens),
         eot=exp.model.eos,
         init_tokens=st.sot_sequence(args.language, "transcribe", True)
         if exp.model.vocab_size >= st.n_vocab

@@ -97,9 +97,24 @@ def decode_dataset(
             f"batch_size {batch_size} must be a multiple of the data-axis size "
             f"({mesh.shape['data']})"
         )
-        run = build_sharded_decoder(decoder, dec_vars, dcfg, mesh)
+        run = build_sharded_decoder(
+            decoder, dec_vars, dcfg, mesh,
+            return_stats=dcfg.speculative_gamma > 0,
+        )
         enc = build_sharded_encoder(encoder, enc_vars, mesh)
         encode = lambda v, mel, fl, emel, el: enc(mel, fl, emel, el)
+    elif dcfg.speculative_gamma > 0:
+        # single-device speculative decode reports draft-acceptance stats —
+        # the measurement that decides whether speculation pays off on this
+        # checkpoint (decode/speculative.py cost model; docs/SERVING.md)
+        from .speculative import build_speculative_decoder
+
+        run = build_speculative_decoder(
+            decoder, dec_vars, dcfg, return_stats=True
+        )
+        encode = jax.jit(
+            lambda v, mel, fl, emel, el: encoder.apply(v, mel, fl, emel, el)
+        )
     else:
         run = build_beam_decoder(decoder, dec_vars, dcfg)
         encode = jax.jit(
@@ -108,14 +123,17 @@ def decode_dataset(
 
     hyps: Dict[str, str] = {}
     refs: Dict[str, str] = {}
+    spec_totals = np.zeros(3, np.int64)  # chunks, accepted, emitted
     audio_sec = 0.0
     t0 = time.time()
 
     def consume(pending) -> None:
         """Host half of one batch: fetch tokens, detokenize, score refs."""
         nonlocal audio_sec
-        utts, speech_lens, tokens = pending
+        utts, speech_lens, tokens, stats = pending
         tokens = np.asarray(tokens)  # blocks until the chip finishes this batch
+        if stats is not None:
+            stats = {k: np.asarray(v) for k, v in stats.items()}
         for i, utt in enumerate(utts):
             if utt in hyps:  # drop_last=False wraps; skip duplicates
                 continue
@@ -123,6 +141,11 @@ def decode_dataset(
             hyps[utt] = tokenizer.decode(ids).strip()
             refs[utt] = dataset.text.get(utt, "")
             audio_sec += float(speech_lens[i]) / dataset.sample_rate
+            if stats is not None:
+                spec_totals[:] += [
+                    stats["chunks"][i], stats["accepted"][i],
+                    stats["emitted"][i],
+                ]
 
     # Double-buffered loop: jax dispatch is async, so the chip runs batch i
     # while the host loads/decodes the audio of batch i+1 and detokenizes
@@ -156,15 +179,38 @@ def decode_dataset(
             lambda *a: encode(enc_vars, *a),
             feats, feats_lens, efeats, efeats_lens, enc_chunk,
         )
-        tokens, _ = run(memory, spk_prompt)
+        res = run(memory, spk_prompt)
+        tokens, stats = res[0], (res[2] if len(res) == 3 else None)
         if pending is not None:
             consume(pending)
-        pending = (batch["utt_ids"], batch["speech_lens"], tokens)
+        pending = (batch["utt_ids"], batch["speech_lens"], tokens, stats)
     if pending is not None:
         consume(pending)
     wall = time.time() - t0
 
-    return score_and_write(hyps, refs, audio_sec, wall, output_dir)
+    extra: Dict[str, float] = {}
+    if dcfg.speculative_gamma > 0:
+        # always report the counters when the speculative path ran — a row
+        # that emits eot at the prefill step runs zero draft/verify chunks
+        # (chunks can legitimately total 0 on e.g. silence-heavy data)
+        chunks, accepted, emitted = (int(x) for x in spec_totals)
+        extra = {
+            # E[n_acc]/gamma — the cost-model acceptance (module docstring)
+            "spec_acceptance_rate": round(
+                accepted / max(chunks * dcfg.speculative_gamma, 1), 4
+            ),
+            "spec_tokens_per_chunk": round(emitted / max(chunks, 1), 3),
+            "spec_chunks": float(chunks),
+        }
+        logger.info(
+            "speculative decode: %.1f%% draft acceptance, %.2f tokens/chunk "
+            "(gamma=%d draft_layers=%d)",
+            100 * extra["spec_acceptance_rate"],
+            extra["spec_tokens_per_chunk"],
+            dcfg.speculative_gamma, dcfg.draft_layers,
+        )
+
+    return score_and_write(hyps, refs, audio_sec, wall, output_dir, extra)
 
 
 def score_and_write(
@@ -173,11 +219,12 @@ def score_and_write(
     audio_sec: float,
     wall: float,
     output_dir: Optional[str] = None,
+    extra_metrics: Optional[Dict[str, float]] = None,
 ) -> DecodeResult:
     """Shared tail of every dataset decode: WER/CER/RTF metrics + the
     ESPnet-style ``text``/``score.txt`` outputs."""
     pairs = [(refs[u], hyps[u]) for u in hyps if refs.get(u)]
-    metrics: Dict[str, float] = {}
+    metrics: Dict[str, float] = dict(extra_metrics or {})
     if pairs:
         r, h = zip(*pairs)
         metrics.update(wer(list(r), list(h)))

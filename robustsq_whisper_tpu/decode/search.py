@@ -35,6 +35,13 @@ from ..ops.beam_gather import beam_reorder_cache
 @dataclasses.dataclass(frozen=True)
 class DecodeConfig:
     max_new_tokens: int = 200
+    # suppress eot until this many tokens were emitted (per row/beam) — the
+    # ESPnet ``minlenratio`` analog (the reference decodes through
+    # espnet2.bin.asr_inference, whose beam search drops hypotheses ending
+    # before minlen; here the min length is absolute, like max_new_tokens).
+    # Masking happens on the raw logits BEFORE log_softmax, so scores stay
+    # renormalized log-probs of the restricted distribution. 0 = off.
+    min_new_tokens: int = 0
     eot: int = 50257
     # init sequence after the speaker-prompt prefix, e.g.
     # [<|startoftranscript|>, <|en|>, <|transcribe|>, <|notimestamps|>]
@@ -143,7 +150,12 @@ def build_greedy_decoder(
         if cfg.quantize_cross_kv and not pq:
             cross = m(TSDecoder.quantize_cross, cross)
 
-        def emit(logits, done, score):
+        def emit(logits, done, score, idx):
+            # idx = emission index of this token (0-based); eot is masked
+            # from the raw logits until min_new_tokens were emitted
+            if cfg.min_new_tokens > 0:
+                masked = logits.at[:, cfg.eot].set(jnp.float32(-1e30))
+                logits = jnp.where(idx < cfg.min_new_tokens, masked, logits)
             logp = jax.nn.log_softmax(logits, axis=-1)
             tok = jnp.argmax(logp, axis=-1).astype(jnp.int32)  # (b,)
             tok = jnp.where(done, cfg.eot, tok)
@@ -165,7 +177,7 @@ def build_greedy_decoder(
 
             def body(carry):
                 i, logits, cache, done, score, tokens = carry
-                tok, done, score = emit(logits, done, score)
+                tok, done, score = emit(logits, done, score, i)
                 tokens = jax.lax.dynamic_update_slice(
                     tokens, tok[:, None], (0, i)
                 )
@@ -182,7 +194,7 @@ def build_greedy_decoder(
 
         def step(carry, i):
             logits, cache, done, score = carry
-            tok, done, score = emit(logits, done, score)
+            tok, done, score = emit(logits, done, score, i)
             new_logits, cache2 = m(
                 TSDecoder.step, tok[:, None], base + i, cache, cross, qw=qw
             )
@@ -301,6 +313,12 @@ def build_beam_decoder(
 
         def step(carry, i):
             logits, cache, scores, done, lengths = carry
+            # every live beam has emitted exactly i tokens at step i, so the
+            # min-length eot mask is uniform; finished beams are overridden
+            # to eot-only right after, unaffected by the mask
+            if cfg.min_new_tokens > 0:
+                masked = logits.at[:, cfg.eot].set(jnp.float32(-1e30))
+                logits = jnp.where(i < cfg.min_new_tokens, masked, logits)
             logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, vocab)
 
             # finished beams: only eot allowed, at zero cost

@@ -44,6 +44,7 @@ def build_sharded_decoder(
     variables: Any,
     cfg: DecodeConfig,
     mesh: Mesh,
+    return_stats: bool = False,
 ) -> Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]:
     """Returns ``run(memory, spk_prompt) -> (tokens, scores)`` decoding
     the batch data-parallel over ``mesh``'s ``data`` axis.
@@ -52,9 +53,27 @@ def build_sharded_decoder(
     exactly (the same inner program runs per shard); the batch must
     divide the data-axis size. Weights ride as replicated jit arguments
     — same no-closure rule as the single-chip builders.
+
+    ``return_stats=True`` (speculative greedy only) shards the per-row
+    acceptance counters like the other outputs, so measuring draft
+    acceptance works identically under DP serving.
     """
-    builder = build_beam_decoder if cfg.beam_size > 1 else build_greedy_decoder
-    inner = builder(dec, variables, cfg)
+    if return_stats:
+        if not (cfg.speculative_gamma > 0 and cfg.beam_size == 1):
+            raise ValueError(
+                "return_stats is a speculative-greedy feature: needs "
+                "speculative_gamma > 0 and beam_size == 1"
+            )
+        from .speculative import build_speculative_decoder
+
+        inner = build_speculative_decoder(
+            dec, variables, cfg, return_stats=True
+        )
+    else:
+        builder = (
+            build_beam_decoder if cfg.beam_size > 1 else build_greedy_decoder
+        )
+        inner = builder(dec, variables, cfg)
     # the builders return functools.partial(jitted_run, *weights): 2 bound
     # args for greedy/beam (variables, qw), 4 for speculative (variables,
     # draft variables, qw, draft qw) — all replicated either way
@@ -63,11 +82,12 @@ def build_sharded_decoder(
     n_data = mesh.shape[DATA_AXIS]
     repl = P()
     data = P(DATA_AXIS)
+    stats_spec = {"chunks": data, "accepted": data, "emitted": data}
     body = jax.shard_map(
         lambda *a: run(*a),
         mesh=mesh,
         in_specs=(repl,) * len(bound) + (data, data),
-        out_specs=(data, data),
+        out_specs=(data, data, stats_spec) if return_stats else (data, data),
         check_vma=False,
     )
     jitted = jax.jit(body)

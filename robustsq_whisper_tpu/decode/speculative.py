@@ -89,10 +89,20 @@ def build_speculative_decoder(
     dec: TSDecoder,
     variables: Any,
     cfg: DecodeConfig,
+    return_stats: bool = False,
 ) -> Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]:
     """Returns jitted ``run(memory, spk_prompt) -> (tokens, scores)`` with
     the same contract as ``build_greedy_decoder`` — eot-padded token rows
     and per-row summed log-probs of the emitted tokens.
+
+    With ``return_stats=True`` the runner returns a third element, a dict
+    of per-row int32 counters for measuring DRAFT ACCEPTANCE on real
+    checkpoints (the quantity the whole scheme's speedup rides on — see
+    the module docstring's cost model): ``chunks`` (draft+verify rounds
+    run while the row was live), ``accepted`` (raw matched-prefix draft
+    tokens, the cost model's E[n_acc] numerator; drafted = chunks*gamma),
+    and ``emitted`` (tokens emitted after the prefill token). The token/
+    score outputs are identical to the stats-less runner.
 
     Requires ``cfg.speculative_gamma >= 1``, ``1 <= cfg.draft_layers <=
     n_text_layer``, and a decoder built with ``flat_self_cache=False``
@@ -173,7 +183,11 @@ def build_speculative_decoder(
         dcross = _slice_stack(cross, d)
         dcache = _slice_stack(cache, d)
 
-        # first emitted token: argmax of the prefill logits (as in greedy)
+        # first emitted token: argmax of the prefill logits (as in greedy);
+        # min_new_tokens masks eot from the raw logits exactly like the
+        # greedy loop (emission index 0 < min)
+        if cfg.min_new_tokens > 0:
+            logits = logits.at[:, cfg.eot].set(jnp.float32(-1e30))
         logp0 = jax.nn.log_softmax(logits, axis=-1)
         tok0 = jnp.argmax(logp0, axis=-1).astype(jnp.int32)  # (b,)
         score0 = jnp.take_along_axis(logp0, tok0[:, None], axis=-1)[:, 0]
@@ -204,19 +218,28 @@ def build_speculative_decoder(
             return ~jnp.all(c[0])
 
         def body(c):
-            done, pending, pos, count, score, out, cache, dcache = c
+            done, pending, pos, count, score, out, cache, dcache, st = c
 
             # ---- draft phase: gamma early-exit greedy proposals ----
+            # ei = the emission index the proposal is verified AT (draft
+            # d_{j+1} vs target t_j at index count+j): apply the same
+            # min-length eot mask as the verifier so min_new_tokens doesn't
+            # tank acceptance
             def dstep(carry, _):
-                dcache, tok, p = carry
+                dcache, tok, p, ei = carry
                 lg, dcache = md(
                     TSDecoder.step, tok[:, None], p, dcache, dcross, qw=dqw
                 )
+                if cfg.min_new_tokens > 0:
+                    lgm = lg.at[:, cfg.eot].set(jnp.float32(-1e30))
+                    lg = jnp.where(
+                        ei[:, None] < cfg.min_new_tokens, lgm, lg
+                    )
                 nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-                return (dcache, nxt, p + 1), nxt
+                return (dcache, nxt, p + 1, ei + 1), nxt
 
-            (dcache, _, _), drafts = jax.lax.scan(
-                dstep, (dcache, pending, pos), None, length=g
+            (dcache, _, _, _), drafts = jax.lax.scan(
+                dstep, (dcache, pending, pos, count), None, length=g
             )
             drafts = jnp.moveaxis(drafts, 0, 1)  # (b, g)
 
@@ -225,12 +248,23 @@ def build_speculative_decoder(
             vlogits, cache = m(
                 TSDecoder.step, ver_in, pos, cache, cross, qw=qw
             )  # (b, g+1, vocab)
+            # chunk position jj of a row with count emitted tokens would be
+            # emitted at index count+jj: mask eot there below min_new_tokens
+            # (raw logits, before log_softmax — the greedy emit() convention)
+            if cfg.min_new_tokens > 0:
+                eidx = count[:, None] + j[None, :]  # (b, g+1)
+                vmasked = vlogits.at[:, :, cfg.eot].set(jnp.float32(-1e30))
+                vlogits = jnp.where(
+                    eidx[..., None] < cfg.min_new_tokens, vmasked, vlogits
+                )
             vlogp = jax.nn.log_softmax(vlogits, axis=-1)
             t = jnp.argmax(vlogits, axis=-1).astype(jnp.int32)  # (b, g+1)
 
             # ---- accept: longest matching prefix + the bonus token ----
             match = (drafts == t[:, :-1]).astype(jnp.int32)  # (b, g)
             n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # [0, g]
+            active = (~done).astype(jnp.int32)
+            st = (st[0] + active, st[1] + active * n_acc)
             cand = j[None, :] <= n_acc[:, None]  # candidate emissions
             is_eot = (t == cfg.eot) & cand
             # first candidate eot (g+1 when none): emission stops there
@@ -262,10 +296,23 @@ def build_speculative_decoder(
                 sync_draft(dl, tl, pos - n_emit)
                 for dl, tl in zip(dcache, cache)
             )
-            return done, pending, pos, count, score, out, cache, dcache
+            return done, pending, pos, count, score, out, cache, dcache, st
 
-        carry = (done0, tok0, pos0, count0, score0, out0, cache, dcache)
-        _, _, _, _, score, out, _, _ = jax.lax.while_loop(cond, body, carry)
+        zeros = jnp.zeros((b,), jnp.int32)
+        carry = (
+            done0, tok0, pos0, count0, score0, out0, cache, dcache,
+            (zeros, zeros),
+        )
+        fin = jax.lax.while_loop(cond, body, carry)
+        out, score = fin[5], fin[4]
+        if return_stats:
+            chunks, accepted = fin[8]
+            stats = {
+                "chunks": chunks,
+                "accepted": accepted,
+                "emitted": fin[3] - 1,  # count minus the prefill token
+            }
+            return out, score, stats
         return out, score
 
     return functools.partial(run, variables, dvars, qw, dqw)

@@ -46,6 +46,11 @@ def test_cli_train_then_decode(tmp_path, capsys):
         "--expdir", expdir,
         "--output_dir", out_dir,
         "--batch_size", "4",
+        # min_new_tokens: the ESPnet minlenratio analog — also forces the
+        # smoke checkpoint (whose greedy argmax is eot at the prefill step)
+        # to actually generate, so the speculative run below exercises
+        # draft/verify chunks
+        "--min_new_tokens", "3",
         # checked-in mini tiktoken ranks: the REAL BPE code path (tiktoken
         # Encoding + base64 ranks file), not the byte fallback
         "--tokenizer_assets", "tests/assets/mini_ranks.tiktoken",
@@ -67,10 +72,19 @@ def test_cli_train_then_decode(tmp_path, capsys):
         "--batch_size", "4",
         "--speculative_gamma", "2",
         "--draft_layers", "1",
+        "--min_new_tokens", "3",
         "--tokenizer_assets", "tests/assets/mini_ranks.tiktoken",
     ])
     assert rc == 0
     assert kaldi_io.read_scp(os.path.join(spec_dir, "text")) == hyps
+    # single-device speculative decode reports draft acceptance in score.txt
+    scores = dict(
+        line.split(maxsplit=1)
+        for line in open(os.path.join(spec_dir, "score.txt"))
+    )
+    assert 0.0 <= float(scores["spec_acceptance_rate"]) <= 1.0
+    assert float(scores["spec_chunks"]) >= 1
+    assert float(scores["spec_tokens_per_chunk"]) > 0
 
 
 def test_load_tokenizer_mini_ranks_asset():

@@ -46,11 +46,14 @@ def naive_greedy(dec, variables, memory, prompt, cfg):
     tokens = np.tile(np.asarray(cfg.init_tokens, np.int32), (b, 1))
     out = []
     done = np.zeros(b, bool)
-    for _ in range(cfg.max_new_tokens):
+    for i in range(cfg.max_new_tokens):
         logits = dec.apply(
             variables, memory, jnp.asarray(tokens), prompt
         )  # (b, t, V) sliced to targets
-        nxt = np.asarray(jnp.argmax(logits[:, -1], axis=-1), np.int32)
+        last = np.array(logits[:, -1], np.float32)  # writable copy
+        if i < cfg.min_new_tokens:  # the ESPnet minlenratio analog
+            last[:, cfg.eot] = -1e30
+        nxt = np.argmax(last, axis=-1).astype(np.int32)
         nxt = np.where(done, cfg.eot, nxt)
         out.append(nxt)
         done |= nxt == cfg.eot
@@ -65,6 +68,30 @@ def test_greedy_matches_naive(dec_and_params):
     ref = naive_greedy(dec, variables, memory, prompt, CFG)
     np.testing.assert_array_equal(np.asarray(tokens), ref)
     assert np.all(np.isfinite(np.asarray(scores)))
+
+
+def test_min_new_tokens_matches_masked_oracle(dec_and_params):
+    """min_new_tokens (the ESPnet minlenratio analog): no eot in the first
+    m emissions, and the whole row equals a naive oracle applying the same
+    raw-logits mask — on both greedy loop variants and under beam search."""
+    dec, variables, memory, prompt = dec_and_params
+    m = 5
+    cfg = dataclasses.replace(CFG, min_new_tokens=m)
+    ref = naive_greedy(dec, variables, memory, prompt, cfg)
+    assert (ref[:, :m] != cfg.eot).all()
+    for stop_early in (True, False):
+        run = build_greedy_decoder(
+            dec, variables, dataclasses.replace(cfg, stop_early=stop_early)
+        )
+        tokens, scores = run(memory, prompt)
+        np.testing.assert_array_equal(np.asarray(tokens), ref)
+        assert np.all(np.isfinite(np.asarray(scores)))
+    # beam search: no returned hypothesis ends before m tokens
+    bm = build_beam_decoder(
+        dec, variables, dataclasses.replace(cfg, beam_size=3)
+    )
+    tb, _ = bm(memory, prompt)
+    assert (np.asarray(tb)[:, :m] != cfg.eot).all()
 
 
 def test_beam1_equals_greedy(dec_and_params):

@@ -100,6 +100,65 @@ def test_speculative_budget_shorter_than_chunk(dec_and_params):
     _assert_equal(dec, variables, memory, prompt, cfg)
 
 
+def test_min_new_tokens_matches_greedy(dec_and_params):
+    """min_new_tokens masks eot identically in the draft, verify, and
+    greedy paths — speculative output stays token-for-token greedy."""
+    dec, variables, memory, prompt = dec_and_params
+    cfg = dataclasses.replace(
+        CFG, speculative_gamma=2, draft_layers=2, min_new_tokens=6
+    )
+    _assert_equal(dec, variables, memory, prompt, cfg)
+    ts, _ = build_speculative_decoder(dec, variables, cfg)(memory, prompt)
+    assert (np.asarray(ts)[:, :6] != CFG.eot).all()
+
+
+def test_return_stats_contract(dec_and_params):
+    """return_stats=True: identical tokens/scores plus consistent per-row
+    acceptance counters (the measurement docs/SERVING.md says to take
+    before enabling speculation on a checkpoint)."""
+    dec, variables, memory, prompt = dec_and_params
+    g = int(3)
+    cfg = dataclasses.replace(CFG, speculative_gamma=g, draft_layers=2)
+    plain = build_speculative_decoder(dec, variables, cfg)
+    with_stats = build_speculative_decoder(
+        dec, variables, cfg, return_stats=True
+    )
+    tp, sp = plain(memory, prompt)
+    ts, ss, st = with_stats(memory, prompt)
+    np.testing.assert_array_equal(np.asarray(tp), np.asarray(ts))
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(ss), rtol=1e-6)
+
+    chunks = np.asarray(st["chunks"])
+    accepted = np.asarray(st["accepted"])
+    emitted = np.asarray(st["emitted"])
+    toks = np.asarray(ts)
+    # every row that decoded anything ran at least one chunk
+    assert (chunks >= 1).all()
+    # raw matched-prefix acceptance is bounded by gamma per chunk
+    assert (accepted <= chunks * g).all() and (accepted >= 0).all()
+    # emitted excludes the prefill token and covers the non-padding tail:
+    # per-row emitted tokens == non-eot prefix length (+ its eot if the
+    # row terminated within budget), minus the 1 prefill emission
+    n_real = (toks != CFG.eot).sum(axis=1)
+    terminated = n_real < toks.shape[1]
+    expect = n_real + terminated.astype(n_real.dtype) - 1
+    np.testing.assert_array_equal(emitted, expect)
+    # full-depth draft accepts every proposal
+    full = build_speculative_decoder(
+        dec, variables,
+        dataclasses.replace(cfg, draft_layers=DIMS.n_text_layer),
+        return_stats=True,
+    )
+    _, _, st_full = full(memory, prompt)
+    acc_full = np.asarray(st_full["accepted"])
+    ch_full = np.asarray(st_full["chunks"])
+    em_full = np.asarray(st_full["emitted"])
+    # each full-depth chunk matches the whole draft except possibly the
+    # final (eot/budget-truncated) one
+    assert (acc_full >= (ch_full - 1) * g).all()
+    assert (em_full == emitted).all()
+
+
 def test_builder_routes_and_validates(dec_and_params):
     dec, variables, memory, prompt = dec_and_params
     # build_beam_decoder routes beam=1 + gamma>0 to the speculative path
