@@ -63,6 +63,10 @@ def main(argv=None):
                         help="data-parallel mesh size (default: all devices)")
     parser.add_argument("--n_model", type=int, default=1,
                         help="tensor-parallel mesh size")
+    parser.add_argument("--fsdp", default=None,
+                        help="true/false: shard param+optimizer storage over "
+                        "the data axis (ZeRO-3; capacity mode for full-FT "
+                        "medium). Overrides the config's train_conf.fsdp")
     parser.add_argument("--num_epochs", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
@@ -86,6 +90,12 @@ def main(argv=None):
         exp.num_epochs = args.num_epochs
     if args.batch_size is not None:
         exp.batch_size = args.batch_size
+    if args.fsdp is not None:
+        import dataclasses
+
+        from .decode import _str2bool
+
+        exp.train = dataclasses.replace(exp.train, fsdp=_str2bool(args.fsdp))
 
     tokenizer = load_tokenizer(args.tokenizer_assets)
     dataset = KaldiTSDataset(

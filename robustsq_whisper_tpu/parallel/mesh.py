@@ -5,7 +5,9 @@ The reference's only model parallelism is torch DataParallel over 4 GPUs
 with NCCL arriving implicitly through ESPnet. The TPU-native replacement is a
 ``jax.sharding.Mesh`` with a ``data`` axis (DP, grads all-reduced over ICI by
 XLA) and an optional ``model`` axis (tensor parallelism over attention heads
-and FFN hidden — beyond-parity, free on TPU via pjit).
+and FFN hidden — beyond-parity, free on TPU via pjit). Parameter STORAGE can
+additionally be sharded over the data axis (``fsdp=True`` — ZeRO-3
+semantics, params/Adam moments of full-FT medium exceed one chip's HBM).
 
 No hand-written collectives: shardings are declared, XLA inserts
 psum/all-gather/reduce-scatter over ICI (SURVEY.md §2.4).
@@ -87,10 +89,47 @@ def tree_paths(tree: Any):
         yield path, leaf
 
 
-def params_shardings(mesh: Mesh, params: Any, tp: bool = True) -> Any:
-    """NamedShardings for a param tree (TP rules or fully replicated)."""
+def _fsdp_spec(spec: P, leaf: Any, n_data: int) -> P:
+    """Add a DATA-axis shard to one eligible dim of ``spec`` (ZeRO-3 /
+    fully-sharded storage). Picks the LARGEST dim that is not already
+    TP-sharded and divides the data-axis size; the leading axis of
+    scan-stacked leaves (ndim >= 3) is never taken — it is the lax.scan
+    layer axis, and sharding it would gather a different shard per scan
+    step instead of one balanced all-gather per layer."""
+    ndim = getattr(leaf, "ndim", 0)
+    dims = list(spec) + [None] * (ndim - len(spec))
+    best, best_size = None, 0
+    for i in range(ndim):
+        if dims[i] is not None or (ndim >= 3 and i == 0):
+            continue
+        if leaf.shape[i] % n_data == 0 and leaf.shape[i] > best_size:
+            best, best_size = i, leaf.shape[i]
+    if best is None:
+        return spec
+    dims[best] = DATA_AXIS
+    return P(*dims)
+
+
+def params_shardings(
+    mesh: Mesh,
+    params: Any,
+    tp: bool = True,
+    fsdp: bool = False,
+    fsdp_min_elems: int = 2**15,
+) -> Any:
+    """NamedShardings for a param tree.
+
+    ``tp``: Megatron-style tensor partitioning per the path rules above.
+    ``fsdp``: additionally shard each large leaf's storage over the DATA
+    axis (the ZeRO / "fully sharded" pattern — weights and their optimizer
+    moments live sharded, XLA all-gathers each layer's weights on use and
+    reduce-scatters its grads; parameters+Adam state of whisper-medium
+    full-FT exceed one v5e chip's HBM, this is the capacity mode that fits
+    them). Leaves under ``fsdp_min_elems`` stay replicated — tiny leaves
+    cost more collective latency than they save in HBM."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     out = []
+    n_data = mesh.shape[DATA_AXIS]
     for kp, leaf in flat:
         path = "/".join(
             str(getattr(k, "key", getattr(k, "idx", k))) for k in kp
@@ -103,7 +142,14 @@ def params_shardings(mesh: Mesh, params: Any, tp: bool = True) -> Any:
                 continue
             if leaf.shape[dim] % mesh.shape[axis] != 0:
                 ok = False
-        out.append(NamedSharding(mesh, spec if ok else P()))
+        spec = spec if ok else P()
+        if (
+            fsdp
+            and n_data > 1
+            and getattr(leaf, "size", 0) >= fsdp_min_elems
+        ):
+            spec = _fsdp_spec(spec, leaf, n_data)
+        out.append(NamedSharding(mesh, spec))
     return jax.tree_util.tree_unflatten(treedef, out)
 
 

@@ -22,5 +22,6 @@ from .step import (
     make_train_step,
     place_batch,
     place_train_state,
+    train_state_shardings,
     trainable_mask,
 )

@@ -34,7 +34,7 @@ from .step import (
     create_train_state,
     make_train_step,
     place_batch,
-    place_train_state,
+    train_state_shardings,
 )
 
 logger = logging.getLogger("robustsq_whisper_tpu.train")
@@ -69,7 +69,13 @@ def run_training(
 ) -> TrainState:
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     state, tx = create_train_state(rng, init_params, tcfg)
-    step_fn = make_train_step(model, tx, tcfg)
+    st_sh = (
+        train_state_shardings(mesh, state, fsdp=tcfg.fsdp)
+        if mesh is not None else None
+    )
+    # pin the output state's shardings: with FSDP, param/moment storage must
+    # STAY sharded across steps (make_train_step docstring)
+    step_fn = make_train_step(model, tx, tcfg, state_shardings=st_sh)
     start_epoch = 0
 
     if lcfg.ckpt_dir and latest_step(lcfg.ckpt_dir) is not None:
@@ -80,7 +86,7 @@ def run_training(
         )
 
     if mesh is not None:
-        state = place_train_state(mesh, state)
+        state = jax.device_put(state, st_sh)
 
     eval_step = tracker = None
     if valid_dataset is not None:

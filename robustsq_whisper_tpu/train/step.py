@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import re
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -92,6 +92,12 @@ class TrainConfig:
     # reproduced on fewer chips (SURVEY.md §3.1). state.step counts
     # micro-steps; the optimizer applies every k-th.
     accum_grad: int = 1
+    # shard parameter/optimizer STORAGE over the mesh data axis (ZeRO-3 /
+    # fully-sharded data parallel; parallel/mesh.py params_shardings). XLA
+    # all-gathers each layer's weights at use and reduce-scatters grads —
+    # the capacity mode for full-FT whisper-medium, whose params + f32 Adam
+    # moments exceed one v5e chip's HBM. Numerics are identical to DP.
+    fsdp: bool = False
 
 
 def trainable_mask(params: Any, pattern: str) -> Any:
@@ -152,10 +158,18 @@ def make_train_step(
     tx: optax.GradientTransformation,
     cfg: TrainConfig = TrainConfig(),
     donate: bool = True,
+    state_shardings: Optional[TrainState] = None,
 ) -> Callable[[TrainState, Dict[str, jax.Array], jax.Array, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the jitted step. Sharding is input-driven: place state/batch
     with place_train_step/place_batch on a mesh and jit propagates — XLA lays
-    the batch over DATA and (optionally) tensors over MODEL."""
+    the batch over DATA and (optionally) tensors over MODEL.
+
+    ``state_shardings`` (a TrainState of NamedShardings, from
+    ``train_state_shardings``) pins the OUTPUT state's placement. Without it
+    XLA may un-shard individual leaves during propagation — harmless for
+    plain DP/TP (storage is replicated anyway) but fatal for FSDP, whose
+    whole point is that full param/moment storage never materializes on one
+    chip."""
 
     def loss_fn(trainables, frozen, state, batch, rng, epoch):
         # ``frozen`` rides as a NON-differentiated argument: XLA drops the
@@ -202,6 +216,8 @@ def make_train_step(
             state = state.replace(
                 step=state.step + 1, params=new_trainables, opt_state=new_opt
             )
+        if state_shardings is not None:
+            state = jax.lax.with_sharding_constraint(state, state_shardings)
         return state, stats
 
     # Sharding is input-driven: place state/batch with place_train_state /
@@ -209,15 +225,28 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
-def place_train_state(mesh: Mesh, state: TrainState, tp: bool = True) -> TrainState:
-    """device_put the state onto the mesh: params (and their optimizer
-    moments, which mirror the param tree) per the TP rules, everything else
-    replicated."""
-    p_sh = params_shardings(mesh, state.params, tp=tp)
+def train_state_shardings(
+    mesh: Mesh,
+    state: TrainState,
+    tp: bool = True,
+    fsdp: bool = False,
+    fsdp_min_elems: int = 2**15,
+) -> TrainState:
+    """A TrainState of NamedShardings mirroring ``state``: params (and their
+    optimizer moments, which mirror the param tree) per the TP/FSDP rules,
+    everything else replicated. Feed to ``jax.device_put`` (placement) and
+    ``make_train_step(state_shardings=...)`` (output pinning)."""
+    p_sh = params_shardings(
+        mesh, state.params, tp=tp, fsdp=fsdp, fsdp_min_elems=fsdp_min_elems
+    )
+    rep = replicated(mesh)
 
-    # optax chain state: walk and place param-structured subtrees (adam
-    # moments mirror the param tree and must share its sharding)
-    def place_opt(subtree: Any) -> Any:
+    def rep_tree(subtree: Any) -> Any:
+        return jax.tree_util.tree_map(lambda x: rep, subtree)
+
+    # optax chain state: param-structured subtrees (adam moments mirror the
+    # param tree and must share its sharding), the rest replicated
+    def opt_sh(subtree: Any) -> Any:
         try:
             same = jax.tree_util.tree_structure(
                 subtree
@@ -225,27 +254,37 @@ def place_train_state(mesh: Mesh, state: TrainState, tp: bool = True) -> TrainSt
         except Exception:
             same = False
         if same:
-            return jax.device_put(subtree, p_sh)
+            return p_sh
         if hasattr(subtree, "_fields"):  # NamedTuple optax states
             return type(subtree)(
-                **{f: place_opt(getattr(subtree, f)) for f in subtree._fields}
+                **{f: opt_sh(getattr(subtree, f)) for f in subtree._fields}
             )
         if isinstance(subtree, (tuple, list)):
-            return type(subtree)(place_opt(s) for s in subtree)
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, replicated(mesh)), subtree
-        )
+            return type(subtree)(opt_sh(s) for s in subtree)
+        return rep_tree(subtree)
 
     return TrainState(
-        step=jax.device_put(state.step, replicated(mesh)),
-        params=jax.device_put(state.params, p_sh),
-        buffers=jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, replicated(mesh)), state.buffers
+        step=rep,
+        params=p_sh,
+        buffers=rep_tree(state.buffers),
+        lora=rep_tree(state.lora),
+        opt_state=opt_sh(state.opt_state),
+    )
+
+
+def place_train_state(
+    mesh: Mesh,
+    state: TrainState,
+    tp: bool = True,
+    fsdp: bool = False,
+    fsdp_min_elems: int = 2**15,
+) -> TrainState:
+    """device_put the state onto the mesh per ``train_state_shardings``."""
+    return jax.device_put(
+        state,
+        train_state_shardings(
+            mesh, state, tp=tp, fsdp=fsdp, fsdp_min_elems=fsdp_min_elems
         ),
-        lora=jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, replicated(mesh)), state.lora
-        ),
-        opt_state=place_opt(state.opt_state),
     )
 
 

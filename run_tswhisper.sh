@@ -21,6 +21,7 @@ inference_config=conf/tswhisper/decode_asr_whisper_beam1.yaml
 pretrained=""            # OpenAI whisper .pt to warm-start from
 tokenizer_assets=""      # local tiktoken/vocab files
 n_model=1                # tensor-parallel axis size
+fsdp=""                  # true: ZeRO-3 param/optimizer storage sharding
 batch_size=""
 num_epochs=""
 lang=en
@@ -85,7 +86,8 @@ if [ "${stage}" -le 11 ] && [ "${stop_stage}" -ge 11 ]; then
     ${pretrained:+--pretrained "${pretrained}"} \
     ${tokenizer_assets:+--tokenizer_assets "${tokenizer_assets}"} \
     ${batch_size:+--batch_size "${batch_size}"} \
-    ${num_epochs:+--num_epochs "${num_epochs}"}
+    ${num_epochs:+--num_epochs "${num_epochs}"} \
+    ${fsdp:+--fsdp "${fsdp}"}
 fi
 
 if [ "${stage}" -le 12 ] && [ "${stop_stage}" -ge 12 ]; then

@@ -260,6 +260,105 @@ def test_multichip_dp_tp_step():
     )
 
 
+@pytest.mark.slow
+def test_multichip_fsdp_step():
+    """FSDP (ZeRO-3 param/moment storage sharding over the data axis):
+    numerics identical to the single-device step, large leaves actually
+    sharded, and sharding preserved across the update."""
+    from robustsq_whisper_tpu.parallel.mesh import DATA_AXIS, params_shardings
+
+    def has_data_axis(spec):
+        # PartitionSpec is a pytree LEAF; iterate its entries directly
+        # (entries may be an axis name or a tuple of axis names)
+        return any(
+            DATA_AXIS == e or (isinstance(e, tuple) and DATA_AXIS in e)
+            for e in spec
+        )
+
+    assert len(jax.devices()) >= 8
+    model = _model()
+    batch = _batch(8)
+    rng = jax.random.PRNGKey(3)
+    params = model.init(rng, batch, rng, 0, train=False)
+    tcfg = TrainConfig(
+        optim=OptimConfig(lr=1e-3, schedule="constant"), fsdp=True
+    )
+
+    # single-device reference
+    state1, tx1 = create_train_state(rng, params, tcfg)
+    step1 = make_train_step(model, tx1, tcfg, donate=False)
+    _, stats1 = step1(state1, batch, rng, 0)
+
+    mesh = make_mesh(8, 1)
+    # the dev model is tiny: drop the min-size cutoff so leaves shard
+    shardings = params_shardings(
+        mesh, params["params"], fsdp=True, fsdp_min_elems=0
+    )
+    data_sharded = [
+        s for s in jax.tree_util.tree_leaves(
+            shardings, is_leaf=lambda x: hasattr(x, "spec")
+        )
+        if has_data_axis(s.spec)
+    ]
+    assert data_sharded, "no leaf picked up a data-axis shard"
+
+    from robustsq_whisper_tpu.train.step import train_state_shardings
+
+    state2, tx2 = create_train_state(rng, params, tcfg)
+    st_sh = train_state_shardings(mesh, state2, fsdp=True, fsdp_min_elems=0)
+    step2 = make_train_step(
+        model, tx2, tcfg, donate=False, state_shardings=st_sh
+    )
+    with jax.sharding.set_mesh(mesh):
+        state2 = jax.device_put(state2, st_sh)
+        sbatch = place_batch(mesh, batch)
+        new_state, stats2 = step2(state2, sbatch, rng, 0)
+    np.testing.assert_allclose(
+        float(stats1["loss"]), float(stats2["loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(stats1["grad_norm"]), float(stats2["grad_norm"]), rtol=1e-3
+    )
+    # a leaf that entered sharded must stay sharded after the update (the
+    # whole point is that full storage never materializes on one chip)
+    flat_in, _ = jax.tree_util.tree_flatten(state2.params)
+    flat_out, _ = jax.tree_util.tree_flatten(new_state.params)
+    kept = sum(
+        1 for a, b in zip(flat_in, flat_out)
+        if has_data_axis(a.sharding.spec)
+        and b.sharding.is_equivalent_to(a.sharding, a.ndim)
+    )
+    entered = sum(
+        1 for a in flat_in if has_data_axis(a.sharding.spec)
+    )
+    assert entered > 0 and kept == entered
+
+
+def test_fsdp_spec_rules():
+    """_fsdp_spec picks the largest free dim, skips the scan layer axis,
+    and composes with (does not displace) TP shards."""
+    from robustsq_whisper_tpu.parallel.mesh import (
+        DATA_AXIS, MODEL_AXIS, _fsdp_spec,
+    )
+    from jax.sharding import PartitionSpec as P
+
+    class Leaf:
+        def __init__(self, shape):
+            self.shape = shape
+            self.ndim = len(shape)
+
+    # plain 2-D kernel: shard the larger dim
+    assert _fsdp_spec(P(), Leaf((64, 256)), 4) == P(None, DATA_AXIS)
+    # TP already took the out dim: fsdp composes on the in dim
+    assert _fsdp_spec(
+        P(None, MODEL_AXIS), Leaf((64, 256)), 4
+    ) == P(DATA_AXIS, MODEL_AXIS)
+    # scan-stacked (layers, in, out): the layer axis is never taken
+    assert _fsdp_spec(P(), Leaf((24, 8, 8)), 8) == P(None, DATA_AXIS, None)
+    # nothing divides: unchanged
+    assert _fsdp_spec(P(), Leaf((3, 5)), 4) == P()
+
+
 def test_remat_matches_no_remat(model_and_params):
     """remat must change memory behavior only, not numerics."""
     from robustsq_whisper_tpu.models import TSASRModel, TSEncoderConfig
