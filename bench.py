@@ -186,7 +186,25 @@ def main():
         use_flash_attention=os.environ.get("BENCH_FLASH", "1") == "1",
         gelu_approx=os.environ.get("BENCH_GELU_APPROX", "1") == "1",
     )
+    # Device-init watchdog: if the tunneled-TPU relay is down, jax.devices()
+    # hangs forever inside backend init. Emit the contract's one JSON line
+    # (value 0 + error note) instead of producing no record at all.
+    import threading
+
+    _dev_ok = threading.Event()
+
+    def _watchdog():
+        if not _dev_ok.wait(int(os.environ.get("BENCH_DEVICE_TIMEOUT", "300"))):
+            print(json.dumps({
+                "metric": f"ts_asr_decode_rtf_{model_name}_b{batch}",
+                "value": 0.0, "unit": "x_realtime", "vs_baseline": 0.0,
+                "error": "device init timed out (TPU tunnel relay down?)",
+            }), flush=True)
+            os._exit(17)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     log(f"devices: {jax.devices()}")
+    _dev_ok.set()
     dev = jax.devices()[0]
 
     # int4 is the measured-best serving config (kernel + e2e plumbing are
