@@ -171,6 +171,19 @@ def _kernel_grouped(
     MXU (M = g gives the lhs a real non-contracting dim, unlike the M = 1
     case Mosaic rejects); the online-softmax state is kept flattened as
     (h*g, 1) rows exactly like the ungrouped kernel.
+
+    **Precision**: a default-precision f32 dot on the MXU truncates both
+    operands to ONE bf16 pass. The K/V side is exact (int4/int8 values are
+    small integers, bf16-representable), but q (after scale folding) and
+    the softmax weights p lose mantissa below 2^-8 relative. A hi/lo
+    bf16-split variant recovering ~f32 dots was built and measured on-chip:
+    8.39 ms vs 6.52 ms (this kernel) vs 7.4 ms (VPU ``_kernel``) per
+    medium/b64/int4 24-layer token step — the in-kernel split/concat
+    relayouts cost more than the exact mantissa is worth, given the int4/
+    int8 quantization error this serving path already carries (~3-6% on
+    K/V values, vs ~0.4% here). Shipped: truncated dots, deviation
+    documented (docs/KERNELS.md §7); ``mxu=False`` on the wrapper is the
+    full-precision escape hatch for the ungrouped path.
     """
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -238,7 +251,8 @@ def _kernel_grouped(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_t", "interpret", "packed_int4", "group")
+    jax.jit,
+    static_argnames=("block_t", "interpret", "packed_int4", "group", "mxu"),
 )
 def decode_cross_attention(
     q: jax.Array,  # (batch, heads, head_dim); (batch, heads, group, head_dim) if group > 1
@@ -252,6 +266,7 @@ def decode_cross_attention(
     interpret: bool = False,
     packed_int4: bool = False,
     group: int = 1,  # beam queries per K/V row (beam search shares K/V)
+    mxu: bool = True,  # group=1: ride the grouped MXU kernel via a dup row
 ) -> jax.Array:
     """Softmax(q·K/sqrt(d)) @ V for one query position. Returns
     (batch, heads, head_dim) in q.dtype.
@@ -281,8 +296,26 @@ def decode_cross_attention(
     all beams instead of the naive beam-expanded layout reading it ``group``
     times. Returns (batch, heads, group, head_dim); scales fold outside
     exactly as in the ungrouped path.
+
+    ``mxu=True`` (default) routes ``group == 1`` through the grouped kernel
+    with the query row DUPLICATED to g = 2: M = 2 gives the per-tile
+    contractions a real lhs non-contracting dim, so they run as
+    head-batched MXU ``dot_general`` instead of the >=3-VPU-ops-per-element
+    multiply-reduce of ``_kernel``, and the K/V tile read — the term the
+    kernel is bound by — is unchanged (the duplicate row rides the lhs,
+    which is tiny). Measured medium/b64/int4: 7.38 -> 6.52 ms per 24-layer
+    token step, +5% end-to-end greedy RTF. The MXU dots truncate q/p to one
+    bf16 pass (see ``_kernel_grouped``); interpret-mode tests pin equality
+    with the VPU kernel exactly, on-chip the ~2^-8 relative score error is
+    dominated by the quantized K/V this path carries. ``mxu=False`` keeps
+    the full-f32 VPU kernel.
     """
-    if group > 1:
+    squeeze_g = group == 1 and mxu
+    if squeeze_g:
+        b, h, d = q.shape
+        q = jnp.concatenate([q[:, :, None, :]] * 2, axis=2)  # (b, h, 2, d)
+        group = 2
+    elif group > 1:
         b, h, gq, d = q.shape
         assert gq == group, (q.shape, group)
     else:
@@ -361,9 +394,11 @@ def decode_cross_attention(
         interpret=interpret,
     )(meta, qs, kt, vt)
 
+    if squeeze_g:
+        out = out[:, :, 0]  # back to the ungrouped (b, h, d) layout
     if v_scale is not None:
         vs = v_scale.astype(jnp.float32)
-        if group > 1:
+        if group > 1 and not squeeze_g:
             vs = vs[:, :, None, :]
         out = (out.astype(jnp.float32) * vs).astype(q.dtype)
     return out

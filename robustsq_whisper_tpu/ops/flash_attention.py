@@ -53,9 +53,10 @@ def _attn_kernel(
     scale: float,
     block_k: int,
     kv_len: int,
+    kv_axis: int = 2,  # grid axis of the kv tiles (3 for the 4D-block grid)
 ):
-    j = pl.program_id(2)
-    nj = pl.num_programs(2)
+    j = pl.program_id(kv_axis)
+    nj = pl.num_programs(kv_axis)
 
     @pl.when(j == 0)
     def _():

@@ -359,6 +359,53 @@ def test_grouped_kernel_matches_per_beam_calls():
     compare(kf, vf, kv_len=jnp.int32(650))
 
 
+def test_greedy_mxu_routing_matches_vpu_kernel():
+    """group=1 with mxu=True (the default: grouped MXU kernel via a
+    duplicated query row) == the plain VPU-reduce kernel, int4 + stacked
+    int8 + dense variants. Interpret mode computes both routes in exact
+    f32 (the bf16 MXU truncation is hardware-only), so tolerances are
+    reduction-order noise."""
+    from robustsq_whisper_tpu.ops.decode_attention import (
+        decode_cross_attention,
+        pack_int4,
+    )
+
+    rng = np.random.default_rng(3)
+    b, h, d, t = 2, 4, 8, 1024
+    q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
+    k_s = jnp.asarray(rng.uniform(0.01, 0.1, (b, h, d)), jnp.float32)
+    v_s = jnp.asarray(rng.uniform(0.01, 0.1, (b, h, d)), jnp.float32)
+
+    def compare(kt, vt, **kw):
+        a = decode_cross_attention(
+            q, kt, vt, block_t=512, interpret=True, mxu=True, **kw
+        )
+        assert a.shape == (b, h, d)
+        ref = decode_cross_attention(
+            q, kt, vt, block_t=512, interpret=True, mxu=False, **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(ref), rtol=1e-5, atol=1e-6
+        )
+
+    k4 = pack_int4(jnp.asarray(rng.integers(-7, 8, (b, h, d, t)), jnp.int8))
+    v4 = pack_int4(jnp.asarray(rng.integers(-7, 8, (b, h, d, t)), jnp.int8))
+    compare(
+        k4, v4, k_scale=k_s, v_scale=v_s, kv_len=jnp.int32(900),
+        packed_int4=True,
+    )
+    L = 3
+    k8 = jnp.asarray(rng.integers(-127, 128, (L, b, h, d, t)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, (L, b, h, d, t)), jnp.int8)
+    compare(
+        k8, v8, k_scale=k_s, v_scale=v_s, kv_len=jnp.int32(900),
+        layer_idx=jnp.int32(2),
+    )
+    kf = jnp.asarray(rng.standard_normal((b, h, d, 700)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((b, h, d, 700)), jnp.float32)
+    compare(kf, vf, kv_len=jnp.int32(650))
+
+
 def test_beam_reorder_cache_matches_take():
     """DMA row-copy cache reorder == jnp.take along the rows axis, for a
     dense 2-leaf cache and a mixed-dtype 4-leaf (int8 + fp32 scales) one."""
