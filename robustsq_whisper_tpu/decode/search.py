@@ -254,10 +254,16 @@ def build_beam_decoder(
         # bf16 cache (per-pos = n_heads * head_dim); the int8 cache's fp32
         # scale leaves (per-pos = n_heads) would need a tail in the
         # hundreds, so "auto" falls back to the XLA gather there.
+        # beam search pins the FLAT cache layout: the reorder kernel's
+        # live-prefix read optimization needs time sublane-major (the
+        # time-minor greedy layout interleaves live columns through the
+        # whole flattened row payload)
         per_pos = [
             int(math.prod(x.shape[3:]))
             for x in jax.tree_util.tree_leaves(
-                jax.eval_shape(lambda: m(TSDecoder.init_cache, b, total))
+                jax.eval_shape(
+                    lambda: m(TSDecoder.init_cache, b, total, layout="flat")
+                )
             )
         ]
         required = 1
@@ -274,7 +280,7 @@ def build_beam_decoder(
         # less prefill compute and HBM than beam-expanding the memory first.
         pq = cfg.prefill_quantized
         cross = m(TSDecoder.cross_kv, memory, quantize=pq)
-        cache = m(TSDecoder.init_cache, b, total)
+        cache = m(TSDecoder.init_cache, b, total, layout="flat")
         init = jnp.tile(
             jnp.asarray(cfg.init_tokens, jnp.int32)[None, :], (b, 1)
         )

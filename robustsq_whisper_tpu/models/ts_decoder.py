@@ -48,13 +48,17 @@ class TSDecoder(nn.Module):
     # packed flat self-KV cache (auto-disabled when dims don't support it;
     # see TextDecoder.flat_self_cache / ops/self_attention.py)
     flat_self_cache: bool = True
+    # time-minor self-KV cache — opt-in, measured-negative at <=128-token
+    # outputs (see TextDecoder.tmin_self_cache)
+    tmin_self_cache: bool = False
 
     def setup(self):
         self.decoder = TextDecoder(
             self.dims, dtype=self.dtype, remat=self.remat,
             cross_kv_bits=self.cross_kv_bits,
             self_kv_bits=self.self_kv_bits,
-            flat_self_cache=self.flat_self_cache, name="decoder",
+            flat_self_cache=self.flat_self_cache,
+            tmin_self_cache=self.tmin_self_cache, name="decoder",
         )
 
     def __call__(
@@ -94,8 +98,10 @@ class TSDecoder(nn.Module):
     def quantize_cross(self, cross):
         return self.decoder.quantize_cross(cross)
 
-    def init_cache(self, batch: int, max_len: int):
-        return self.decoder.init_cache(batch, max_len)
+    def init_cache(
+        self, batch: int, max_len: int, layout: Optional[str] = None
+    ):
+        return self.decoder.init_cache(batch, max_len, layout=layout)
 
     def prefill(
         self,

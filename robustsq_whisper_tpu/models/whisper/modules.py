@@ -545,6 +545,7 @@ class ResidualAttentionBlock(nn.Module):
         layer_idx: Optional[jax.Array] = None,
         beam_group: int = 1,
         self_flat: Optional[Tuple[jax.Array, ...]] = None,
+        self_tmin: Optional[Tuple[jax.Array, ...]] = None,
     ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
         """Decode step against a READ-ONLY KV-cache prefix.
 
@@ -587,15 +588,22 @@ class ResidualAttentionBlock(nn.Module):
         """
         q_len = x.shape[1]
         h = self._cast(self.attn_ln(x))
-        if self_flat is not None:
+        if self_flat is not None or self_tmin is not None:
             assert q_len == 1 and jnp.ndim(pos) == 0, (
-                "the packed flat-cache Pallas path is single-token/uniform-"
+                "the packed-cache Pallas paths are single-token/uniform-"
                 "position only; speculative decode uses the 5-D cache"
             )
-            # packed flat cache path (ops/self_attention.py): q/k/v stay in
-            # the flat (b, n_state) head-concatenated layout end to end —
-            # no head split, no 64-lane-padded 5-D tensors anywhere
-            from ...ops.self_attention import decode_self_attention
+            # packed cache paths (ops/self_attention.py): q/k/v stay in the
+            # flat (b, n_state) head-concatenated layout — no 64-lane-padded
+            # 5-D tensors anywhere. ``self_tmin`` is the TIME-MINOR
+            # (L, b, heads, hd, T) cache: it streams like the cross-KV
+            # (time in lanes; measured 3.15 vs 4.8 ms per medium/b64
+            # 24-layer token against the flat kernel) and is read by
+            # decode_cross_attention itself with the new token merged in
+            # f32 outside the kernel.
+            from ...ops.self_attention import (
+                decode_self_attention, decode_self_attention_tmin,
+            )
 
             if qw is None:
                 kf = self.attn.key(h)[:, 0]
@@ -607,11 +615,20 @@ class ResidualAttentionBlock(nn.Module):
                 vf = qmatmul(h, *a["value"], out_dtype=dt)[:, 0]
                 qf = qmatmul(h, *a["query"], out_dtype=dt)[:, 0]
             b = qf.shape[0]
-            o = decode_self_attention(
-                qf, kf, vf, tuple(self_flat), pos, layer_idx,
-                heads=self.n_head,
-                interpret=jax.default_backend() == "cpu",
-            ).reshape(b, 1, -1)
+            interp = jax.default_backend() == "cpu"
+            if self_tmin is not None:
+                hd = self.n_state // self.n_head
+                as3 = lambda t: t.reshape(b, self.n_head, hd)
+                o = decode_self_attention_tmin(
+                    as3(qf), as3(kf), as3(vf), tuple(self_tmin), pos,
+                    layer_idx, interpret=interp,
+                )
+            else:
+                o = decode_self_attention(
+                    qf, kf, vf, tuple(self_flat), pos, layer_idx,
+                    heads=self.n_head, interpret=interp,
+                )
+            o = o.reshape(b, 1, -1)
             o = (
                 self.attn.out(o.astype(self.dtype)) if qw is None
                 else qmatmul(
@@ -855,6 +872,43 @@ class TextDecoder(nn.Module):
     # repack copies at the beam reorder boundary (ops/self_attention.py).
     # Auto-disabled when the dims/cache form don't support it.
     flat_self_cache: bool = True
+    # TIME-MINOR self-KV cache (layers, b, heads, hd, T): self-attention
+    # READS stream like the cross-KV (time in the lane dim; measured
+    # 1.5 vs 2.8 ms per medium/b64 24-layer token e2e) — but the per-token
+    # cache WRITE is a lane-column DUS whose (..., 1)-lane update tensor
+    # tiles to 128 lanes: ~128x write amplification, profiled at
+    # ~10 ms/token (839x -> 498x e2e). OPT-IN, measured-negative at the
+    # <=128-new-token serving shape; a flush-batched variant only pays
+    # beyond ~2x128-token outputs. The production fix was making the flat
+    # kernel's head-map dots DEFAULT-precision instead (self_attention.py
+    # module docstring). Dense bf16 only; beam search always uses flat.
+    tmin_self_cache: bool = False
+
+    @property
+    def _tmin_self(self) -> bool:
+        d = self.dims
+        return (
+            self.tmin_self_cache
+            and self.flat_self_cache  # packed serving caches allowed at all
+            and self.scan_layers
+            and self.self_kv_bits == 16
+            and (d.n_text_state // d.n_text_head) % 8 == 0
+        )
+
+    def _cache_layout(self, cache) -> str:
+        """Classify a self-KV cache tuple: ``flat`` (L, b, T, n_state — 2
+        dense leaves or 3 int8+scale), ``tmin`` (L, b, heads, hd, T), or
+        ``5d`` (L, b, T, heads, hd)."""
+        leaf = cache[0]
+        if len(cache) == 3 or leaf.ndim == 4:
+            return "flat"
+        d = self.dims
+        hd = d.n_text_state // d.n_text_head
+        if leaf.ndim == 5 and leaf.shape[2] == d.n_text_head and (
+            leaf.shape[3] == hd
+        ):
+            return "tmin"
+        return "5d"
 
     @property
     def _flat_self(self) -> bool:
@@ -1006,13 +1060,29 @@ class TextDecoder(nn.Module):
             jnp.full((k.shape[0],), out[-1], jnp.int32),
         )
 
-    def init_cache(self, batch: int, max_len: int) -> Cache:
+    def init_cache(
+        self, batch: int, max_len: int, layout: Optional[str] = None
+    ) -> Cache:
         """Preallocated self-attention cache, stacked per layer.
 
         ``self_kv_bits=8`` returns the int8 form (k8, k_scales, v8,
         v_scales) — per-(batch, position, head) scales; halves the cache
-        read, the second-largest per-token HBM term at long outputs."""
+        read, the second-largest per-token HBM term at long outputs.
+
+        ``layout``: ``None`` picks the best eligible layout — TIME-MINOR
+        (L, b, heads, hd, T) when ``_tmin_self`` holds (the greedy serving
+        default), else the packed flat form, else 5-D. ``"flat"`` forces
+        the flat layout (the beam decoder: its reorder kernel's live-prefix
+        read optimization needs time sublane-major)."""
         d = self.dims
+        if layout is None:
+            layout = "tmin" if self._tmin_self else "auto"
+        if layout == "tmin":
+            assert self._tmin_self, (self.self_kv_bits, self.scan_layers)
+            hd = d.n_text_state // d.n_text_head
+            t_pad = -(-max_len // 128) * 128
+            shape = (d.n_text_layer, batch, d.n_text_head, hd, t_pad)
+            return jnp.zeros(shape, self.dtype), jnp.zeros(shape, self.dtype)
         if self._flat_self:
             from ...ops.self_attention import BLOCK_POS
 
@@ -1054,7 +1124,8 @@ class TextDecoder(nn.Module):
         x = (x_emb + self.positional_embedding[:length]).astype(self.dtype)
         mask = causal_mask(length)
         n_cache = len(cache)
-        if self._flat_self:
+        layout = self._cache_layout(tuple(cache))
+        if layout in ("flat", "tmin") and self.scan_layers:
             # collect news as scan ys, pack ONCE (the (b, L, n_state)
             # row-major order IS the flat lane order), write outside
             def body(block, carry, layer_in):
@@ -1065,15 +1136,19 @@ class TextDecoder(nn.Module):
                 self.block, x, tuple(cross)
             )
             L_, b_, t_ = news[0].shape[:3]
-            news = tuple(n.reshape(L_, b_, t_, -1) for n in news)
-            if self._flat_quant:
-                from ...ops.self_attention import quantize_flat_kv
+            if layout == "tmin":
+                # (L, b, t, heads, hd) -> time-minor (L, b, heads, hd, t)
+                news = tuple(n.transpose(0, 1, 3, 4, 2) for n in news)
+                offs = (0,) * 5
+            else:
+                news = tuple(n.reshape(L_, b_, t_, -1) for n in news)
+                if self._flat_quant:
+                    from ...ops.self_attention import quantize_flat_kv
 
-                news = quantize_flat_kv(*news, self.dims.n_text_head)
+                    news = quantize_flat_kv(*news, self.dims.n_text_head)
+                offs = (0, 0, 0, 0)
             cache = tuple(
-                jax.lax.dynamic_update_slice(
-                    buf, n.astype(buf.dtype), (0, 0, 0, 0)
-                )
+                jax.lax.dynamic_update_slice(buf, n.astype(buf.dtype), offs)
                 for buf, n in zip(cache, news)
             )
         elif self.scan_layers:
@@ -1137,7 +1212,8 @@ class TextDecoder(nn.Module):
             )[None]
         x = (token_emb + pos_emb).astype(self.dtype)
         cache = tuple(cache)
-        assert not ((ragged or q_len > 1) and self._flat_self), (
+        layout = self._cache_layout(cache)
+        assert not ((ragged or q_len > 1) and layout != "5d"), (
             "speculative (ragged/multi-token) steps need the 5-D cache: "
             "build the decoder with flat_self_cache=False"
         )
@@ -1148,15 +1224,16 @@ class TextDecoder(nn.Module):
             "dense cross K/V across beams instead"
         )
         if self.scan_layers:
-            # The big stacked tensors (quantized cross K/V; the flat self
-            # cache) are scan-BROADCAST; peeling them as xs makes XLA
+            # The big stacked tensors (quantized cross K/V; the packed self
+            # caches) are scan-BROADCAST; peeling them as xs makes XLA
             # slice-copy a layer's whole K/V every token (~1.7 ms/step at
             # medium/batch 32/int4 — profiled). The Pallas kernels index
             # the layer themselves via layer_idx.
-            flat = self._flat_self
+            packed_self = layout in ("flat", "tmin")
+            kw_self = "self_tmin" if layout == "tmin" else "self_flat"
             idxs = jnp.arange(self.dims.n_text_layer, dtype=jnp.int32)
-            self_big = tuple(cache) if flat else ()
-            cache_xs = () if flat else cache
+            self_big = tuple(cache) if packed_self else ()
+            cache_xs = () if packed_self else cache
             if quantized_cross:
                 k_q, k_s, v_q, v_s, v_zp, kv_len = cross
 
@@ -1167,7 +1244,7 @@ class TextDecoder(nn.Module):
                         carry, lcache, pos,
                         (kq_full, ks_l, vq_full, vs_l, vzp_l, len_l),
                         qw=qw_l, layer_idx=idx, beam_group=beam_group,
-                        self_flat=big[2:] or None,
+                        **{kw_self: big[2:] or None},
                     )
                     return y, news
 
@@ -1184,8 +1261,8 @@ class TextDecoder(nn.Module):
                     lcache, cross_l, idx, qw_l = layer_in
                     y, news = block.step(
                         carry, lcache, pos, cross_l, qw=qw_l,
-                        layer_idx=idx if flat else None,
-                        self_flat=big or None,
+                        layer_idx=idx if packed_self else None,
+                        **{kw_self: big or None},
                     )
                     return y, news
 
@@ -1212,7 +1289,23 @@ class TextDecoder(nn.Module):
             news = tuple(jnp.stack(parts) for parts in zip(*per_layer))
         # single cache write OUTSIDE the layer scan: only the (L, B, 1, ...)
         # new slices move, not the whole cache (see block.step docstring)
-        if self._flat_self:
+        if layout == "tmin":
+            # news: (L, b, n_state) per leaf -> one time-minor lane column
+            # at pos (measured free: XLA's in-place DUS writes only the
+            # touched sub-tiles)
+            L_, b_ = news[0].shape[:2]
+            hd = self.dims.n_text_state // self.dims.n_text_head
+            cache = tuple(
+                jax.lax.dynamic_update_slice(
+                    buf,
+                    n.reshape(L_, b_, self.dims.n_text_head, hd, 1).astype(
+                        buf.dtype
+                    ),
+                    (0, 0, 0, 0, pos),
+                )
+                for buf, n in zip(cache, news)
+            )
+        elif layout == "flat":
             # news: (L, b, n_state) per leaf -> one packed row at pos;
             # int8 form quantizes ONCE here, outside the layer scan
             if self._flat_quant:

@@ -77,20 +77,20 @@ def unpack_int4(packed: jax.Array) -> jax.Array:
 
 
 def _kernel(
-    meta_ref,  # (2,) int32 scalar-prefetch: [layer index, true kv length]
+    meta_ref,  # (3,) int32 scalar-prefetch: [layer, true kv length, chunks]
     q_ref,  # (h, d) f32
     kt_ref,  # (h, d, block_t) int8/bf16/f32
     vt_ref,  # (h, d, block_t)
-    o_ref,  # (h, d)
-    m_ref,  # scratch (h, 1) f32
-    l_ref,  # scratch (h, 1) f32
-    acc_ref,  # scratch (h, d) f32
-    *,
+    *refs,  # o [, ms, ls], then scratch m, l, acc
     block_t: int,
     packed: bool = False,
+    with_state: bool = False,
 ):
+    if with_state:
+        o_ref, ms_ref, ls_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        o_ref, m_ref, l_ref, acc_ref = refs
     j = pl.program_id(1)
-    nj = pl.num_programs(1)
     h, d = q_ref.shape
 
     @pl.when(j == 0)
@@ -143,25 +143,25 @@ def _kernel(
     l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + pv
 
-    @pl.when(j == nj - 1)
+    @pl.when(j == meta_ref[2] - 1)
     def _():
         o_ref[:] = (
             acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
         ).astype(o_ref.dtype)
+        if with_state:
+            ms_ref[:] = m_ref[:]
+            ls_ref[:] = l_ref[:]
 
 
 def _kernel_grouped(
-    meta_ref,  # (2,) int32 scalar-prefetch: [layer index, true kv length]
+    meta_ref,  # (3,) int32 scalar-prefetch: [layer, true kv length, chunks]
     q_ref,  # (h, g, d) f32 — g beam queries per head, shared K/V
     kt_ref,  # (h, d[/2], block_t) int8/bf16/f32
     vt_ref,  # (h, d[/2], block_t)
-    o_ref,  # (h, g, d)
-    m_ref,  # scratch (h*g, 1) f32
-    l_ref,  # scratch (h*g, 1) f32
-    acc_ref,  # scratch (h*g, d) f32
-    *,
+    *refs,  # o [, ms, ls], then scratch m, l, acc
     block_t: int,
     packed: bool = False,
+    with_state: bool = False,
 ):
     """Beam-grouped variant of ``_kernel``: one program attends ``g`` query
     rows (the beams of one utterance) against a SINGLE K/V read — the
@@ -185,8 +185,11 @@ def _kernel_grouped(
     documented (docs/KERNELS.md §7); ``mxu=False`` on the wrapper is the
     full-precision escape hatch for the ungrouped path.
     """
+    if with_state:
+        o_ref, ms_ref, ls_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        o_ref, m_ref, l_ref, acc_ref = refs
     j = pl.program_id(1)
-    nj = pl.num_programs(1)
     h, g, d = q_ref.shape
 
     @pl.when(j == 0)
@@ -243,16 +246,22 @@ def _kernel_grouped(
     l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + pv.reshape(h * g, d)
 
-    @pl.when(j == nj - 1)
+    @pl.when(j == meta_ref[2] - 1)
     def _():
         o_ref[:] = (
             acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
         ).reshape(h, g, d).astype(o_ref.dtype)
+        if with_state:
+            ms_ref[:] = m_ref[:]
+            ls_ref[:] = l_ref[:]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_t", "interpret", "packed_int4", "group", "mxu"),
+    static_argnames=(
+        "block_t", "interpret", "packed_int4", "group", "mxu",
+        "dynamic_grid", "return_state",
+    ),
 )
 def decode_cross_attention(
     q: jax.Array,  # (batch, heads, head_dim); (batch, heads, group, head_dim) if group > 1
@@ -267,6 +276,8 @@ def decode_cross_attention(
     packed_int4: bool = False,
     group: int = 1,  # beam queries per K/V row (beam search shares K/V)
     mxu: bool = True,  # group=1: ride the grouped MXU kernel via a dup row
+    dynamic_grid: bool = False,  # grid bound = traced ceil(kv_len/block_t)
+    return_state: bool = False,  # also return the online-softmax (m, l)
 ) -> jax.Array:
     """Softmax(q·K/sqrt(d)) @ V for one query position. Returns
     (batch, heads, head_dim) in q.dtype.
@@ -344,10 +355,21 @@ def decode_cross_attention(
         t_pad = t_in + pad
     if kv_len is None:
         kv_len = t_pad if packed_int4 else t_in
+    n_chunks = t_pad // block_t
+    if dynamic_grid:
+        # only the chunks holding live positions run (and are DMA'd): the
+        # growing self-KV cache is mostly padding early in a decode session
+        live = jnp.clip(
+            (jnp.asarray(kv_len, jnp.int32) + block_t - 1) // block_t,
+            1, n_chunks,
+        )
+    else:
+        live = jnp.int32(n_chunks)
     meta = jnp.stack(
         [
             jnp.asarray(0 if layer_idx is None else layer_idx, jnp.int32),
             jnp.asarray(kv_len, jnp.int32),
+            live,
         ]
     )
 
@@ -367,32 +389,51 @@ def decode_cross_attention(
         out_shape = (b, h, group, d)
         rows = h * group
         kernel = functools.partial(
-            _kernel_grouped, block_t=block_t, packed=packed_int4
+            _kernel_grouped, block_t=block_t, packed=packed_int4,
+            with_state=return_state,
         )
     else:
         q_spec = pl.BlockSpec((None, h, d), lambda i, j, m: (i, 0, 0))
         out_shape = (b, h, d)
         rows = h
         kernel = functools.partial(
-            _kernel, block_t=block_t, packed=packed_int4
+            _kernel, block_t=block_t, packed=packed_int4,
+            with_state=return_state,
         )
+    out_specs = [q_spec]
+    # when the caller merges further terms (the self-KV new token), the
+    # attended output rides out in f32 so the merge is exact
+    out_shapes = [
+        jax.ShapeDtypeStruct(
+            out_shape, jnp.float32 if return_state else q.dtype
+        )
+    ]
+    if return_state:
+        assert k_scale is None and v_scale is None, (
+            "return_state is for the dense (unscaled) self-KV path; fold "
+            "scales outside after the merge instead"
+        )
+        st_spec = pl.BlockSpec((None, rows, 1), lambda i, j, m: (i, 0, 0))
+        out_specs += [st_spec, st_spec]
+        out_shapes += [jax.ShapeDtypeStruct((b, rows, 1), jnp.float32)] * 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, t_pad // block_t),
+        grid=(b, live) if dynamic_grid else (b, n_chunks),
         in_specs=[q_spec, kv_spec, kv_spec],
-        out_specs=q_spec,
+        out_specs=out_specs if return_state else out_specs[0],
         scratch_shapes=[
             pltpu.VMEM((rows, 1), jnp.float32),
             pltpu.VMEM((rows, 1), jnp.float32),
             pltpu.VMEM((rows, d), jnp.float32),
         ],
     )
-    out = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(out_shape, q.dtype),
+        out_shape=out_shapes if return_state else out_shapes[0],
         interpret=interpret,
     )(meta, qs, kt, vt)
+    out, state = (res[0], res[1:]) if return_state else (res, ())
 
     if squeeze_g:
         out = out[:, :, 0]  # back to the ungrouped (b, h, d) layout
@@ -401,4 +442,13 @@ def decode_cross_attention(
         if group > 1 and not squeeze_g:
             vs = vs[:, :, None, :]
         out = (out.astype(jnp.float32) * vs).astype(q.dtype)
+    if return_state:
+        # (b, rows, 1) -> (b, h[, g]); the dup route's two rows are
+        # identical — return the first
+        m_st, l_st = (
+            x.reshape(b, h, -1)[:, :, 0] if (squeeze_g or group == 1)
+            else x.reshape(b, h, group)
+            for x in state
+        )
+        return out, m_st, l_st
     return out

@@ -23,10 +23,18 @@ against a constant 0/1 head-map ``E[lane, g] = (lane // head_dim == g)``:
 - expand:  w[b, p, lane] = (P @ E^T)[b, p, lane] replicates each head's
   softmax weight across its head_dim lanes for the V accumulation.
 
-Both are tiny MXU ops with a shared constant operand, run at
-``precision=HIGHEST`` so the f32 operands are not silently truncated to
-one bf16 pass (the same default-precision trap that bit the beam-reorder
-one-hot matmul, docs/KERNELS.md §5).
+Both are tiny MXU ops with a shared constant operand, run at DEFAULT
+precision: one bf16 MXU pass. E's 0/1 entries are bf16-exact, so only
+the A-operand values (k·q products, softmax weights) lose mantissa below
+2^-8 — the same documented deviation class as the greedy cross-attention
+MXU route (decode_attention.py), and measured bit-identical at the
+kernel's bf16 output across a 50-step chain. This is NOT the
+beam-reorder one-hot trap (docs/KERNELS.md §5): there the payload rides
+the matmul at full mantissa and HIGHEST is required. Precision is the
+kernel's dominant cost, not bandwidth: HIGHEST ran the f32 A-operands
+through 6 MXU passes and measured 4.84 ms per medium/b64 24-layer token
+vs **1.80 ms** at DEFAULT + a 12 MB VMEM budget (the kernel is
+compute-bound, ~320 GB/s effective — profiled round 2).
 
 The new token's K/V are NOT in the cache yet when the kernel runs (the
 caller writes them after the layer scan, whisper modules.py step
@@ -68,8 +76,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_POS = 8  # cache positions per grid step
+VMEM_BUDGET = 12 * 1024 * 1024  # per-block working-set cap for batch tiling
 
-_HI = jax.lax.Precision.HIGHEST
+_HI = jax.lax.Precision.HIGHEST  # beam-reorder-style payload matmuls only
+_DEFAULT = jax.lax.Precision.DEFAULT  # 0/1-operand head-map dots (module docstring)
 
 
 def _head_map(n_state: int, heads: int) -> jax.Array:
@@ -119,14 +129,14 @@ def _kernel(
         return jax.lax.dot_general(
             sc.reshape(b * p, 128), _scale_map(heads, offset),
             (((1,), (0,)), ((), ())),
-            precision=_HI, preferred_element_type=jnp.float32,
+            precision=_DEFAULT, preferred_element_type=jnp.float32,
         ).reshape(b, p, heads)
 
     def reduce_heads(x):  # (b, p, n_state) -> (b, p, heads): per-head sums
         p = x.shape[1]
         return jax.lax.dot_general(
             x.reshape(b * p, n_state), E, (((1,), (0,)), ((), ())),
-            precision=_HI, preferred_element_type=jnp.float32,
+            precision=_DEFAULT, preferred_element_type=jnp.float32,
         ).reshape(b, p, heads)
 
     def expand_heads(x):  # (b[, p], heads) -> (b[, p], n_state)
@@ -134,7 +144,7 @@ def _kernel(
         flat = x.reshape(-1, heads)
         return jax.lax.dot_general(
             flat, E, (((1,), (1,)), ((), ())),
-            precision=_HI, preferred_element_type=jnp.float32,
+            precision=_DEFAULT, preferred_element_type=jnp.float32,
         ).reshape(*lead, n_state)
 
     q = q_ref[:].astype(jnp.float32) * (hd**-0.5)  # (b, n_state)
@@ -186,6 +196,50 @@ def _kernel(
         ) * vn_ref[:].astype(jnp.float32)
         den = expand_heads(jnp.maximum(l_fin, 1e-30))
         o_ref[:] = (num / den).astype(o_ref.dtype)
+
+
+def decode_self_attention_tmin(
+    q3: jax.Array,  # (batch, heads, head_dim) current query, UNSCALED
+    k_new: jax.Array,  # (batch, heads, head_dim) current-token K (not cached)
+    v_new: jax.Array,
+    cache: tuple,  # (k, v): (layers, batch, heads, head_dim, T_pad) fp
+    pos: jax.Array,  # scalar int32: cache positions [0, pos) are live
+    layer_idx: jax.Array,  # scalar int32 layer slab
+    block_t: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Decode self-attention over the TIME-MINOR (layers, b, h, d, T) cache.
+
+    This layout makes the self-KV read stream the same way the quantized
+    cross-KV does — time in the lane (minor) dim, ~0.6-0.7 of the
+    single-stream HBM roofline — instead of the packed flat layout's
+    2 KB sublane-major rows (measured 3.15 vs 4.8 ms per medium/b64
+    24-layer token at pos=130 even while reading the full padded length;
+    docs/KERNELS.md §6). The read itself IS ``decode_cross_attention``
+    (grouped-MXU route, traced live-chunk grid via ``dynamic_grid``, the
+    online-softmax state returned via ``return_state``); the new token —
+    not yet in the cache, which is written by the caller outside the layer
+    scan — merges here in exact f32, mirroring the flat kernel's
+    last-chunk merge semantics.
+    """
+    from .decode_attention import decode_cross_attention
+
+    kc, vc = cache
+    o, m, l = decode_cross_attention(
+        q3, kc, vc, kv_len=pos, layer_idx=layer_idx, block_t=block_t,
+        interpret=interpret, dynamic_grid=True, return_state=True,
+    )  # o (b, h, d) f32 normalized; m/l (b, h) f32
+    d = q3.shape[-1]
+    qf = q3.astype(jnp.float32) * (d ** -0.5)
+    s_new = jnp.sum(qf * k_new.astype(jnp.float32), axis=-1)  # (b, h)
+    m_fin = jnp.maximum(m, s_new)
+    lw = jnp.exp(m - m_fin) * l  # cache side's reweighted normalizer
+    p_new = jnp.exp(s_new - m_fin)
+    den = jnp.maximum(lw + p_new, 1e-30)[..., None]
+    out = (
+        o * lw[..., None] + p_new[..., None] * v_new.astype(jnp.float32)
+    ) / den
+    return out.astype(q3.dtype)
 
 
 def quantize_flat_kv(
@@ -255,7 +309,7 @@ def decode_self_attention(
     # working copies, ~8x the bf16 block) fit scoped VMEM: 160 beam rows
     # -> 40, greedy 32 -> untiled.
     b_tile = b
-    while b_tile * BLOCK_POS * n_state * 16 > 6 * 1024 * 1024 and (
+    while b_tile * BLOCK_POS * n_state * 16 > VMEM_BUDGET and (
         b_tile % 2 == 0
     ):
         b_tile //= 2

@@ -406,6 +406,65 @@ def test_greedy_mxu_routing_matches_vpu_kernel():
     compare(kf, vf, kv_len=jnp.int32(650))
 
 
+def test_tmin_self_attention_matches_dense_oracle():
+    """decode_self_attention_tmin (time-minor cache read via the cross
+    kernel's dynamic grid + return_state, new token merged in f32) ==
+    dense softmax over [cache[:pos]; k_new], across pos edge cases and
+    layer slabs."""
+    from robustsq_whisper_tpu.ops.self_attention import (
+        decode_self_attention_tmin,
+    )
+
+    rng = np.random.default_rng(7)
+    L, B, H, D, T = 3, 2, 4, 16, 256
+    kc = jnp.asarray(rng.standard_normal((L, B, H, D, T)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((L, B, H, D, T)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+    for pos_v, li in [(1, 0), (5, 0), (128, 1), (130, 1), (255, 2)]:
+        out = decode_self_attention_tmin(
+            q, kn, vn, (kc, vc), jnp.int32(pos_v), jnp.int32(li),
+            interpret=True,
+        )
+        k_all = jnp.concatenate(
+            [kc[li, :, :, :, :pos_v], kn[..., None]], axis=-1
+        )
+        v_all = jnp.concatenate(
+            [vc[li, :, :, :, :pos_v], vn[..., None]], axis=-1
+        )
+        s = jnp.einsum("bhd,bhdt->bht", q, k_all) * (D ** -0.5)
+        ref = jnp.einsum(
+            "bht,bhdt->bhd", jax.nn.softmax(s, axis=-1), v_all
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6,
+            err_msg=f"pos={pos_v} layer={li}",
+        )
+
+
+def test_tmin_greedy_matches_flat_layout(dec_and_params):
+    """Greedy decode on the time-minor self cache (opt-in; its per-token
+    lane-column write measured ~128x-amplified, so flat is the default) ==
+    the flat-layout cache, dense and fully-quantized (int8 cross +
+    W8A8 step weights)."""
+    dec_flat, variables, memory, prompt = dec_and_params
+    dec = dataclasses.replace(dec_flat, tmin_self_cache=True)
+    for kw in (
+        dict(),
+        dict(quantize_cross_kv=True, quantize_weights=True),
+    ):
+        cfg = dataclasses.replace(CFG, max_new_tokens=6, **kw)
+        t_t, s_t = build_greedy_decoder(dec, variables, cfg)(memory, prompt)
+        t_f, s_f = build_greedy_decoder(dec_flat, variables, cfg)(
+            memory, prompt
+        )
+        np.testing.assert_array_equal(np.asarray(t_t), np.asarray(t_f))
+        np.testing.assert_allclose(
+            np.asarray(s_t), np.asarray(s_f), rtol=1e-5, atol=1e-5
+        )
+
+
 def test_beam_reorder_cache_matches_take():
     """DMA row-copy cache reorder == jnp.take along the rows axis, for a
     dense 2-leaf cache and a mixed-dtype 4-leaf (int8 + fp32 scales) one."""
