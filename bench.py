@@ -184,6 +184,7 @@ def main():
         num_query_tokens=16,
         num_hidden_layers=2,
         use_flash_attention=os.environ.get("BENCH_FLASH", "1") == "1",
+        flash_tmaj=os.environ.get("BENCH_FLASH_TMAJ", "1") == "1",
         gelu_approx=os.environ.get("BENCH_GELU_APPROX", "1") == "1",
     )
     # Device-init watchdog: if the tunneled-TPU relay is down, jax.devices()

@@ -45,6 +45,14 @@ def main(argv=None):
         "pass false to decode on the XLA path, e.g. for numerics debugging)",
     )
     parser.add_argument(
+        "--flash_tmaj", type=_str2bool, default=True,
+        help="transposed-layout flash self-attention (inference): q/k/v "
+        "projections emit (b, n_state, T) straight into the (bh, d, T) "
+        "kernel, eliminating the per-layer head-split layout copies "
+        "(~12%% off a medium encoder layer, KERNELS.md §8). Only active "
+        "when --use_flash is true; same online-softmax math",
+    )
+    parser.add_argument(
         "--use_ave", type=_str2bool, default=True,
         help="decode from the averaged n-best checkpoint when present "
         "(the reference stage 12 decodes valid.acc.ave); pass false for "
@@ -194,6 +202,7 @@ def main(argv=None):
         exp, ts=dataclasses.replace(
             exp.ts,
             use_flash_attention=bool(args.use_flash),
+            flash_tmaj=bool(args.use_flash) and bool(args.flash_tmaj),
             gelu_approx=bool(args.gelu_approx),
         )
     )

@@ -208,6 +208,12 @@ class MultiHeadAttention(nn.Module):
     # attention): 8 = int8, 4 = packed int4 (two values/byte — half the HBM
     # read of the decode loop's dominant term, see ops/decode_attention.py)
     kv_bits: int = 8
+    # transposed-layout flash self-attention (inference): the q/k/v
+    # projections emit (b, n_state, T) directly into the (bh, d, T) kernel,
+    # eliminating the four head-split layout copies per layer the row-major
+    # kernel forces (~4.9 ms/layer at medium b64 — KERNELS.md §8). Forward
+    # only: training keeps the differentiable row-major kernel.
+    flash_tmaj: bool = False
 
     def setup(self):
         self.query = nn.Dense(self.n_state, dtype=self.dtype, name="query")
@@ -379,12 +385,55 @@ class MultiHeadAttention(nn.Module):
             return qmatmul(o, *qw["out"], out_dtype=self.dtype)
         return self.out(o)
 
+    def self_attend_tmaj(self, x: jax.Array) -> jax.Array:
+        """Self-attention via the transposed-layout flash kernel.
+
+        The projections run as ``btc,cf->bft`` einsums whose TRANSPOSED
+        output layout fuses into the dot itself, the head split/merge
+        around the kernel is a free major-axis reshape, and only the out
+        projection restores (b, T, C) — so the four per-layer
+        (b, T, h, d) <-> (b*h, T, d) copies of the row-major wrapper never
+        materialize while the residual stream (LN/MLP fusions) stays
+        row-major. Measured: 28.5 -> 25.0 ms per medium encoder layer at
+        batch 64 (KERNELS.md §8)."""
+        b, t, _ = x.shape
+        h, d = self.n_head, self.n_state // self.n_head
+        dt = self.dtype
+        pq = self.query.variables["params"]
+        pv = self.value.variables["params"]
+        wk = self.key.variables["params"]["kernel"].astype(dt)
+        proj = lambda w: jnp.einsum("btc,cf->bft", x, w.astype(dt))
+        q = proj(pq["kernel"]) + pq["bias"].astype(dt)[None, :, None]
+        k = proj(wk)
+        v = proj(pv["kernel"]) + pv["bias"].astype(dt)[None, :, None]
+
+        from ...ops.flash_attention import flash_attention_tmaj
+
+        th = lambda z: z.reshape(b * h, d, t)
+        o = flash_attention_tmaj(
+            th(q), th(k), th(v), interpret=jax.default_backend() == "cpu"
+        ).reshape(b, self.n_state, t)
+        po = self.out.variables["params"]
+        return (
+            jnp.einsum("bft,fc->btc", o, po["kernel"].astype(dt))
+            + po["bias"].astype(dt)
+        )
+
     def __call__(
         self,
         x: jax.Array,
         xa: Optional[jax.Array] = None,
         mask: Optional[jax.Array] = None,
     ) -> jax.Array:
+        if (
+            self.flash_tmaj
+            and self.use_flash
+            and xa is None
+            and mask is None
+            and x.shape[1] >= 256
+            and not self.is_initializing()
+        ):
+            return self.self_attend_tmaj(x)
         k, v = self.kv(x if xa is None else xa)
         return self.attend(x, k, v, mask=mask)
 
@@ -395,6 +444,7 @@ class ResidualAttentionBlock(nn.Module):
     cross_attention: bool = False
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    flash_tmaj: bool = False  # transposed-layout flash (inference; see MHA)
     cross_kv_bits: int = 8  # quantized decode cross-KV width (8 or 4)
     # tanh-approximate GELU (~1e-3 abs deviation): the exact erf lowers to a
     # double-evaluated f32 erfc polynomial + sign-bit pack fused into the fc2
@@ -406,7 +456,8 @@ class ResidualAttentionBlock(nn.Module):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
         self.attn_ln = ln("attn_ln")
         self.attn = MultiHeadAttention(
-            self.n_state, self.n_head, self.dtype, self.use_flash, name="attn"
+            self.n_state, self.n_head, self.dtype, self.use_flash,
+            flash_tmaj=self.flash_tmaj, name="attn",
         )
         if self.cross_attention:
             self.cross_attn_ln = ln("cross_attn_ln")
@@ -755,6 +806,7 @@ class AudioEncoder(nn.Module):
     dtype: Dtype = jnp.float32
     scan_layers: bool = True
     use_flash: bool = False
+    flash_tmaj: bool = False  # transposed-layout flash (inference; see MHA)
     remat: bool = False  # rematerialize blocks in backward (training memory)
     gelu_approx: bool = False  # tanh GELU (inference; see block docstring)
 
@@ -785,15 +837,15 @@ class AudioEncoder(nn.Module):
             )
             self.block = block_cls(
                 d.n_audio_state, d.n_audio_head, dtype=self.dtype,
-                use_flash=self.use_flash, gelu_approx=self.gelu_approx,
-                name="block",
+                use_flash=self.use_flash, flash_tmaj=self.flash_tmaj,
+                gelu_approx=self.gelu_approx, name="block",
             )
         else:
             self.blocks = [
                 ResidualAttentionBlock(
                     d.n_audio_state, d.n_audio_head, dtype=self.dtype,
-                    use_flash=self.use_flash, gelu_approx=self.gelu_approx,
-                    name=f"blocks_{i}",
+                    use_flash=self.use_flash, flash_tmaj=self.flash_tmaj,
+                    gelu_approx=self.gelu_approx, name=f"blocks_{i}",
                 )
                 for i in range(d.n_audio_layer)
             ]

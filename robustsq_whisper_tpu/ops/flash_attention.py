@@ -433,3 +433,110 @@ def flash_attention(
 ) -> jax.Array:
     """Differentiable flash attention (forward + flash backward)."""
     return _flash(block_q, block_k, interpret, q, k, v, mask)
+
+
+def _attn_kernel_tmaj(
+    q_ref,  # (head_dim, block_q) — lanes are TIME, sublanes are channels
+    k_ref,  # (head_dim, block_k)
+    v_ref,  # (head_dim, block_k)
+    o_ref,  # (head_dim, block_q)
+    m_sc,  # scratch (1, block_q) f32 running max
+    l_sc,  # scratch (1, block_q) f32 running denominator
+    acc_sc,  # scratch (head_dim, block_q) f32
+    *,
+    scale: float,
+    block_k: int,
+    kv_len: int,
+):
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_sc[:] = jnp.full_like(m_sc, NEG_INF)
+        l_sc[:] = jnp.zeros_like(l_sc)
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+
+    q = q_ref[:].astype(jnp.float32) * scale
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+    # zero the ragged kv tail of V (kv positions are COLUMNS here); a
+    # 0-weighted uninitialized row still poisons the v @ p accumulate
+    col_v = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1) + j * block_k
+    v = jnp.where(col_v < kv_len, v, 0.0)
+    # transposed score matrix: rows are kv positions, columns are queries
+    s = jax.lax.dot_general(
+        k, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_k, block_q)
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + j * block_k
+    s = jnp.where(row < kv_len, s, NEG_INF)
+
+    m_prev, l_prev = m_sc[:], l_sc[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    m_sc[:] = m_new
+    l_sc[:] = l_prev * alpha + jnp.sum(p, axis=0, keepdims=True)
+    acc_sc[:] = acc_sc[:] * alpha + jax.lax.dot_general(
+        v, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (head_dim, block_q)
+
+    @pl.when(j == nj - 1)
+    def _():
+        o_ref[:] = (acc_sc[:] / jnp.maximum(l_sc[:], 1e-30)).astype(o_ref.dtype)
+
+
+def flash_attention_tmaj(
+    q: jax.Array,  # (batch*heads, head_dim, seq) — transposed layout
+    k: jax.Array,
+    v: jax.Array,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jax.Array:
+    """Forward-only flash attention in the TRANSPOSED (bh, head_dim, T)
+    layout: lanes are time, sublanes are channels, the score matrix is
+    (kv, q).
+
+    Why it exists: the row-major kernel above forces its producers into
+    (b*h, T, d) — four (b, T, n_state) <-> head-split transposes per encoder
+    layer, ~4.9 ms/layer at medium batch 64 (KERNELS.md §8: "the wrapper
+    transposes"). In this layout the q/k/v projections emit (b, n_state, T)
+    DIRECTLY (the transpose fuses into the projection dot's output layout)
+    and the head split/merge around the kernel is a free major-axis reshape.
+    Measured on chip (medium layer shapes, b64): hybrid encoder layer
+    24.96 ms vs 28.49 ms row-major — the §8 estimate realized without the
+    full channels-major residual-stream rewrite.
+
+    Same math as ``flash_attention`` (scale inside, f32 online softmax,
+    ragged tails masked in-kernel, no wrapper padding). Inference-only: no
+    VJP is defined — training keeps the differentiable row-major kernel.
+    """
+    bh, d, t = q.shape
+    block_q = min(block_q, max(t, 128))
+    block_k = min(block_k, max(t, 128))
+    nq, nk = pl.cdiv(t, block_q), pl.cdiv(t, block_k)
+    kernel = functools.partial(
+        _attn_kernel_tmaj, scale=d**-0.5, block_k=block_k, kv_len=t
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((None, d, block_q), lambda i, qi, ki: (i, 0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, d, block_k), lambda i, qi, ki: (i, 0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, d, block_k), lambda i, qi, ki: (i, 0, ki),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, d, block_q), lambda i, qi, ki: (i, 0, qi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, d, t), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((1, block_q), jnp.float32),
+            pltpu.VMEM((1, block_q), jnp.float32),
+            pltpu.VMEM((d, block_q), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)

@@ -187,3 +187,45 @@ def test_bf16_path():
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+@pytest.mark.parametrize("t", [256, 300])
+def test_tmaj_matches_oracle(t):
+    """Transposed-layout forward kernel == XLA oracle (incl. ragged tail)."""
+    from robustsq_whisper_tpu.ops.flash_attention import flash_attention_tmaj
+
+    b, h, d = 2, 2, 32
+    q = _rand((b, t, h, d), 20)
+    k = _rand((b, t, h, d), 21)
+    v = _rand((b, t, h, d), 22)
+    ref = dot_product_attention(q, k, v)
+    tm = lambda z: z.transpose(0, 2, 3, 1).reshape(b * h, d, t)
+    out = flash_attention_tmaj(
+        tm(q), tm(k), tm(v), block_q=128, block_k=128, interpret=True
+    )
+    out = out.reshape(b, h, d, t).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_encoder_block_tmaj_route_matches_rowmajor():
+    """ResidualAttentionBlock(flash_tmaj=True) == the row-major flash route.
+
+    Same params, same input; only the attention-internals layout differs
+    (projection dots emit transposed outputs, (kv, q) score matrix)."""
+    from robustsq_whisper_tpu.models.whisper.modules import (
+        ResidualAttentionBlock,
+    )
+
+    b, t, c, h = 2, 288, 64, 4
+    x = _rand((b, t, c), 23) * 0.1
+    base = ResidualAttentionBlock(c, h, use_flash=True)
+    variables = base.init(jax.random.PRNGKey(0), x)
+    y_rm = base.apply(variables, x)
+    y_tm = ResidualAttentionBlock(c, h, use_flash=True, flash_tmaj=True).apply(
+        variables, x
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_tm), np.asarray(y_rm), rtol=2e-4, atol=2e-4
+    )
