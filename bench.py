@@ -77,7 +77,11 @@ def bench_train(model_name: str, dims, ts) -> dict | None:
     import dataclasses
 
     # training keeps the exact reference GELU (gelu_approx is inference-only)
-    ts_train = dataclasses.replace(ts, remat=True, gelu_approx=False)
+    # and the row-major flash route (the tmaj VJP is a correctness fallback
+    # that pays a forward recompute — not the training operating point)
+    ts_train = dataclasses.replace(
+        ts, remat=True, gelu_approx=False, flash_tmaj=False
+    )
     model = TSASRModel(
         dims, ts_train, TSModelConfig(), dtype=jnp.bfloat16
     )

@@ -163,12 +163,13 @@ class TSEncoderConfig:
     # one v5e chip — safe and profitable for BOTH training and decode.
     # Default False so tiny CPU test configs skip the interpret-mode kernel.
     use_flash_attention: bool = False
-    # transposed-layout flash self-attention (inference only — no VJP):
-    # projections emit (b, n_state, T) straight into the (bh, d, T) kernel,
-    # killing the four per-layer head-split copies of the row-major wrapper
-    # (measured 28.5 -> 25.0 ms/layer, medium b64; KERNELS.md §8). Requires
-    # ``use_flash_attention``; ignored (with the row-major kernel used) when
-    # gradients are needed.
+    # transposed-layout flash self-attention (the inference operating
+    # point): projections emit (b, n_state, T) straight into the (bh, d, T)
+    # kernel, killing the four per-layer head-split copies of the row-major
+    # wrapper (measured 28.5 -> 25.0 ms/layer, medium b64; KERNELS.md §8).
+    # Requires ``use_flash_attention``. Differentiable via a fallback VJP
+    # (row-major flash backward + a forward recompute) — correct under
+    # grad, but training configs should leave this False for speed.
     flash_tmaj: bool = False
     remat: bool = False  # rematerialize encoder blocks in backward
     # tanh-approximate GELU in the encoder blocks + conv stem (~1e-3 abs

@@ -208,11 +208,12 @@ class MultiHeadAttention(nn.Module):
     # attention): 8 = int8, 4 = packed int4 (two values/byte — half the HBM
     # read of the decode loop's dominant term, see ops/decode_attention.py)
     kv_bits: int = 8
-    # transposed-layout flash self-attention (inference): the q/k/v
-    # projections emit (b, n_state, T) directly into the (bh, d, T) kernel,
-    # eliminating the four head-split layout copies per layer the row-major
-    # kernel forces (~4.9 ms/layer at medium b64 — KERNELS.md §8). Forward
-    # only: training keeps the differentiable row-major kernel.
+    # transposed-layout flash self-attention (inference operating point):
+    # the q/k/v projections emit (b, n_state, T) directly into the
+    # (bh, d, T) kernel, eliminating the four head-split layout copies per
+    # layer the row-major kernel forces (~4.9 ms/layer at medium b64 —
+    # KERNELS.md §8). Differentiable via a fallback VJP (row-major flash
+    # backward); training configs keep this False for speed.
     flash_tmaj: bool = False
 
     def setup(self):

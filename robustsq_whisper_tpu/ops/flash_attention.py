@@ -486,32 +486,7 @@ def _attn_kernel_tmaj(
         o_ref[:] = (acc_sc[:] / jnp.maximum(l_sc[:], 1e-30)).astype(o_ref.dtype)
 
 
-def flash_attention_tmaj(
-    q: jax.Array,  # (batch*heads, head_dim, seq) — transposed layout
-    k: jax.Array,
-    v: jax.Array,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
-    interpret: bool = False,
-) -> jax.Array:
-    """Forward-only flash attention in the TRANSPOSED (bh, head_dim, T)
-    layout: lanes are time, sublanes are channels, the score matrix is
-    (kv, q).
-
-    Why it exists: the row-major kernel above forces its producers into
-    (b*h, T, d) — four (b, T, n_state) <-> head-split transposes per encoder
-    layer, ~4.9 ms/layer at medium batch 64 (KERNELS.md §8: "the wrapper
-    transposes"). In this layout the q/k/v projections emit (b, n_state, T)
-    DIRECTLY (the transpose fuses into the projection dot's output layout)
-    and the head split/merge around the kernel is a free major-axis reshape.
-    Measured on chip (medium layer shapes, b64): hybrid encoder layer
-    24.96 ms vs 28.49 ms row-major — the §8 estimate realized without the
-    full channels-major residual-stream rewrite.
-
-    Same math as ``flash_attention`` (scale inside, f32 online softmax,
-    ragged tails masked in-kernel, no wrapper padding). Inference-only: no
-    VJP is defined — training keeps the differentiable row-major kernel.
-    """
+def _tmaj_fwd_impl(q, k, v, block_q, block_k, interpret):
     bh, d, t = q.shape
     block_q = min(block_q, max(t, 128))
     block_k = min(block_k, max(t, 128))
@@ -540,3 +515,62 @@ def flash_attention_tmaj(
         ],
         interpret=interpret,
     )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _flash_tmaj(block_q, block_k, interpret, q, k, v):
+    return _tmaj_fwd_impl(q, k, v, block_q, block_k, interpret)
+
+
+def _flash_tmaj_fwd(block_q, block_k, interpret, q, k, v):
+    return _tmaj_fwd_impl(q, k, v, block_q, block_k, interpret), (q, k, v)
+
+
+def _flash_tmaj_bwd(block_q, block_k, interpret, res, g):
+    # Fallback backward: transpose to the row-major layout (bh as batch,
+    # one head) and differentiate through the row-major flash VJP. Pays a
+    # forward recompute + six transposes — training configs default to the
+    # row-major route; this exists so a decode-tuned config with
+    # flash_tmaj=True still trains correctly instead of failing to trace.
+    q, k, v = res
+    rm = lambda z: z.transpose(0, 2, 1)[:, :, None, :]  # (bh, t, 1, d)
+    _, vjp = jax.vjp(
+        lambda a, b, c: _flash(block_q, block_k, interpret, a, b, c, None),
+        rm(q), rm(k), rm(v),
+    )
+    dq, dk, dv = vjp(rm(g))
+    tm = lambda z: z[:, :, 0, :].transpose(0, 2, 1)
+    return tm(dq), tm(dk), tm(dv)
+
+
+_flash_tmaj.defvjp(_flash_tmaj_fwd, _flash_tmaj_bwd)
+
+
+def flash_attention_tmaj(
+    q: jax.Array,  # (batch*heads, head_dim, seq) — transposed layout
+    k: jax.Array,
+    v: jax.Array,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention in the TRANSPOSED (bh, head_dim, T) layout: lanes
+    are time, sublanes are channels, the score matrix is (kv, q).
+
+    Why it exists: the row-major kernel above forces its producers into
+    (b*h, T, d) — four (b, T, n_state) <-> head-split transposes per encoder
+    layer, ~4.9 ms/layer at medium batch 64 (KERNELS.md §8: "the wrapper
+    transposes"). In this layout the q/k/v projections emit (b, n_state, T)
+    DIRECTLY (the transpose fuses into the projection dot's output layout)
+    and the head split/merge around the kernel is a free major-axis reshape.
+    Measured on chip (medium layer shapes, b64): hybrid encoder layer
+    24.96 ms vs 28.49 ms row-major — the §8 estimate realized without the
+    full channels-major residual-stream rewrite.
+
+    Same math as ``flash_attention`` (scale inside, f32 online softmax,
+    ragged tails masked in-kernel, no wrapper padding). Differentiable via
+    a fallback VJP that routes the backward through the row-major flash
+    kernels (extra transposes + a forward recompute) — correct under grad,
+    but training configs should keep the row-major route for speed.
+    """
+    return _flash_tmaj(block_q, block_k, interpret, q, k, v)

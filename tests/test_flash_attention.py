@@ -209,6 +209,38 @@ def test_tmaj_matches_oracle(t):
     )
 
 
+def test_tmaj_grads_match_rowmajor():
+    """The tmaj fallback VJP == differentiating the row-major flash route.
+
+    A decode-tuned config with flash_tmaj=True must still TRAIN correctly:
+    the backward transposes to row-major and rides the flash VJP kernels."""
+    from robustsq_whisper_tpu.ops.flash_attention import (
+        flash_attention,
+        flash_attention_tmaj,
+    )
+
+    b, h, t, d = 2, 2, 256, 32
+    q = _rand((b, t, h, d), 30)
+    k = _rand((b, t, h, d), 31)
+    v = _rand((b, t, h, d), 32)
+    tm = lambda z: z.transpose(0, 2, 3, 1).reshape(b * h, d, t)
+
+    def loss_tm(q, k, v):
+        o = flash_attention_tmaj(tm(q), tm(k), tm(v), interpret=True)
+        return jnp.sum(o * o)
+
+    def loss_rm(q, k, v):
+        o = flash_attention(q, k, v, interpret=True)
+        return jnp.sum(o * o)
+
+    g_tm = jax.grad(loss_tm, argnums=(0, 1, 2))(q, k, v)
+    g_rm = jax.grad(loss_rm, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_tm, g_rm):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4
+        )
+
+
 def test_encoder_block_tmaj_route_matches_rowmajor():
     """ResidualAttentionBlock(flash_tmaj=True) == the row-major flash route.
 
