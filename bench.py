@@ -38,7 +38,9 @@ per-token step, multi-token verify chunk, early-exit draft step — and
 report the implied speedup over acceptance rate; see the sub-record note),
 BENCH_SPEC_GAMMA (speculation depth, default 4), BENCH_SPEC_DRAFT (draft
 decoder layers, default 4), BENCH_SPEC_STEPS (chained iterations per
-timing, default 32).
+timing, default 32),
+BENCH_TRACE_DIR (capture one profiled pipeline run after the timed iters;
+parse with robustsq_whisper_tpu.utils.profiling.op_stats).
 """
 
 from __future__ import annotations
@@ -329,6 +331,16 @@ def main():
         np.asarray(tokens)
         times.append(time.time() - t0)
         log(f"iter {i}: {times[-1]*1000:.1f} ms")
+
+    # BENCH_TRACE_DIR: capture one profiled pipeline run (parse with
+    # robustsq_whisper_tpu.utils.profiling.op_stats) after the timed iters.
+    trace_dir = os.environ.get("BENCH_TRACE_DIR", "")
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
+        tokens, scores = pipeline()
+        np.asarray(tokens)
+        jax.profiler.stop_trace()
+        log(f"trace written to {trace_dir}")
 
     wall = min(times)
     audio_sec = batch * seconds
