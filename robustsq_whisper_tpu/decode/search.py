@@ -58,7 +58,11 @@ class DecodeConfig:
     quantize_weights: bool = False
     # lax.while_loop early exit once every utterance emitted eot — on real
     # speech (~30-50 tokens per 30 s) this cuts decode wall time 2-3x vs the
-    # fixed-length scan; the scan is kept for beam search (simpler gather)
+    # fixed-length scan. Applies to greedy AND beam search: the beam variant
+    # preallocates the (steps, b, k) token/backpointer history and exits when
+    # every beam of every utterance is finished; the tail it never writes
+    # (eot tokens, identity backpointers) is exactly what the post-all-done
+    # scan steps would have produced, so outputs are token-identical.
     stop_early: bool = True
     # beam-search cache reorder: "dma" = the Pallas HBM->HBM row-copy kernel
     # (ops/beam_gather.py; the XLA gather lowering of jnp.take measured ~4x
@@ -317,8 +321,7 @@ def build_beam_decoder(
             (b, 1),
         )  # (b, k)
 
-        def step(carry, i):
-            logits, cache, scores, done, lengths = carry
+        def step_core(i, logits, cache, scores, done, lengths):
             # every live beam has emitted exactly i tokens at step i, so the
             # min-length eot mask is uniform; finished beams are overridden
             # to eot-only right after, unaffected by the mask
@@ -376,13 +379,56 @@ def build_beam_decoder(
                 (tok, src_beam),
             )
 
-        carry = (
-            logits, cache, scores, jnp.zeros((b, k), bool),
-            jnp.zeros((b, k), jnp.int32),
-        )
-        (_, _, final_scores, _, final_lengths), (toks, backptr) = jax.lax.scan(
-            step, carry, jnp.arange(cfg.max_new_tokens)
-        )
+        done0 = jnp.zeros((b, k), bool)
+        lengths0 = jnp.zeros((b, k), jnp.int32)
+        if cfg.stop_early:
+            # While-loop with preallocated history buffers. Once every beam
+            # of every utterance is done, each further step would emit eot
+            # with identity backpointers and unchanged scores/lengths (top_k
+            # over already-sorted finished scores is the identity permutation)
+            # — so the unwritten tail below IS the scan's tail.
+            toks0 = jnp.full((cfg.max_new_tokens, b, k), cfg.eot, jnp.int32)
+            backptr0 = jnp.broadcast_to(
+                jnp.arange(k, dtype=jnp.int32)[None, None, :],
+                (cfg.max_new_tokens, b, k),
+            )
+
+            def cond(carry):
+                i, _, _, _, done, _, _, _ = carry
+                return (i < cfg.max_new_tokens) & ~jnp.all(done)
+
+            def body(carry):
+                i, logits, cache, scores, done, lengths, toks, backptr = carry
+                (logits, cache, scores, done, lengths), (tok, src) = (
+                    step_core(i, logits, cache, scores, done, lengths)
+                )
+                toks = jax.lax.dynamic_update_slice(
+                    toks, tok[None], (i, 0, 0)
+                )
+                backptr = jax.lax.dynamic_update_slice(
+                    backptr, src.astype(jnp.int32)[None], (i, 0, 0)
+                )
+                return (
+                    i + 1, logits, cache, scores, done, lengths, toks, backptr
+                )
+
+            (_, _, _, final_scores, _, final_lengths, toks, backptr) = (
+                jax.lax.while_loop(
+                    cond,
+                    body,
+                    (0, logits, cache, scores, done0, lengths0, toks0,
+                     backptr0),
+                )
+            )
+        else:
+            def step(carry, i):
+                logits, cache, scores, done, lengths = carry
+                return step_core(i, logits, cache, scores, done, lengths)
+
+            carry = (logits, cache, scores, done0, lengths0)
+            (_, _, final_scores, _, final_lengths), (toks, backptr) = (
+                jax.lax.scan(step, carry, jnp.arange(cfg.max_new_tokens))
+            )
         # toks/backptr: (steps, b, k). Backtrace best beam per utterance.
         if cfg.length_penalty > 0.0:
             norm = final_scores / (

@@ -895,6 +895,67 @@ def test_stop_early_matches_fixed_scan(dec_and_params):
     np.testing.assert_allclose(np.asarray(sf), np.asarray(se), rtol=1e-5)
 
 
+def test_beam_stop_early_matches_fixed_scan():
+    """Beam while_loop early-exit == fixed-length scan, on a SCRIPTED decoder
+    whose every beam finishes well before max_new_tokens — so the early-exit
+    tail it never writes (eot tokens, identity backpointers) must reproduce
+    the scan's post-all-done steps. Random tiny transformers degenerate to
+    repeating one token and rarely emit a chosen eot, so the script is built
+    by construction: block output projections are zeroed (residual stream =
+    token-emb + pos-emb only) and the position embedding at position p is a
+    scaled copy of the embedding row of the token the schedule wants emitted
+    from p, making logits position-driven and history-independent."""
+    V, eot, d = 5, 4, 16
+    dims = WhisperDims(
+        n_mels=80, n_vocab=V, n_audio_ctx=8, n_audio_state=d,
+        n_audio_head=2, n_audio_layer=1, n_text_ctx=64, n_text_state=d,
+        n_text_head=2, n_text_layer=1,
+    )
+    dec = TSDecoder(dims, startofprev_token=3)
+    rng = np.random.default_rng(7)
+    memory = jnp.asarray(rng.standard_normal((2, 6, d)), jnp.float32)
+    prompt = jnp.asarray(rng.standard_normal((2, 2, d)), jnp.float32)
+    variables = dec.init(
+        jax.random.PRNGKey(7), memory, jnp.zeros((2, 2), jnp.int32), prompt
+    )
+
+    # orthogonal zero-mean embedding rows: E[t] = e_{2t} - e_{2t+1}
+    emb = np.zeros((V, d), np.float32)
+    for t in range(V):
+        emb[t, 2 * t], emb[t, 2 * t + 1] = 1.0, -1.0
+    # schedule: a few distinct tokens, then eot forever (positions >= 6
+    # all demand eot, so every beam is done regardless of prefix length)
+    sched = [3, 0, 2, 1, 3, 2] + [eot] * (64 - 6)
+    pos = 100.0 * emb[np.asarray(sched)]  # (64, d)
+
+    p = jax.tree_util.tree_map(np.array, variables["params"])
+    blk = p["decoder"]["block"]
+    for mod in ("attn", "cross_attn"):
+        blk[mod]["out"]["kernel"][:] = 0.0
+        blk[mod]["out"]["bias"][:] = 0.0
+    blk["mlp_fc2"]["kernel"][:] = 0.0
+    blk["mlp_fc2"]["bias"][:] = 0.0
+    p["decoder"]["ln"]["scale"][:] = 1.0
+    p["decoder"]["ln"]["bias"][:] = 0.0
+    p["decoder"]["token_embedding"]["embedding"] = 10.0 * emb
+    p["decoder"]["positional_embedding"] = pos
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, p)}
+
+    base = dict(max_new_tokens=16, eot=eot, init_tokens=(1,), beam_size=3)
+    tf_, sf = build_beam_decoder(
+        dec, variables, DecodeConfig(**base, stop_early=False)
+    )(memory, prompt)
+    te, se = build_beam_decoder(
+        dec, variables, DecodeConfig(**base, stop_early=True)
+    )(memory, prompt)
+    # the construction must actually terminate every returned hypothesis
+    # early, or the while/scan tails were never compared
+    first_eot = [list(map(int, row)).index(eot) for row in np.asarray(tf_)]
+    assert max(first_eot) <= 8, f"script failed to terminate: {first_eot}"
+    np.testing.assert_array_equal(np.asarray(tf_), np.asarray(te))
+    np.testing.assert_allclose(np.asarray(sf), np.asarray(se), rtol=1e-5)
+
+
 @pytest.mark.slow
 def test_beam_matches_exhaustive_search():
     """With beam width >= V^(L-1), beam search must find the globally best
