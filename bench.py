@@ -16,8 +16,15 @@ Prints ONE JSON line to stdout; all logging goes to stderr.
 Env knobs: BENCH_GELU_APPROX (tanh-approximate encoder GELU, default 1 —
 the serving default; 0 restores the reference's exact erf GELU),
 BENCH_MODEL (tiny|base|small|medium, default medium),
-BENCH_BATCH (default 64 — no longer OOMs with the flat self-KV cache and
-measures +3.7% over 32; beam-5 serving is ~neutral between the two),
+BENCH_BATCH (default 128 — the measured-best greedy operating point:
+1062.8x vs 1003.5x at 64; needs the capacity levers below, which default
+on at batch >= 128. Beam-5 serving stays at batch 64 — 640 beam rows OOM
+the self-KV cache — so the beam sub-record slices the first 64 rows),
+BENCH_PREFILL_QUANT (prefill on the QUANTIZED cross-KV so the dense
+stacked form is never materialized; default 1 when BENCH_BATCH >= 128 —
+the dense cross-KV alone is ~19.6 GB at medium/b128 — else 0),
+BENCH_ENC_CHUNK (encoder sub-batching; default 32 when BENCH_BATCH >= 128
+— chunk 64 measured 1050.5x, chunk 32 1062.8x — else 0),
 BENCH_NEW_TOKENS (default 128), BENCH_ITERS
 (default 3), BENCH_FLASH (Pallas encoder attention, default 1),
 BENCH_INT8_KV (fused quantized cross-attention decode kernel, default 1),
@@ -179,7 +186,7 @@ def main():
     from robustsq_whisper_tpu.tokenizer.whisper_tokenizer import special_tokens
 
     model_name = os.environ.get("BENCH_MODEL", "medium")
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     new_tokens = int(os.environ.get("BENCH_NEW_TOKENS", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     compute_dtype = jnp.bfloat16
@@ -280,8 +287,12 @@ def main():
         quantize_weights=os.environ.get("BENCH_INT8_W", "1") == "1",
         beam_reorder=os.environ.get("BENCH_BEAM_REORDER", "auto"),
         # caps the decode session's HBM peak (the dense stacked cross-KV) —
-        # what lets large-v3 run at batch 64 on one chip (search.py)
-        prefill_quantized=os.environ.get("BENCH_PREFILL_QUANT", "0") == "1",
+        # what lets large-v3 run at batch 64 and medium at batch 128 on one
+        # chip (search.py). Defaults ON at batch >= 128: the dense stacked
+        # cross-KV alone is ~19.6 GB at medium/b128.
+        prefill_quantized=os.environ.get(
+            "BENCH_PREFILL_QUANT", "1" if batch >= 128 else "0"
+        ) == "1",
     )
     # beam_size 1 routes to the greedy fast path inside the builder
     greedy = build_beam_decoder(dec, dec_vars, dcfg)
@@ -309,7 +320,9 @@ def main():
     # but a second compile for the bigger, faster decode batch.
     from robustsq_whisper_tpu.decode.pipeline import chunked_encode
 
-    enc_chunk = max(0, int(os.environ.get("BENCH_ENC_CHUNK", "0")))
+    enc_chunk = max(0, int(os.environ.get(
+        "BENCH_ENC_CHUNK", "32" if batch >= 128 else "0"
+    )))
 
     def pipeline():
         memory, spk_prompt = chunked_encode(
@@ -363,6 +376,12 @@ def main():
     # protocol-faithful serving mode; greedy stays the headline metric.
     beam_k = int(os.environ.get("BENCH_BEAM_SUB", "5"))
     if dcfg.beam_size == 1 and beam_k > 1:
+        # beam rows = batch * k: the b128 greedy operating point would put
+        # 640 rows in the self-KV cache (OOM), and batch 64 vs 32 measured
+        # ~neutral for beam — so the sub-record runs on the first 64 rows.
+        b_batch = min(batch, int(os.environ.get("BENCH_BEAM_BATCH", "64")))
+        bmel, bfl = mel[:b_batch], feats_lens[:b_batch]
+        bemel, bel = emel[:b_batch], emel_lens[:b_batch]
         bcfg = DecodeConfig(
             max_new_tokens=new_tokens, eot=st.eot,
             init_tokens=dcfg.init_tokens, beam_size=beam_k,
@@ -372,8 +391,11 @@ def main():
         beam_run = build_beam_decoder(dec, dec_vars, bcfg)
 
         def beam_pipeline():
-            memory, out_lens, spk_prompt, _ = encode(
-                enc_vars, enc_qw, mel, feats_lens, emel, emel_lens
+            # same enc_chunk as the headline: when it divides b_batch the
+            # compiled chunk program is reused as-is
+            memory, spk_prompt = chunked_encode(
+                lambda m, fl, em, el: encode(enc_vars, enc_qw, m, fl, em, el),
+                bmel, bfl, bemel, bel, enc_chunk,
             )
             return beam_run(memory, spk_prompt)
 
@@ -388,10 +410,11 @@ def main():
             np.asarray(btokens)
             btimes.append(time.time() - t0)
             log(f"[beam{beam_k}] iter {i}: {btimes[-1]*1000:.1f} ms")
-        brtf = audio_sec / min(btimes)
+        brtf = b_batch * seconds / min(btimes)
         log(f"[beam{beam_k}] RTF={brtf:.1f}x")
         result["beam"] = {
-            "metric": f"ts_asr_decode_rtf_{model_name}_b{batch}_beam{beam_k}",
+            "metric":
+                f"ts_asr_decode_rtf_{model_name}_b{b_batch}_beam{beam_k}",
             "value": round(brtf, 2),
             "unit": "audio-sec/chip-sec",
             "vs_baseline": round(brtf / 50.0, 3),
