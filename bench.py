@@ -15,7 +15,8 @@ Prints ONE JSON line to stdout; all logging goes to stderr.
 
 Env knobs: BENCH_GELU_APPROX (tanh-approximate encoder GELU, default 1 —
 the serving default; 0 restores the reference's exact erf GELU),
-BENCH_MODEL (tiny|base|small|medium, default medium),
+BENCH_MODEL (tiny|base|small|medium|large-v1/v2/v3|large-v3-turbo,
+default medium),
 BENCH_BATCH (default 128 — the measured-best greedy operating point:
 1062.8x vs 1003.5x at 64; needs the capacity levers below, which default
 on at batch >= 128. Beam-5 serving stays at batch 64 — 640 beam rows OOM
