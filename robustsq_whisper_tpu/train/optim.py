@@ -26,6 +26,13 @@ class OptimConfig:
     betas: tuple = (0.9, 0.98)
     eps: float = 1e-8
     clip_norm: float = 1.0
+    # Storage dtype of Adam's FIRST moment (optax ``mu_dtype``). "bfloat16"
+    # halves mu's HBM footprint — the cheap capacity lever for full-FT
+    # whisper-medium on one chip (the second moment stays f32: its values
+    # span too many orders of magnitude for bf16's 8 mantissa bits, and
+    # optax exposes no nu dtype for that reason). The update math still
+    # runs in f32; only the carried state is rounded.
+    moment_dtype: str = "float32"  # float32 | bfloat16
 
 
 def make_schedule(cfg: OptimConfig) -> optax.Schedule:
@@ -53,6 +60,11 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     leaves — the earlier masked-update chain computed (and clipped against)
     full-tree gradients that were then thrown away, ~90 ms/step of dead
     backward work at medium LoRA batch 8."""
+    import jax.numpy as jnp
+
+    mu_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        cfg.moment_dtype
+    ]
     return optax.chain(
         optax.clip_by_global_norm(cfg.clip_norm),
         optax.adamw(
@@ -61,5 +73,6 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
             b2=cfg.betas[1],
             eps=cfg.eps,
             weight_decay=cfg.weight_decay,
+            mu_dtype=mu_dtype,
         ),
     )

@@ -203,6 +203,52 @@ def test_accum_grad_matches_manual_average(model_and_params):
     )
 
 
+def test_bf16_moment_storage_descends(model_and_params):
+    """moment_dtype=bfloat16 stores Adam's first moment in bf16 (half the
+    mu HBM — the full-FT capacity lever) while training still descends and
+    the first update stays close to the f32-moment path (the first step's
+    mu rounding is the only difference)."""
+    model, params, batch = model_and_params
+    rng = jax.random.PRNGKey(7)
+    mk = lambda md: TrainConfig(
+        optim=OptimConfig(lr=1e-3, schedule="constant", moment_dtype=md)
+    )
+    state_h, tx_h = create_train_state(rng, params, mk("bfloat16"))
+    state_f, tx_f = create_train_state(rng, params, mk("float32"))
+
+    # mu leaves really stored bf16; nu stays f32
+    adam_states = [
+        s for s in jax.tree_util.tree_leaves(
+            state_h.opt_state, is_leaf=lambda x: hasattr(x, "mu"))
+        if hasattr(s, "mu")
+    ]
+    mu_leaves = jax.tree_util.tree_leaves([s.mu for s in adam_states])
+    nu_leaves = jax.tree_util.tree_leaves([s.nu for s in adam_states])
+    assert mu_leaves and all(l.dtype == jnp.bfloat16 for l in mu_leaves)
+    assert nu_leaves and all(l.dtype == jnp.float32 for l in nu_leaves)
+
+    step_h = make_train_step(model, tx_h, mk("bfloat16"), donate=False)
+    step_f = make_train_step(model, tx_f, mk("float32"), donate=False)
+    losses = []
+    for i in range(3):
+        r = jax.random.fold_in(rng, i)
+        state_h, stats_h = step_h(state_h, batch, r, 0)
+        state_f, _ = step_f(state_f, batch, r, 0)
+        losses.append(float(stats_h["loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0], losses
+    # params track the f32-moment run to bf16-rounding order
+    fh, ff = _flat_paths(state_h.params), _flat_paths(state_f.params)
+    for path, leaf in ff.items():
+        np.testing.assert_allclose(
+            np.asarray(fh[path], np.float32), np.asarray(leaf, np.float32),
+            # atol 1e-4 vs updates of order lr*steps=3e-3: catches wrong
+            # dtype math while admitting bf16 mu rounding on near-zero
+            # biases (measured drift ~3e-5 after 3 steps)
+            rtol=2e-2, atol=1e-4, err_msg=path,
+        )
+
+
 def test_lora_merge_is_identity_at_init(model_and_params):
     model, params, _ = model_and_params
     lora = init_lora(jax.random.PRNGKey(0), params, LoraConfig(rank=2))
