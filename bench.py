@@ -41,6 +41,8 @@ BENCH_BEAM_SUB (beam width for the "beam" serving sub-record measured
 alongside the greedy headline; 0/1 disables, default 5),
 BENCH_TRAIN (default 1), BENCH_TRAIN_BATCH (default 16; halved on OOM),
 BENCH_TRAIN_MODE (default lora),
+BENCH_TRAIN_MU (Adam first-moment storage dtype: float32|bfloat16,
+default float32 — bfloat16 is the full-FT single-chip capacity lever),
 BENCH_SPECULATIVE (default 0: measure the speculative-decode primitives —
 per-token step, multi-token verify chunk, early-exit draft step — and
 report the implied speedup over acceptance rate; see the sub-record note),
@@ -82,6 +84,9 @@ def bench_train(model_name: str, dims, ts) -> dict | None:
     mode = os.environ.get("BENCH_TRAIN_MODE", "lora")
     batch_size = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
+    # BENCH_TRAIN_MU=bfloat16: Adam first moment stored bf16 (the full-FT
+    # single-chip capacity lever; docs/TRAINING.md)
+    moment_dtype = os.environ.get("BENCH_TRAIN_MU", "float32")
     seconds, enroll_seconds = 30, 10
 
     import dataclasses
@@ -126,10 +131,13 @@ def bench_train(model_name: str, dims, ts) -> dict | None:
             variables = jax.jit(
                 lambda r: model.init(r, tiny, r, 0, train=False)
             )(rng)
-            state, tx = create_train_state(
-                rng, variables, TrainConfig(mode=mode)
+            from robustsq_whisper_tpu.train.optim import OptimConfig
+
+            tcfg = TrainConfig(
+                mode=mode, optim=OptimConfig(moment_dtype=moment_dtype)
             )
-            step = make_train_step(model, tx, TrainConfig(mode=mode))
+            state, tx = create_train_state(rng, variables, tcfg)
+            step = make_train_step(model, tx, tcfg)
             batch = make_batch(b)
             log(f"[train] init {time.time()-t0:.1f}s; compiling step ...")
             t0 = time.time()
@@ -151,6 +159,11 @@ def bench_train(model_name: str, dims, ts) -> dict | None:
                 "step_ms": round(wall * 1000, 1),
                 "batch": b,
                 "mode": mode,
+                **(
+                    {"mu": moment_dtype}
+                    if moment_dtype != "float32"
+                    else {}
+                ),
             }
         except Exception as e:  # OOM -> halve the batch once or twice
             msg = str(e)
