@@ -51,6 +51,8 @@ class TSDecoder(nn.Module):
     # time-minor self-KV cache — opt-in, measured-negative at <=128-token
     # outputs (see TextDecoder.tmin_self_cache)
     tmin_self_cache: bool = False
+    # sequence parallelism for the training forward (see TextDecoder)
+    sequence_parallel: bool = False
 
     def setup(self):
         self.decoder = TextDecoder(
@@ -58,7 +60,8 @@ class TSDecoder(nn.Module):
             cross_kv_bits=self.cross_kv_bits,
             self_kv_bits=self.self_kv_bits,
             flat_self_cache=self.flat_self_cache,
-            tmin_self_cache=self.tmin_self_cache, name="decoder",
+            tmin_self_cache=self.tmin_self_cache,
+            sequence_parallel=self.sequence_parallel, name="decoder",
         )
 
     def __call__(

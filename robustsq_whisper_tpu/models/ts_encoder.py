@@ -178,6 +178,11 @@ class TSEncoderConfig:
     # the single most expensive encoder fusion on-profile. Inference knob;
     # training configs keep the exact GELU.
     gelu_approx: bool = False
+    # Megatron-style sequence parallelism under tensor parallelism: the
+    # inter-block residual stream (the remat-stored activations) is
+    # constrained (data, model)-sharded along time. Training knob for
+    # meshes with a model axis; identity elsewhere (parallel/mesh.py).
+    sequence_parallel: bool = False
 
 
 class QFormerTSEncoder(nn.Module):
@@ -201,6 +206,7 @@ class QFormerTSEncoder(nn.Module):
             use_flash=self.ts.use_flash_attention, remat=self.ts.remat,
             flash_tmaj=self.ts.flash_tmaj,
             gelu_approx=self.ts.gelu_approx,
+            sequence_parallel=self.ts.sequence_parallel,
             name="encoder",
         )
         qcfg = QformerConfig(

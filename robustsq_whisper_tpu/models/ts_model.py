@@ -109,6 +109,7 @@ class TSASRModel(nn.Module):
             use_spk_prompt=True,
             dtype=self.dtype,
             remat=self.ts.remat,
+            sequence_parallel=self.ts.sequence_parallel,
             name="decoder",
         )
         self.ctc = CTCHead(self.cfg.vocab_size, name="ctc")

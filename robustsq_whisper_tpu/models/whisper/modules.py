@@ -31,6 +31,7 @@ from flax import linen as nn
 
 from ...ops.attention import causal_mask, dot_product_attention
 from ...ops.quant import qmatmul, quantize_weight
+from ...parallel.mesh import shard_seq
 from .config import WhisperDims, sinusoids
 
 Dtype = Any
@@ -810,6 +811,11 @@ class AudioEncoder(nn.Module):
     flash_tmaj: bool = False  # transposed-layout flash (inference; see MHA)
     remat: bool = False  # rematerialize blocks in backward (training memory)
     gelu_approx: bool = False  # tanh GELU (inference; see block docstring)
+    # Megatron-style sequence parallelism: constrain the inter-block
+    # residual stream to (data, model)-sharded (B, T/model, C) when the
+    # ambient mesh has a model axis. Composes with remat: the stored block
+    # boundaries ARE the sharded tensors. See parallel/mesh.py::shard_seq.
+    sequence_parallel: bool = False
 
     def setup(self):
         d = self.dims
@@ -869,10 +875,12 @@ class AudioEncoder(nn.Module):
     def run_blocks(self, x: jax.Array, qw: Optional[dict] = None) -> jax.Array:
         """``qw`` = quantize_encoder_weights output: W8A8 inference blocks."""
         x = x.astype(self.dtype)
+        sp = (lambda t: shard_seq(t)) if self.sequence_parallel else (lambda t: t)
+        x = sp(x)
         layers_qw = None if qw is None else qw["layers"]
         if self.scan_layers:
             def body(block, carry, qw_l):
-                return block(carry, qw=qw_l), None
+                return sp(block(carry, qw=qw_l)), None
 
             x, _ = _scan(body, self.dims.n_audio_layer)(
                 self.block, x, layers_qw
@@ -883,7 +891,7 @@ class AudioEncoder(nn.Module):
                     None if layers_qw is None
                     else jax.tree_util.tree_map(lambda a: a[i], layers_qw)
                 )
-                x = block(x, qw=qw_i)
+                x = sp(block(x, qw=qw_i))
         return self.ln_post(x).astype(self.dtype)
 
     def __call__(self, mel: jax.Array) -> jax.Array:
@@ -936,6 +944,9 @@ class TextDecoder(nn.Module):
     # kernel's head-map dots DEFAULT-precision instead (self_attention.py
     # module docstring). Dense bf16 only; beam search always uses flat.
     tmin_self_cache: bool = False
+    # Sequence parallelism for the TRAINING full forward (see AudioEncoder):
+    # no-op when the prompt+text length doesn't divide the model axis.
+    sequence_parallel: bool = False
 
     @property
     def _tmin_self(self) -> bool:
@@ -1058,14 +1069,16 @@ class TextDecoder(nn.Module):
         if mask is None:
             mask = causal_mask(length)
         memory = memory.astype(self.dtype)
+        sp = (lambda t: shard_seq(t)) if self.sequence_parallel else (lambda t: t)
+        x = sp(x)
         if self.scan_layers:
             def body(block, carry, _):
-                return block(carry, xa=memory, mask=mask), None
+                return sp(block(carry, xa=memory, mask=mask)), None
 
             x, _ = _scan(body, self.dims.n_text_layer)(self.block, x, None)
         else:
             for block in self.blocks:
-                x = block(x, xa=memory, mask=mask)
+                x = sp(block(x, xa=memory, mask=mask))
         return self.ln(x).astype(self.dtype)
 
     def __call__(self, tokens: jax.Array, memory: jax.Array) -> jax.Array:

@@ -153,6 +153,34 @@ def params_shardings(
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+def shard_seq(x: Any, seq_axis: int = 1) -> Any:
+    """Megatron-style sequence-parallel (SP) sharding constraint on a
+    residual stream: the sequence axis sharded over MODEL (and the leading
+    batch dim over DATA) whenever the ambient mesh has a >1 model axis and
+    the length divides; identity otherwise (no mesh / model=1 / ragged).
+
+    Applied at transformer block boundaries under tensor parallelism, GSPMD
+    rewrites the blocks' post-attention/post-MLP all-reduces into
+    reduce-scatter + all-gather pairs and stores the inter-block activations
+    — exactly the tensors a rematerialized backward keeps live — sharded
+    T/model per chip. The reference has no equivalent (its only parallelism
+    is torch DataParallel); this is the TPU-native activation-capacity axis
+    for long-sequence training.
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or mesh.empty:
+        return x
+    shape = dict(mesh.shape)
+    n_model = shape.get(MODEL_AXIS, 1)
+    if n_model < 2 or x.shape[seq_axis] % n_model != 0:
+        return x
+    spec = [None] * x.ndim
+    if x.shape[0] % shape.get(DATA_AXIS, 1) == 0:
+        spec[0] = DATA_AXIS
+    spec[seq_axis] = MODEL_AXIS
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 def batch_shardings(mesh: Mesh, batch: Any) -> Any:
     """Shard every batch leaf along its leading (batch) dim over DATA."""
 

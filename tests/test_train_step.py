@@ -380,6 +380,72 @@ def test_multichip_fsdp_step():
     assert entered > 0 and kept == entered
 
 
+def test_multichip_sp_step():
+    """Sequence parallelism (encoder_conf.sequence_parallel): on a TP mesh
+    the inter-block residual stream is constrained (data, model)-sharded
+    along time; numerics must match the single-device non-SP step."""
+    import dataclasses as dc
+
+    assert len(jax.devices()) >= 8
+    model = _model()
+    batch = _batch(8)
+    rng = jax.random.PRNGKey(11)
+    params = model.init(rng, batch, rng, 0, train=False)
+    tcfg = TrainConfig(optim=OptimConfig(lr=1e-3, schedule="constant"))
+
+    # single-device, no SP
+    state1, tx1 = create_train_state(rng, params, tcfg)
+    step1 = make_train_step(model, tx1, tcfg, donate=False)
+    _, stats1 = step1(state1, batch, rng, 0)
+
+    # (data=2, model=4) mesh with SP on: encoder T = n_audio_ctx = 16
+    # divides the model axis; decoder prompt+text length falls back to
+    # replicated when ragged (shard_seq gates on divisibility)
+    model_sp = TSASRModel(DIMS, dc.replace(TS, sequence_parallel=True), CFG)
+    mesh = make_mesh(2, 4)
+    state2, tx2 = create_train_state(rng, params, tcfg)
+    step2 = make_train_step(model_sp, tx2, tcfg, donate=False)
+    with jax.sharding.set_mesh(mesh):
+        state2 = place_train_state(mesh, state2)
+        sbatch = place_batch(mesh, batch)
+        state2, stats2 = step2(state2, sbatch, rng, 0)
+    np.testing.assert_allclose(
+        float(stats1["loss"]), float(stats2["loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(stats1["grad_norm"]), float(stats2["grad_norm"]), rtol=1e-3
+    )
+
+
+def test_shard_seq_constraint():
+    """shard_seq: (data, model) spec on divisible (B, T, C) under a mesh
+    with a model axis; identity when T is ragged or the mesh has no model
+    axis (so the flag is safe in every config)."""
+    from jax.sharding import PartitionSpec as P
+
+    from robustsq_whisper_tpu.parallel.mesh import (
+        DATA_AXIS, MODEL_AXIS, make_mesh, shard_seq,
+    )
+
+    x = jnp.zeros((4, 16, 8))
+    mesh = make_mesh(2, 4)
+    with jax.sharding.set_mesh(mesh):
+        y = jax.jit(shard_seq)(x)
+        assert y.sharding.spec == P(DATA_AXIS, MODEL_AXIS), y.sharding
+        # ragged T (10 % 4 != 0): identity, replicated
+        z = jax.jit(shard_seq)(jnp.zeros((4, 10, 8)))
+        assert z.sharding.spec == P(), z.sharding
+    # model axis of size 1: identity
+    with jax.sharding.set_mesh(make_mesh(8, 1)):
+        w = jax.jit(shard_seq)(x)
+        assert w.sharding.spec in (P(), P(None), P(None, None, None)), (
+            w.sharding
+        )
+    # no mesh at all: plain identity
+    out = shard_seq(x)
+    assert out.shape == x.shape
+
+
 def test_fsdp_spec_rules():
     """_fsdp_spec picks the largest free dim, skips the scan layer axis,
     and composes with (does not displace) TP shards."""
