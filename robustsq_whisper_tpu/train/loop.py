@@ -104,8 +104,14 @@ def run_training(
                 lcfg.ckpt_dir, lcfg.keep_ckpts, protected=tracker.steps()
             )
 
-    running: Dict[str, float] = {}
-    n_running = 0
+    # stats stay DEVICE scalars until the log boundary and the step index is
+    # a host counter: materializing (int(state.step) / float(v)) every
+    # iteration would block the host on each step's completion, serializing
+    # data loading with device compute. Deferred, async dispatch lets the
+    # host collate batch N+1 while the chip runs step N — the input pipeline
+    # rides for free under the step time.
+    pending: list = []
+    step = int(state.step)
     t_last = time.time()
 
     for epoch in range(start_epoch, lcfg.num_epochs):
@@ -117,11 +123,14 @@ def run_training(
             rng, step_rng = jax.random.split(rng)
             state, stats = step_fn(state, batch, step_rng, epoch)
 
-            n_running += 1
-            step = int(state.step)
-            for k, v in stats.items():
-                running[k] = running.get(k, 0.0) + float(v)
+            step += 1
+            pending.append(stats)
             if step % lcfg.log_every == 0:
+                running: Dict[str, float] = {}
+                for st in pending:
+                    for k, v in st.items():
+                        running[k] = running.get(k, 0.0) + float(v)
+                n_running = len(pending)
                 avg = {k: v / n_running for k, v in running.items()}
                 dt = time.time() - t_last
                 sps = n_running / max(dt, 1e-9)
@@ -133,7 +142,7 @@ def run_training(
                 )
                 if metrics_hook:
                     metrics_hook(step, {**avg, "steps_per_sec": sps, "epoch": epoch})
-                running, n_running, t_last = {}, 0, time.time()
+                pending, t_last = [], time.time()
 
             if (
                 lcfg.ckpt_dir
