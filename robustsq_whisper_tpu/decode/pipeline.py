@@ -63,25 +63,27 @@ def chunked_encode(enc_fn, feats, feats_lens, efeats, efeats_lens, chunk):
     return jnp.concatenate(mems, axis=0), jnp.concatenate(prompts, axis=0)
 
 
-def decode_dataset(
+def build_decode_fns(
     encoder: QFormerTSEncoder,
     enc_vars: Any,
     decoder: TSDecoder,
     dec_vars: Any,
-    dataset: Any,  # KaldiTSDataset
-    tokenizer: Any,
     dcfg: DecodeConfig,
-    batch_size: int = 8,
-    output_dir: Optional[str] = None,
     mesh: Optional[Any] = None,
-    enc_chunk: int = 0,
-) -> DecodeResult:
+    batch_size: Optional[int] = None,
+):
+    """The serving program pair ``(encode, run)`` for every decode mode:
+    single-device (greedy/beam/speculative), data-parallel shard_map, or
+    tensor-parallel GSPMD. ``encode(enc_vars, mel, flens, emel, elens)``
+    returns the encoder 4-tuple; ``run(memory, spk_prompt)`` returns
+    ``(tokens, scores[, stats])``. Shared by the batch pipeline
+    (decode_dataset) and the online server (serve/engine.py)."""
     if mesh is not None and mesh.shape.get("model", 1) > 1:
         # tensor-parallel serving (capacity mode): weights sharded over the
         # model axis under GSPMD, dense XLA path (decode/sharded.py)
         from .sharded import build_tp_decoder, build_tp_encoder
 
-        assert batch_size % mesh.shape.get("data", 1) == 0, (
+        assert batch_size is None or batch_size % mesh.shape.get("data", 1) == 0, (
             f"batch_size {batch_size} must be a multiple of the data-axis size "
             f"({mesh.shape.get('data', 1)})"
         )
@@ -93,7 +95,7 @@ def decode_dataset(
         # the reference's inference_nj process sharding (run_tswhisper.sh:42-44)
         from .sharded import build_sharded_decoder, build_sharded_encoder
 
-        assert batch_size % mesh.shape["data"] == 0, (
+        assert batch_size is None or batch_size % mesh.shape["data"] == 0, (
             f"batch_size {batch_size} must be a multiple of the data-axis size "
             f"({mesh.shape['data']})"
         )
@@ -120,6 +122,25 @@ def decode_dataset(
         encode = jax.jit(
             lambda v, mel, fl, emel, el: encoder.apply(v, mel, fl, emel, el)
         )
+    return encode, run
+
+
+def decode_dataset(
+    encoder: QFormerTSEncoder,
+    enc_vars: Any,
+    decoder: TSDecoder,
+    dec_vars: Any,
+    dataset: Any,  # KaldiTSDataset
+    tokenizer: Any,
+    dcfg: DecodeConfig,
+    batch_size: int = 8,
+    output_dir: Optional[str] = None,
+    mesh: Optional[Any] = None,
+    enc_chunk: int = 0,
+) -> DecodeResult:
+    encode, run = build_decode_fns(
+        encoder, enc_vars, decoder, dec_vars, dcfg, mesh, batch_size
+    )
 
     hyps: Dict[str, str] = {}
     refs: Dict[str, str] = {}

@@ -1,0 +1,234 @@
+"""Micro-batching HTTP transcription daemon (dependency-free stdlib HTTP).
+
+Request flow: HTTP handler threads submit (speech, enroll) pairs to the
+MicroBatcher and block on a Future; one worker thread drains the queue —
+it waits ``max_wait_ms`` after the first request for the batch to fill,
+then runs the TranscriptionEngine's single compiled program on the whole
+batch. Latency under load is one device batch; an idle server adds at
+most ``max_wait_ms``.
+
+API (JSON over POST, no external packages):
+
+  POST /v1/transcribe
+    {"speech_wav": <base64 WAV/FLAC bytes>, "enroll_wav": <...>}
+    or raw PCM: {"speech_pcm": [floats @16k], "enroll_pcm": [...]}
+    -> {"text": "...", "latency_ms": 12.3}
+  GET /healthz -> {"status": "ok", ...}
+  GET /stats   -> request/batch/latency counters
+
+The reference has no serving daemon (decode is the offline stage-12 job);
+see serve/engine.py.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import logging
+import os
+import queue
+import tempfile
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Optional, Tuple
+
+import numpy as np
+
+from .engine import TranscriptionEngine
+
+logger = logging.getLogger("robustsq_whisper_tpu.serve")
+
+
+def audio_from_bytes(data: bytes, expect_rate: int = 16000) -> np.ndarray:
+    """Decode WAV or FLAC bytes to float32 [-1, 1] @ expect_rate.
+
+    WAV parses in-memory (scipy accepts file-likes); FLAC routes through
+    the native decoder (path-based) via a temp file."""
+    from ..data.kaldi_io import read_wav
+
+    if data[:4] == b"fLaC":
+        with tempfile.NamedTemporaryFile(suffix=".flac", delete=False) as f:
+            f.write(data)
+            path = f.name
+        try:
+            audio, sr = read_wav(path)
+        finally:
+            os.unlink(path)
+    else:
+        from scipy.io import wavfile
+
+        sr, raw = wavfile.read(io.BytesIO(data))
+        if raw.dtype == np.int16:
+            audio = raw.astype(np.float32) / 32768.0
+        elif raw.dtype == np.int32:
+            audio = raw.astype(np.float32) / 2147483648.0
+        elif raw.dtype == np.uint8:
+            audio = (raw.astype(np.float32) - 128.0) / 128.0
+        else:
+            audio = raw.astype(np.float32)
+        if audio.ndim > 1:
+            audio = audio.mean(axis=1)
+    if sr != expect_rate:
+        raise ValueError(f"expected {expect_rate} Hz audio, got {sr}")
+    return audio
+
+
+class MicroBatcher:
+    """Coalesce concurrent requests into full engine batches."""
+
+    def __init__(
+        self, engine: TranscriptionEngine, max_wait_ms: float = 15.0
+    ) -> None:
+        self.engine = engine
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
+        # stats
+        self.requests = 0
+        self.batches = 0
+        self.errors = 0
+        self.busy_s = 0.0
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    def submit(self, speech: np.ndarray, enroll: np.ndarray) -> Future:
+        fut: Future = Future()
+        self._q.put((speech, enroll, fut))
+        return fut
+
+    def close(self) -> None:
+        self._closed = True
+        self._q.put(None)  # wake the worker
+        self._worker.join(timeout=5)
+
+    def _loop(self) -> None:
+        bs = self.engine.cfg.batch_size
+        while not self._closed:
+            first = self._q.get()
+            if first is None:
+                continue
+            batch = [first]
+            deadline = time.time() + self.max_wait
+            while len(batch) < bs:
+                left = deadline - time.time()
+                if left <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=left)
+                except queue.Empty:
+                    break
+                if item is None:
+                    break
+                batch.append(item)
+            t0 = time.time()
+            try:
+                texts = self.engine.transcribe([(s, e) for s, e, _ in batch])
+                for (_, _, fut), text in zip(batch, texts):
+                    fut.set_result(text)
+            except Exception as exc:  # surface to every waiting caller
+                self.errors += len(batch)
+                for _, _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(exc)
+            self.busy_s += time.time() - t0
+            self.requests += len(batch)
+            self.batches += 1
+
+
+def _parse_audio(body: dict, key: str, sample_rate: int) -> np.ndarray:
+    if f"{key}_wav" in body:
+        return audio_from_bytes(
+            base64.b64decode(body[f"{key}_wav"]), sample_rate
+        )
+    if f"{key}_pcm" in body:
+        return np.asarray(body[f"{key}_pcm"], np.float32)
+    raise ValueError(f"missing {key}_wav or {key}_pcm")
+
+
+def make_server(
+    engine: TranscriptionEngine,
+    host: str = "0.0.0.0",
+    port: int = 8080,
+    max_wait_ms: float = 15.0,
+    info: Optional[dict] = None,
+) -> Tuple[ThreadingHTTPServer, MicroBatcher]:
+    """Build (but do not start) the HTTP server; call ``serve_forever()``
+    on the returned server and ``close()`` on the batcher at shutdown.
+    ``port=0`` binds an ephemeral port (``server.server_address[1]``)."""
+    batcher = MicroBatcher(engine, max_wait_ms)
+    sample_rate = engine.cfg.sample_rate
+    static_info = {
+        "batch_size": engine.cfg.batch_size,
+        "speech_seconds": engine.cfg.speech_seconds,
+        "enroll_seconds": engine.cfg.enroll_seconds,
+        "sample_rate": sample_rate,
+        **(info or {}),
+    }
+
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code: int, obj: Any) -> None:
+            payload = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, fmt, *args):  # route through logging, not stderr
+            logger.debug("%s - %s", self.address_string(), fmt % args)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(
+                    200,
+                    {
+                        "status": "ok",
+                        "compiled": engine.compiled,
+                        **static_info,
+                    },
+                )
+            elif self.path == "/stats":
+                self._json(
+                    200,
+                    {
+                        "requests": batcher.requests,
+                        "batches": batcher.batches,
+                        "errors": batcher.errors,
+                        "busy_seconds": round(batcher.busy_s, 3),
+                        "mean_batch_fill": round(
+                            batcher.requests / max(batcher.batches, 1), 3
+                        ),
+                    },
+                )
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/v1/transcribe":
+                self._json(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                speech = _parse_audio(body, "speech", sample_rate)
+                enroll = _parse_audio(body, "enroll", sample_rate)
+            except Exception as exc:
+                self._json(400, {"error": str(exc)})
+                return
+            t0 = time.time()
+            try:
+                text = batcher.submit(speech, enroll).result(timeout=600)
+            except Exception as exc:
+                self._json(500, {"error": str(exc)})
+                return
+            self._json(
+                200,
+                {"text": text, "latency_ms": round((time.time() - t0) * 1e3, 2)},
+            )
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.daemon_threads = True
+    return server, batcher

@@ -1,0 +1,198 @@
+"""Serving daemon tests: engine output equals the offline serving program
+on the same packed batch, the HTTP surface works end-to-end with
+concurrent requests, and the audio decoding round-trips.
+
+The reference has no online serving (decode is the offline stage-12 job,
+/root/reference/run_tswhisper.sh:67-90); serve/ is beyond-parity."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from robustsq_whisper_tpu.audio.frontend import log_mel_spectrogram
+from robustsq_whisper_tpu.decode.search import (
+    DecodeConfig,
+    build_beam_decoder,
+    strip_eot,
+)
+from robustsq_whisper_tpu.models import (
+    QFormerTSEncoder,
+    TSDecoder,
+    TSEncoderConfig,
+    WhisperDims,
+)
+from robustsq_whisper_tpu.serve import (
+    EngineConfig,
+    TranscriptionEngine,
+    make_server,
+)
+from robustsq_whisper_tpu.serve.server import audio_from_bytes
+from robustsq_whisper_tpu.tokenizer.whisper_tokenizer import load_tokenizer
+
+DIMS = WhisperDims(
+    n_mels=80, n_vocab=50, n_audio_ctx=16, n_audio_state=32,
+    n_audio_head=2, n_audio_layer=1, n_text_ctx=64, n_text_state=32,
+    n_text_head=2, n_text_layer=2,
+)
+TS = TSEncoderConfig(
+    num_query_tokens=2, num_hidden_layers=1, qformer_hidden_size=48,
+    qformer_heads=4, qformer_intermediate_size=96,
+)
+DCFG = DecodeConfig(max_new_tokens=6, eot=2, init_tokens=(1,), beam_size=1)
+# speech window = the tiny model's full context; enroll shorter
+ECFG = EngineConfig(batch_size=4, speech_seconds=0.32, enroll_seconds=0.20)
+SR = 16000
+
+
+def _wav(seed, seconds):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(int(seconds * SR)) * 0.1).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    enc = QFormerTSEncoder(DIMS, TS)
+    feats = jnp.zeros((1, 80, 2 * DIMS.n_audio_ctx), jnp.float32)
+    efeats = jnp.zeros((1, 80, 20), jnp.float32)
+    enc_vars = enc.init(jax.random.PRNGKey(0), feats, None, efeats, None)
+    dec = TSDecoder(DIMS, startofprev_token=3)
+    rng = np.random.default_rng(0)
+    memory = jnp.asarray(rng.standard_normal((2, 18, 32)), jnp.float32)
+    prompt = jnp.asarray(rng.standard_normal((2, 2, 32)), jnp.float32)
+    ys = jnp.asarray(rng.integers(0, 50, (2, 4)))
+    dec_vars = dec.init(jax.random.PRNGKey(1), memory, ys, prompt)
+    tok = load_tokenizer(None)
+    return (
+        TranscriptionEngine(enc, enc_vars, dec, dec_vars, tok, DCFG, ECFG),
+        enc, enc_vars, dec, dec_vars, tok,
+    )
+
+
+def test_engine_matches_offline_program(engine):
+    """transcribe() == the offline serving program on the identically
+    packed batch (same executables underneath)."""
+    eng, enc, enc_vars, dec, dec_vars, tok = engine
+    items = [
+        (_wav(1, 0.30), _wav(2, 0.15)),
+        (_wav(3, 0.10), _wav(4, 0.20)),  # short speech: zero-padded
+    ]
+    got = eng.transcribe(items)
+    assert len(got) == 2
+
+    speech, slens, enroll, elens = eng._pack(items)
+    feats, flens = log_mel_spectrogram(
+        jnp.asarray(speech), jnp.asarray(slens), n_mels=80
+    )
+    efeats, eflens = log_mel_spectrogram(
+        jnp.asarray(enroll), jnp.asarray(elens), n_mels=80
+    )
+    encode = jax.jit(lambda v, *a: enc.apply(v, *a))
+    memory, _, spk_prompt, _ = encode(enc_vars, feats, flens, efeats, eflens)
+    run = build_beam_decoder(dec, dec_vars, DCFG)
+    tokens = np.asarray(run(memory, spk_prompt)[0])
+    want = [
+        tok.decode(strip_eot(tokens[i : i + 1], DCFG.eot)[0]).strip()
+        for i in range(2)
+    ]
+    assert got == want
+    # pad rows repeat row 0: single-item call returns the same row-0 text
+    assert eng.transcribe(items[:1]) == want[:1]
+
+
+def test_engine_rejects_bad_sizes(engine):
+    eng = engine[0]
+    with pytest.raises(ValueError):
+        eng.transcribe([])
+    with pytest.raises(ValueError):
+        eng.transcribe([(_wav(1, 0.1), _wav(2, 0.1))] * 5)  # > batch_size
+
+
+def test_http_server_end_to_end(engine):
+    """Concurrent requests through the HTTP daemon: 200s, text identical to
+    the direct engine call, micro-batcher coalesces, stats/health report."""
+    eng = engine[0]
+    server, batcher = make_server(
+        eng, "127.0.0.1", 0, max_wait_ms=200.0, info={"model": "test"}
+    )
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        items = [
+            (_wav(10, 0.25), _wav(11, 0.18)),
+            (_wav(12, 0.30), _wav(13, 0.12)),
+        ]
+        want = eng.transcribe(items)
+
+        def post(item, out, idx):
+            body = json.dumps({
+                "speech_pcm": item[0].tolist(),
+                "enroll_pcm": item[1].tolist(),
+            }).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/transcribe", data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                out[idx] = json.loads(resp.read())
+
+        out = [None, None]
+        threads = [
+            threading.Thread(target=post, args=(items[i], out, i))
+            for i in range(2)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+        assert out[0] is not None and out[1] is not None
+        assert [out[0]["text"], out[1]["text"]] == want
+        assert out[0]["latency_ms"] >= 0
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as resp:
+            health = json.loads(resp.read())
+        assert health["status"] == "ok" and health["compiled"]
+        assert health["batch_size"] == ECFG.batch_size
+        assert health["model"] == "test"
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30
+        ) as resp:
+            stats = json.loads(resp.read())
+        assert stats["requests"] == 2 and stats["errors"] == 0
+        assert 1 <= stats["batches"] <= 2  # coalesced when both queued in time
+
+        # bad request: missing enrollment
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/transcribe",
+            data=json.dumps({"speech_pcm": [0.0]}).encode(),
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+    finally:
+        server.shutdown()
+        batcher.close()
+        server.server_close()
+
+
+def test_audio_from_bytes_wav_roundtrip():
+    from scipy.io import wavfile
+
+    wav = _wav(42, 0.1)
+    buf = io.BytesIO()
+    wavfile.write(buf, SR, (wav * 32767).astype(np.int16))
+    back = audio_from_bytes(buf.getvalue(), SR)
+    np.testing.assert_allclose(back, wav, atol=2 / 32768)
+    with pytest.raises(ValueError):
+        audio_from_bytes(buf.getvalue(), 8000)  # sample-rate mismatch
