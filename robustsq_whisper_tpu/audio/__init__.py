@@ -6,6 +6,7 @@ from .frontend import (
     N_SAMPLES,
     SAMPLE_RATE,
     log_mel_spectrogram,
+    log_mel_spectrogram_jit,
     pad_or_trim,
 )
 from .fbank import kaldi_fbank

@@ -64,16 +64,34 @@ def stft_power(audio: jax.Array, n_fft: int = N_FFT, hop: int = HOP_LENGTH) -> j
     """
     n_bins = n_fft // 2 + 1
     pad = n_fft // 2
-    x = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
-    bank = jnp.asarray(_dft_bank(n_fft))  # (2*n_bins, n_fft)
+    x = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect").astype(jnp.float32)
 
-    # Strided conv == framing + matmul; XLA lowers this onto the MXU.
-    out = jax.lax.conv_general_dilated(
-        x[:, None, :].astype(jnp.float32),
-        bank[:, None, :],
-        window_strides=(hop,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
+    # Framing via hop-sized chunks + ONE dense matmul on the MXU. A strided
+    # conv_general_dilated over a single input channel lowers to a
+    # pathological shape on TPU (measured 1.4 s for a 32x30 s batch — 22
+    # GFLOP/s); framing by concatenating k = ceil(n_fft/hop) adjacent
+    # hop-chunks (window zero-padded from n_fft to k*hop, identical dot)
+    # runs the same math as (B*frames, k*hop) @ (k*hop, 2*n_bins) in
+    # milliseconds. Frame i spans [i*hop, i*hop + n_fft) — exactly
+    # chunks[i : i+k] concatenated.
+    b, length = x.shape
+    n_frames = (length - n_fft) // hop + 1
+    k = -(-n_fft // hop)
+    span = k * hop
+    needed = (n_frames - 1 + k) * hop
+    x = jnp.pad(x, ((0, 0), (0, max(0, needed - length))))[:, :needed]
+    chunks = x.reshape(b, n_frames - 1 + k, hop)
+    frames = jnp.concatenate(
+        [chunks[:, i : i + n_frames] for i in range(k)], axis=-1
+    )  # (b, n_frames, k*hop)
+
+    bank = _dft_bank(n_fft)  # (2*n_bins, n_fft)
+    bank_pad = jnp.asarray(
+        np.pad(bank, ((0, 0), (0, span - n_fft)))
+    )
+    out = jnp.einsum(
+        "btf,cf->bct", frames, bank_pad,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (batch, 2*n_bins, frames)
     real, imag = out[:, :n_bins, :], out[:, n_bins:, :]
     return real * real + imag * imag
@@ -107,6 +125,41 @@ def log_mel_spectrogram(
 
     olens = None if ilens is None else ilens // HOP_LENGTH
     return log_spec, olens
+
+
+# Jitted form for EAGER callers (decode_dataset, the serving engine,
+# long-audio windowing). Eager execution dispatches each frontend op as its
+# own executable — measured 1.5 s per medium/b32 batch over a tunneled TPU
+# vs ~milliseconds compiled. Traced callers (the training forward) use the
+# plain function; n_mels and the ilens=None structure are static.
+log_mel_spectrogram_jit = jax.jit(
+    log_mel_spectrogram, static_argnames="n_mels"
+)
+
+# ---- int16 wire transport for host->device audio staging ----
+#
+# Serving/decode batches stage waveforms host->device every batch; int16
+# halves the staged bytes (and is bit-faithful for WAV/FLAC-sourced audio,
+# whose samples ARE int16: to_pcm16(i/32768) == i exactly). On a real TPU
+# host this halves PCIe traffic; over the axon tunnel it is ~4x wall time
+# (docs/KERNELS.md §10: the relay's transfer path degrades to ~30 MB/s f32
+# / ~60 MB/s i16 once serving executables are resident). Float-sourced
+# audio pays one <=2^-16 quantization — 96 dB SNR, far below ASR relevance.
+
+PCM16_SCALE = 32768.0
+
+
+def to_pcm16(audio: "np.ndarray") -> "np.ndarray":
+    """float waveform in [-1, 1] -> int16 (host side, numpy)."""
+    return np.clip(
+        np.rint(np.asarray(audio, np.float32) * PCM16_SCALE),
+        -32768, 32767,
+    ).astype(np.int16)
+
+
+pcm16_to_float = jax.jit(
+    lambda a: a.astype(jnp.float32) * jnp.float32(1.0 / PCM16_SCALE)
+)
 
 
 def pad_or_trim(audio: jax.Array, length: int = N_SAMPLES, axis: int = -1) -> jax.Array:

@@ -21,7 +21,12 @@ from typing import Any, Callable, List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..audio.frontend import SAMPLE_RATE, log_mel_spectrogram
+from ..audio.frontend import (
+    SAMPLE_RATE,
+    log_mel_spectrogram_jit,
+    pcm16_to_float,
+    to_pcm16,
+)
 from .search import DecodeConfig, build_beam_decoder, strip_eot
 
 
@@ -78,10 +83,11 @@ def decode_long_audio(
     """
     windows, lens = chunk_waveform(wav, chunk_seconds=chunk_seconds)
     n = windows.shape[0]
-    feats, feats_lens = log_mel_spectrogram(
-        jnp.asarray(windows), jnp.asarray(lens), n_mels=encoder.dims.n_mels
+    feats, feats_lens = log_mel_spectrogram_jit(
+        pcm16_to_float(jnp.asarray(to_pcm16(windows))),
+        jnp.asarray(lens), n_mels=encoder.dims.n_mels,
     )
-    e1, _ = log_mel_spectrogram(
+    e1, _ = log_mel_spectrogram_jit(
         jnp.asarray(np.asarray(enroll, np.float32))[None],
         n_mels=encoder.dims.n_mels,
     )
@@ -156,7 +162,7 @@ def decode_dataset_long(
         e_len = len(enroll)
         if e_len < dataset.enroll_samples:
             enroll = np.pad(enroll, (0, dataset.enroll_samples - e_len))
-        e1, e1_lens = log_mel_spectrogram(
+        e1, e1_lens = log_mel_spectrogram_jit(
             jnp.asarray(enroll)[None],
             jnp.asarray([e_len], jnp.int32),
             n_mels=encoder.dims.n_mels,
@@ -175,8 +181,9 @@ def decode_dataset_long(
                 wl = np.concatenate(
                     [wl, np.full((n_pad - n,), chunk, np.int32)]
                 )
-            feats, feats_lens = log_mel_spectrogram(
-                jnp.asarray(w), jnp.asarray(wl),
+            feats, feats_lens = log_mel_spectrogram_jit(
+                pcm16_to_float(jnp.asarray(to_pcm16(w))),
+                jnp.asarray(wl),
                 n_mels=encoder.dims.n_mels,
             )
             efeats = jnp.broadcast_to(e1, (n_pad,) + e1.shape[1:])

@@ -18,7 +18,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..audio.frontend import log_mel_spectrogram
+from ..audio.frontend import (
+    log_mel_spectrogram_jit,
+    pcm16_to_float,
+    to_pcm16,
+)
 from ..data import kaldi_io
 from ..models.ts_decoder import TSDecoder
 from ..models.ts_encoder import QFormerTSEncoder
@@ -188,12 +192,16 @@ def decode_dataset(
             )
             enc_chunk = rounded
     for batch in dataset.batches(batch_size, shuffle=False, drop_last=False):
-        feats, feats_lens = log_mel_spectrogram(
-            jnp.asarray(batch["speech"]), jnp.asarray(batch["speech_lens"]),
+        # int16 wire transport: half the host->device bytes per batch
+        # (bit-faithful for WAV/FLAC-sourced rows; audio/frontend.py)
+        feats, feats_lens = log_mel_spectrogram_jit(
+            pcm16_to_float(jnp.asarray(to_pcm16(batch["speech"]))),
+            jnp.asarray(batch["speech_lens"]),
             n_mels=n_mels,
         )
-        efeats, efeats_lens = log_mel_spectrogram(
-            jnp.asarray(batch["enroll"]), jnp.asarray(batch["enroll_lens"]),
+        efeats, efeats_lens = log_mel_spectrogram_jit(
+            pcm16_to_float(jnp.asarray(to_pcm16(batch["enroll"]))),
+            jnp.asarray(batch["enroll_lens"]),
             n_mels=n_mels,
         )
         memory, spk_prompt = chunked_encode(

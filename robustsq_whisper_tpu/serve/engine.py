@@ -21,7 +21,11 @@ from typing import Any, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..audio.frontend import log_mel_spectrogram
+from ..audio.frontend import (
+    log_mel_spectrogram_jit,
+    pcm16_to_float,
+    to_pcm16,
+)
 from ..decode.pipeline import build_decode_fns, chunked_encode
 from ..decode.search import DecodeConfig, strip_eot
 
@@ -34,6 +38,10 @@ class EngineConfig:
     sample_rate: int = 16000
     # encoder sub-batching (decode/pipeline.py::chunked_encode); 0 = off
     enc_chunk: int = 0
+    # stage audio host->device as int16 (halved wire bytes; bit-faithful
+    # for WAV/FLAC-sourced audio — see audio/frontend.py PCM16 helpers and
+    # docs/KERNELS.md §10). "float32" keeps the exact float path.
+    transport: str = "int16"
 
 
 class TranscriptionEngine:
@@ -74,11 +82,15 @@ class TranscriptionEngine:
     # ---- audio shaping ----
 
     def _fit(self, audio: np.ndarray, seconds: float) -> Tuple[np.ndarray, int]:
-        """Zero-pad/crop to the static window; returns (row, true_len)."""
+        """Zero-pad/crop to the static window; returns (row, true_len).
+        Rows are int16 under the default int16 transport (wire dtype —
+        dequantized on device by ``transcribe``)."""
         n = int(round(seconds * self.cfg.sample_rate))
-        row = np.zeros((n,), np.float32)
+        i16 = self.cfg.transport == "int16"
+        row = np.zeros((n,), np.int16 if i16 else np.float32)
         ln = min(len(audio), n)
-        row[:ln] = np.asarray(audio[:ln], np.float32)
+        clip = np.asarray(audio[:ln], np.float32)
+        row[:ln] = to_pcm16(clip) if i16 else clip
         return row, ln
 
     def _pack(
@@ -89,8 +101,9 @@ class TranscriptionEngine:
             raise ValueError(f"1..{b} items required, got {len(items)}")
         s_len = int(round(self.cfg.speech_seconds * self.cfg.sample_rate))
         e_len = int(round(self.cfg.enroll_seconds * self.cfg.sample_rate))
-        speech = np.zeros((b, s_len), np.float32)
-        enroll = np.zeros((b, e_len), np.float32)
+        wire = np.int16 if self.cfg.transport == "int16" else np.float32
+        speech = np.zeros((b, s_len), wire)
+        enroll = np.zeros((b, e_len), wire)
         slens = np.zeros((b,), np.int32)
         elens = np.zeros((b,), np.int32)
         for i, (sp, en) in enumerate(items):
@@ -111,11 +124,14 @@ class TranscriptionEngine:
         jnp = self._jnp
         speech, slens, enroll, elens = self._pack(items)
         with self._lock:
-            feats, flens = log_mel_spectrogram(
-                jnp.asarray(speech), jnp.asarray(slens), n_mels=self.n_mels
+            s_dev, e_dev = jnp.asarray(speech), jnp.asarray(enroll)
+            if self.cfg.transport == "int16":
+                s_dev, e_dev = pcm16_to_float(s_dev), pcm16_to_float(e_dev)
+            feats, flens = log_mel_spectrogram_jit(
+                s_dev, jnp.asarray(slens), n_mels=self.n_mels
             )
-            efeats, eflens = log_mel_spectrogram(
-                jnp.asarray(enroll), jnp.asarray(elens), n_mels=self.n_mels
+            efeats, eflens = log_mel_spectrogram_jit(
+                e_dev, jnp.asarray(elens), n_mels=self.n_mels
             )
             memory, spk_prompt = chunked_encode(
                 lambda *a: self.encode(self.enc_vars, *a),

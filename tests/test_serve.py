@@ -88,11 +88,16 @@ def test_engine_matches_offline_program(engine):
     assert len(got) == 2
 
     speech, slens, enroll, elens = eng._pack(items)
+    # the engine stages int16 rows (wire transport) and dequantizes on
+    # device; the offline comparison dequantizes identically
+    assert speech.dtype == np.int16
     feats, flens = log_mel_spectrogram(
-        jnp.asarray(speech), jnp.asarray(slens), n_mels=80
+        jnp.asarray(speech, jnp.float32) / 32768.0,
+        jnp.asarray(slens), n_mels=80,
     )
     efeats, eflens = log_mel_spectrogram(
-        jnp.asarray(enroll), jnp.asarray(elens), n_mels=80
+        jnp.asarray(enroll, jnp.float32) / 32768.0,
+        jnp.asarray(elens), n_mels=80,
     )
     encode = jax.jit(lambda v, *a: enc.apply(v, *a))
     memory, _, spk_prompt, _ = encode(enc_vars, feats, flens, efeats, eflens)
