@@ -71,6 +71,10 @@ def main(argv=None):
     parser.add_argument("--flash_tmaj", type=_str2bool, default=True)
     parser.add_argument("--gelu_approx", type=_str2bool, default=False)
     parser.add_argument("--int8_weights", type=_str2bool, default=False)
+    parser.add_argument("--quantize_cross_kv", type=_str2bool, default=True,
+                        help="fused quantized cross-attention decode kernel "
+                        "(the decode loop's dominant HBM term; width from "
+                        "--cross_kv_bits)")
     parser.add_argument("--cross_kv_bits", type=int, default=8, choices=(4, 8))
     parser.add_argument("--self_kv_bits", type=int, default=16, choices=(8, 16))
     parser.add_argument("--prefill_quantized", type=_str2bool, default=False)
@@ -79,6 +83,10 @@ def main(argv=None):
     parser.add_argument("--model_parallel", type=int, default=1)
     parser.add_argument("--warmup", type=_str2bool, default=True,
                         help="compile the pipeline before accepting traffic")
+    parser.add_argument("--compile_cache", default=None,
+                        help="persistent XLA compilation cache dir; daemon "
+                        "restarts at the same operating point skip the "
+                        "multi-minute warmup compile")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -89,6 +97,10 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+
+    if args.compile_cache:
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from ..decode.search import DecodeConfig  # noqa: F401 (docs)
     from ..models import QFormerTSEncoder, TSDecoder
@@ -179,6 +191,7 @@ def main(argv=None):
     dcfg = dataclasses.replace(
         exp.decode,
         quantize_weights=args.int8_weights,
+        quantize_cross_kv=args.quantize_cross_kv,
         eot=exp.model.eos,
         init_tokens=st.sot_sequence(args.language, "transcribe", True)
         if exp.model.vocab_size >= st.n_vocab

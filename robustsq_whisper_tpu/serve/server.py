@@ -229,6 +229,10 @@ def make_server(
                 {"text": text, "latency_ms": round((time.time() - t0) * 1e3, 2)},
             )
 
+    # The stdlib default listen backlog (5) drops simultaneous connects as
+    # soon as a few dozen clients arrive together; size it to the largest
+    # burst one device batch can absorb.
+    ThreadingHTTPServer.request_queue_size = 256
     server = ThreadingHTTPServer((host, port), Handler)
     server.daemon_threads = True
     return server, batcher
