@@ -190,6 +190,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # BENCH_COMPILE_CACHE=<dir>: persistent XLA compile cache for repeated
+    # local runs at one operating point (driver runs stay cold by default —
+    # no env set — so round records always include a fresh compile).
+    cache_dir = os.environ.get("BENCH_COMPILE_CACHE", "")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from robustsq_whisper_tpu.decode.search import DecodeConfig, build_beam_decoder
     from robustsq_whisper_tpu.models import (
         QFormerTSEncoder,

@@ -75,8 +75,12 @@ class TranscriptionEngine:
         self.encode, self.run = build_decode_fns(
             encoder, enc_vars, decoder, dec_vars, dcfg, mesh, cfg.batch_size
         )
-        # one compiled program, one device queue: serialize callers
+        # one compiled program, one device queue: serialize compute callers;
+        # staging (host pack + transfer + mel dispatch) has its own lock so
+        # the NEXT batch can stage while the device runs the current one
+        # (serve/server.py pipelines the two through separate threads)
         self._lock = threading.Lock()
+        self._stage_lock = threading.Lock()
         self.compiled = False
 
     # ---- audio shaping ----
@@ -116,14 +120,16 @@ class TranscriptionEngine:
 
     # ---- inference ----
 
-    def transcribe(
+    def stage(
         self, items: Sequence[Tuple[np.ndarray, np.ndarray]]
-    ) -> List[str]:
-        """items: (speech float32 [-1,1] @16 kHz, enrollment likewise) pairs.
-        Returns one transcript per item."""
+    ) -> Tuple[Any, Any, Any, Any]:
+        """Host pack + device transfer + mel dispatch (everything before the
+        compiled encode). Returns device-resident (feats, flens, efeats,
+        eflens). Async: nothing here blocks on device completion, so a
+        pipelined caller can stage batch N+1 while N computes."""
         jnp = self._jnp
         speech, slens, enroll, elens = self._pack(items)
-        with self._lock:
+        with self._stage_lock:
             s_dev, e_dev = jnp.asarray(speech), jnp.asarray(enroll)
             if self.cfg.transport == "int16":
                 s_dev, e_dev = pcm16_to_float(s_dev), pcm16_to_float(e_dev)
@@ -133,6 +139,13 @@ class TranscriptionEngine:
             efeats, eflens = log_mel_spectrogram_jit(
                 e_dev, jnp.asarray(elens), n_mels=self.n_mels
             )
+        return feats, flens, efeats, eflens
+
+    def infer_staged(self, staged: Tuple, n_items: int) -> List[str]:
+        """Run the compiled encode+decode on a ``stage()`` result and
+        detokenize the first ``n_items`` rows."""
+        feats, flens, efeats, eflens = staged
+        with self._lock:
             memory, spk_prompt = chunked_encode(
                 lambda *a: self.encode(self.enc_vars, *a),
                 feats, flens, efeats, eflens, self.cfg.enc_chunk,
@@ -142,8 +155,15 @@ class TranscriptionEngine:
         return [
             self.tokenizer.decode(strip_eot(tokens[i : i + 1], self.dcfg.eot)[0])
             .strip()
-            for i in range(len(items))
+            for i in range(n_items)
         ]
+
+    def transcribe(
+        self, items: Sequence[Tuple[np.ndarray, np.ndarray]]
+    ) -> List[str]:
+        """items: (speech float32 [-1,1] @16 kHz, enrollment likewise) pairs.
+        Returns one transcript per item."""
+        return self.infer_staged(self.stage(items), len(items))
 
     def warmup(self) -> float:
         """Compile the full pipeline on silence; returns wall seconds."""

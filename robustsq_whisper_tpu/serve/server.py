@@ -77,7 +77,15 @@ def audio_from_bytes(data: bytes, expect_rate: int = 16000) -> np.ndarray:
 
 
 class MicroBatcher:
-    """Coalesce concurrent requests into full engine batches."""
+    """Coalesce concurrent requests into full engine batches.
+
+    Two-stage pipeline: a STAGER thread collects each batch and runs
+    ``engine.stage`` (host pack + host->device transfer + mel dispatch —
+    none of it blocks on the device), a RUNNER thread drains the staged
+    queue through ``engine.infer_staged`` (the compiled encode+decode).
+    Batch N+1's staging therefore overlaps batch N's device compute —
+    under saturated load the device never idles on the wire (the dominant
+    per-batch host cost in this environment; docs/KERNELS.md §10)."""
 
     def __init__(
         self, engine: TranscriptionEngine, max_wait_ms: float = 15.0
@@ -85,14 +93,19 @@ class MicroBatcher:
         self.engine = engine
         self.max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
+        # depth-1 staged queue: at most one batch in flight behind the one
+        # computing (deeper pipelines only add latency, not throughput)
+        self._staged: "queue.Queue" = queue.Queue(maxsize=1)
         self._closed = False
         # stats
         self.requests = 0
         self.batches = 0
         self.errors = 0
         self.busy_s = 0.0
-        self._worker = threading.Thread(target=self._loop, daemon=True)
-        self._worker.start()
+        self._stager = threading.Thread(target=self._stage_loop, daemon=True)
+        self._runner = threading.Thread(target=self._run_loop, daemon=True)
+        self._stager.start()
+        self._runner.start()
 
     def submit(self, speech: np.ndarray, enroll: np.ndarray) -> Future:
         fut: Future = Future()
@@ -101,15 +114,16 @@ class MicroBatcher:
 
     def close(self) -> None:
         self._closed = True
-        self._q.put(None)  # wake the worker
-        self._worker.join(timeout=5)
+        self._q.put(None)  # wake the stager; it forwards the stop downstream
+        self._stager.join(timeout=5)
+        self._runner.join(timeout=5)
 
-    def _loop(self) -> None:
+    def _stage_loop(self) -> None:
         bs = self.engine.cfg.batch_size
         while not self._closed:
             first = self._q.get()
             if first is None:
-                continue
+                break
             batch = [first]
             deadline = time.time() + self.max_wait
             while len(batch) < bs:
@@ -121,20 +135,39 @@ class MicroBatcher:
                 except queue.Empty:
                     break
                 if item is None:
+                    self._closed = True
                     break
                 batch.append(item)
+            futs = [fut for _, _, fut in batch]
+            try:
+                staged = self.engine.stage([(s, e) for s, e, _ in batch])
+            except Exception as exc:  # bad audio shapes etc: fail this batch
+                self.errors += len(batch)
+                for fut in futs:
+                    if not fut.done():
+                        fut.set_exception(exc)
+                continue
+            self._staged.put((staged, futs))
+        self._staged.put(None)  # stop the runner
+
+    def _run_loop(self) -> None:
+        while True:
+            entry = self._staged.get()
+            if entry is None:
+                break
+            staged, futs = entry
             t0 = time.time()
             try:
-                texts = self.engine.transcribe([(s, e) for s, e, _ in batch])
-                for (_, _, fut), text in zip(batch, texts):
+                texts = self.engine.infer_staged(staged, len(futs))
+                for fut, text in zip(futs, texts):
                     fut.set_result(text)
             except Exception as exc:  # surface to every waiting caller
-                self.errors += len(batch)
-                for _, _, fut in batch:
+                self.errors += len(futs)
+                for fut in futs:
                     if not fut.done():
                         fut.set_exception(exc)
             self.busy_s += time.time() - t0
-            self.requests += len(batch)
+            self.requests += len(futs)
             self.batches += 1
 
 

@@ -191,6 +191,36 @@ def test_http_server_end_to_end(engine):
         server.server_close()
 
 
+def test_microbatcher_pipeline_multiple_batches(engine):
+    """The two-stage (stage/run) pipeline: > batch_size concurrent
+    submissions drain through multiple device batches, every future
+    resolves to the same text the plain engine call produces, and close()
+    terminates both worker threads."""
+    from robustsq_whisper_tpu.serve.server import MicroBatcher
+
+    eng = engine[0]
+    items = [
+        (_wav(100 + i, 0.2 + 0.01 * (i % 3)), _wav(200 + i, 0.15))
+        for i in range(ECFG.batch_size * 2 + 1)  # 3 batches: 4 + 4 + 1
+    ]
+    # expected: per-item singleton transcribe (padding-row invariance is
+    # pinned by test_engine_matches_offline_program)
+    want = [eng.transcribe([it])[0] for it in items]
+
+    batcher = MicroBatcher(eng, max_wait_ms=50.0)
+    try:
+        futs = [batcher.submit(s, e) for s, e in items]
+        got = [f.result(timeout=120) for f in futs]
+        assert got == want
+        assert batcher.requests == len(items)
+        assert batcher.batches >= 2  # must have spanned several device runs
+        assert batcher.errors == 0
+    finally:
+        batcher.close()
+    assert not batcher._stager.is_alive()
+    assert not batcher._runner.is_alive()
+
+
 def test_audio_from_bytes_wav_roundtrip():
     from scipy.io import wavfile
 
