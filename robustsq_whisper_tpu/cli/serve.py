@@ -87,6 +87,13 @@ def main(argv=None):
                         help="persistent XLA compilation cache dir; daemon "
                         "restarts at the same operating point skip the "
                         "multi-minute warmup compile")
+    parser.add_argument("--max_queue", type=int, default=0,
+                        help="admission-queue bound; beyond it requests shed "
+                        "with 503 (0 = 4 device batches)")
+    parser.add_argument("--max_body_mb", type=int, default=64,
+                        help="reject request bodies over this size with 413")
+    parser.add_argument("--result_timeout_s", type=float, default=120.0,
+                        help="504 when a request has no result in this time")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -235,6 +242,9 @@ def main(argv=None):
     server, batcher = make_server(
         engine, args.host, args.port, args.max_wait_ms,
         info={"config": args.config, "beam_size": exp.decode.beam_size},
+        max_queue=args.max_queue,
+        max_body_bytes=args.max_body_mb * 1024 * 1024,
+        result_timeout_s=args.result_timeout_s,
     )
     host, port = server.server_address[:2]
     logging.info("serving on http://%s:%d (batch %d, wait %.0f ms)",

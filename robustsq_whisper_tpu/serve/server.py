@@ -88,19 +88,35 @@ class MicroBatcher:
     per-batch host cost in this environment; docs/KERNELS.md §10)."""
 
     def __init__(
-        self, engine: TranscriptionEngine, max_wait_ms: float = 15.0
+        self,
+        engine: TranscriptionEngine,
+        max_wait_ms: float = 15.0,
+        max_queue: int = 0,
     ) -> None:
         self.engine = engine
         self.max_wait = max_wait_ms / 1000.0
-        self._q: "queue.Queue" = queue.Queue()
-        # depth-1 staged queue: at most one batch in flight behind the one
-        # computing (deeper pipelines only add latency, not throughput)
+        # bounded admission queue: when full, submit() raises queue.Full and
+        # the HTTP layer sheds with 503 instead of letting latency (and
+        # handler-thread count) grow without bound. Default bound = 4 device
+        # batches of headroom beyond the one staging and the one computing.
+        if max_queue <= 0:
+            max_queue = 4 * engine.cfg.batch_size
+        self.max_queue = max_queue
+        self._q: "queue.Queue" = queue.Queue(maxsize=max_queue + 1)  # +1: the
+        # close() sentinel must never block behind a full admission queue
+        # staged queue (maxsize=1): bounds in-flight work to the batch the
+        # device is computing + one fully staged batch + (briefly) one more
+        # the stager has built and is blocked put()-ing — at most two staged
+        # batches exist behind the computing one in the worst case.
         self._staged: "queue.Queue" = queue.Queue(maxsize=1)
         self._closed = False
-        # stats
+        # stats — ``requests`` counts requests RESOLVED (result or error),
+        # ``batches`` counts device batches run, ``busy_s`` is device-compute
+        # wall time only (staging/host work overlaps it by design)
         self.requests = 0
         self.batches = 0
         self.errors = 0
+        self.shed = 0
         self.busy_s = 0.0
         self._stager = threading.Thread(target=self._stage_loop, daemon=True)
         self._runner = threading.Thread(target=self._run_loop, daemon=True)
@@ -108,8 +124,16 @@ class MicroBatcher:
         self._runner.start()
 
     def submit(self, speech: np.ndarray, enroll: np.ndarray) -> Future:
+        """Enqueue one request; raises ``queue.Full`` when the admission
+        queue is at capacity (the HTTP layer turns that into 503)."""
         fut: Future = Future()
-        self._q.put((speech, enroll, fut))
+        if self._closed:
+            raise RuntimeError("server closing")
+        try:
+            self._q.put_nowait((speech, enroll, fut))
+        except queue.Full:
+            self.shed += 1
+            raise
         return fut
 
     def close(self) -> None:
@@ -117,6 +141,24 @@ class MicroBatcher:
         self._q.put(None)  # wake the stager; it forwards the stop downstream
         self._stager.join(timeout=5)
         self._runner.join(timeout=5)
+        self._fail_pending(RuntimeError("server closing"))
+
+    def _fail_pending(self, exc: Exception) -> None:
+        """Drain the admission queue and fail every stranded future — without
+        this, requests submitted around shutdown would block their HTTP
+        handlers until the result timeout."""
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is None:
+                continue
+            _, _, fut = item
+            self.errors += 1
+            self.requests += 1
+            if not fut.done():
+                fut.set_exception(exc)
 
     def _stage_loop(self) -> None:
         bs = self.engine.cfg.batch_size
@@ -143,11 +185,15 @@ class MicroBatcher:
                 staged = self.engine.stage([(s, e) for s, e, _ in batch])
             except Exception as exc:  # bad audio shapes etc: fail this batch
                 self.errors += len(batch)
+                self.requests += len(batch)
                 for fut in futs:
                     if not fut.done():
                         fut.set_exception(exc)
                 continue
             self._staged.put((staged, futs))
+        # on exit (close() raced a blocking _staged.put, or a None arrived
+        # mid-fill): strand nothing — fail whatever is still queued
+        self._fail_pending(RuntimeError("server closing"))
         self._staged.put(None)  # stop the runner
 
     def _run_loop(self) -> None:
@@ -159,16 +205,22 @@ class MicroBatcher:
             t0 = time.time()
             try:
                 texts = self.engine.infer_staged(staged, len(futs))
-                for fut, text in zip(futs, texts):
-                    fut.set_result(text)
+                err = None
             except Exception as exc:  # surface to every waiting caller
+                texts, err = None, exc
                 self.errors += len(futs)
-                for fut in futs:
-                    if not fut.done():
-                        fut.set_exception(exc)
+            # counters update BEFORE futures resolve: a caller observing its
+            # result must see the stats that include its own request
             self.busy_s += time.time() - t0
             self.requests += len(futs)
             self.batches += 1
+            if err is None:
+                for fut, text in zip(futs, texts):
+                    fut.set_result(text)
+            else:
+                for fut in futs:
+                    if not fut.done():
+                        fut.set_exception(err)
 
 
 def _parse_audio(body: dict, key: str, sample_rate: int) -> np.ndarray:
@@ -187,11 +239,19 @@ def make_server(
     port: int = 8080,
     max_wait_ms: float = 15.0,
     info: Optional[dict] = None,
+    max_queue: int = 0,
+    max_body_bytes: int = 64 * 1024 * 1024,
+    result_timeout_s: float = 120.0,
 ) -> Tuple[ThreadingHTTPServer, MicroBatcher]:
     """Build (but do not start) the HTTP server; call ``serve_forever()``
     on the returned server and ``close()`` on the batcher at shutdown.
-    ``port=0`` binds an ephemeral port (``server.server_address[1]``)."""
-    batcher = MicroBatcher(engine, max_wait_ms)
+    ``port=0`` binds an ephemeral port (``server.server_address[1]``).
+
+    Overload behavior: bodies over ``max_body_bytes`` get 413 without being
+    read; a full admission queue (``max_queue``, default 4 device batches)
+    gets 503 + Retry-After; a request older than ``result_timeout_s`` gets
+    504. All three bound worst-case handler-thread lifetime and memory."""
+    batcher = MicroBatcher(engine, max_wait_ms, max_queue=max_queue)
     sample_rate = engine.cfg.sample_rate
     static_info = {
         "batch_size": engine.cfg.batch_size,
@@ -227,9 +287,15 @@ def make_server(
                 self._json(
                     200,
                     {
+                        # requests = resolved (result or error); batches =
+                        # device batches run; busy_seconds = device-compute
+                        # wall only (staging/host work overlaps it); shed =
+                        # 503s from a full admission queue
                         "requests": batcher.requests,
                         "batches": batcher.batches,
                         "errors": batcher.errors,
+                        "shed": batcher.shed,
+                        "queue_depth": batcher._q.qsize(),
                         "busy_seconds": round(batcher.busy_s, 3),
                         "mean_batch_fill": round(
                             batcher.requests / max(batcher.batches, 1), 3
@@ -245,6 +311,17 @@ def make_server(
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                self._json(400, {"error": "bad Content-Length"})
+                return
+            if length > max_body_bytes:
+                # refuse before reading: an oversized body never buffers
+                self._json(
+                    413,
+                    {"error": f"body {length} > limit {max_body_bytes} bytes"},
+                )
+                return
+            try:
                 body = json.loads(self.rfile.read(length) or b"{}")
                 speech = _parse_audio(body, "speech", sample_rate)
                 enroll = _parse_audio(body, "enroll", sample_rate)
@@ -253,7 +330,29 @@ def make_server(
                 return
             t0 = time.time()
             try:
-                text = batcher.submit(speech, enroll).result(timeout=600)
+                fut = batcher.submit(speech, enroll)
+            except queue.Full:
+                self.send_response(503)
+                payload = json.dumps(
+                    {"error": "server overloaded, retry later"}
+                ).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.send_header("Retry-After", "1")
+                self.end_headers()
+                self.wfile.write(payload)
+                return
+            except RuntimeError as exc:  # closing
+                self._json(503, {"error": str(exc)})
+                return
+            try:
+                text = fut.result(timeout=result_timeout_s)
+            except TimeoutError:
+                self._json(
+                    504,
+                    {"error": f"no result within {result_timeout_s:.0f}s"},
+                )
+                return
             except Exception as exc:
                 self._json(500, {"error": str(exc)})
                 return

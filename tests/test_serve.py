@@ -231,3 +231,101 @@ def test_audio_from_bytes_wav_roundtrip():
     np.testing.assert_allclose(back, wav, atol=2 / 32768)
     with pytest.raises(ValueError):
         audio_from_bytes(buf.getvalue(), 8000)  # sample-rate mismatch
+
+
+def test_microbatcher_sheds_when_full(engine):
+    """Bounded admission: beyond max_queue, submit raises queue.Full (the
+    HTTP layer turns it into 503 + Retry-After)."""
+    import queue as _queue
+
+    from robustsq_whisper_tpu.serve.server import MicroBatcher
+
+    eng = engine[0]
+
+    class SlowEngine:
+        cfg = eng.cfg
+
+        def stage(self, items):
+            import time as _t
+
+            _t.sleep(0.5)  # hold the stager so the queue backs up
+            return eng.stage(items)
+
+        def infer_staged(self, staged, n):
+            return eng.infer_staged(staged, n)
+
+    batcher = MicroBatcher(SlowEngine(), max_wait_ms=1.0, max_queue=2)
+    try:
+        futs = []
+        shed = 0
+        for i in range(12):
+            try:
+                futs.append(batcher.submit(_wav(i, 0.2), _wav(i + 50, 0.15)))
+            except _queue.Full:
+                shed += 1
+        assert shed > 0 and batcher.shed == shed
+        for f in futs:  # admitted requests still complete
+            assert isinstance(f.result(timeout=120), str)
+    finally:
+        batcher.close()
+
+
+def test_microbatcher_close_fails_pending(engine):
+    """close() must not strand submitted futures (ADVICE r2): anything still
+    queued resolves with an error instead of blocking to the timeout."""
+    from robustsq_whisper_tpu.serve.server import MicroBatcher
+
+    eng = engine[0]
+
+    class BlockingEngine:
+        cfg = eng.cfg
+
+        def __init__(self):
+            import threading as _th
+
+            self.release = _th.Event()
+
+        def stage(self, items):
+            self.release.wait(timeout=30)
+            return eng.stage(items)
+
+        def infer_staged(self, staged, n):
+            return eng.infer_staged(staged, n)
+
+    slow = BlockingEngine()
+    batcher = MicroBatcher(slow, max_wait_ms=1.0, max_queue=8)
+    futs = [batcher.submit(_wav(i, 0.2), _wav(i + 9, 0.15)) for i in range(6)]
+    import time as _t
+
+    _t.sleep(0.1)  # let the stager pick up the first batch and block
+    slow.release.set()  # avoid a 5s join timeout inside close()
+    batcher.close()
+    for f in futs:
+        assert f.done()  # resolved: either a result or "server closing"
+    with pytest.raises(RuntimeError, match="closing"):
+        batcher.submit(_wav(0, 0.2), _wav(1, 0.15))
+
+
+def test_http_request_size_cap(engine):
+    """Bodies over max_body_bytes get 413 without being read."""
+    eng = engine[0]
+    server, batcher = make_server(
+        eng, "127.0.0.1", 0, max_wait_ms=20.0, max_body_bytes=1024
+    )
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.dumps({
+            "speech_pcm": [0.0] * 4096, "enroll_pcm": [0.0] * 1024,
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/transcribe", data=body
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 413
+    finally:
+        server.shutdown()
+        batcher.close()
+        server.server_close()
