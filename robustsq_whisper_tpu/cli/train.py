@@ -30,11 +30,29 @@ def build_model_and_variables(exp, rng, pretrained=None, dev_batch=None):
     variables = model.init(rng, dev_batch, rng, 0, train=False)
     if pretrained:
         _, enc_p, dec_p = wload.load_openai_checkpoint(pretrained)
+        if exp.ts.enroll_type == "embedding":
+            # the embedding-enrollment encoder patches block 0 individually
+            # and therefore runs unrolled (scan_layers=False) — its params
+            # live under blocks_{i}, not the scan-stacked "block" subtree.
+            # The decoder stays scan-stacked either way.
+            enc_p = wload.unstack_blocks(enc_p, dims.n_audio_layer)
         dec_p = wload.adapt_vocab(dec_p, exp.model.vocab_size)
         variables = jax.tree_util.tree_map(lambda x: x, variables)
         p = dict(variables["params"])
         enc_tree = dict(p["encoder"])
         enc_tree["encoder"] = enc_p
+        if exp.ts.enroll_type == "embedding" and exp.ts.adapter_method == "cln":
+            # conditional layernorm starts as the PRETRAINED block-0
+            # layernorm (+ zero-init delta heads): init_weight/init_bias from
+            # attn_ln/mlp_ln, reference whisper_encoder.py:234-253
+            b0 = enc_p["blocks_0"]
+            for cln_name, ln_name in (
+                ("attn_cln", "attn_ln"), ("mlp_cln", "mlp_ln"),
+            ):
+                cln = dict(enc_tree[cln_name])
+                cln["scale"] = b0[ln_name]["scale"].copy()
+                cln["bias"] = b0[ln_name]["bias"].copy()
+                enc_tree[cln_name] = cln
         p["encoder"] = enc_tree
         dec_tree = dict(p["decoder"])
         dec_tree["decoder"] = dec_p
@@ -55,6 +73,10 @@ def main(argv=None):
                         help="checkpoints kept+averaged by valid acc")
     parser.add_argument("--patience", type=int, default=0,
                         help="early-stop epochs without a new best (0=off)")
+    parser.add_argument("--valid_wer_utts", type=int, default=0,
+                        help="per-epoch greedy-decode WER on this many valid "
+                        "utterances (the stage-12 metric; reported as "
+                        "valid.wer). 0 = off")
     parser.add_argument("--expdir", required=True)
     parser.add_argument("--pretrained", default=None,
                         help="OpenAI whisper .pt checkpoint to warm-start from")
@@ -69,6 +91,17 @@ def main(argv=None):
                         "medium). Overrides the config's train_conf.fsdp")
     parser.add_argument("--num_epochs", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--enroll_type", default=None,
+                        choices=["audio", "embedding"],
+                        help="enrollment modality (asr_my.sh --enroll_type): "
+                        "audio = Qformer on enrollment waveform; embedding = "
+                        "precomputed stage-103 speaker embeddings via the "
+                        "block-0 SpkAdapter/CLN encoder. Overrides the "
+                        "config's encoder_conf.enroll_type")
+    parser.add_argument("--enroll_prefix", default=None,
+                        help="embedding scp basename in the data dir "
+                        "(default resnet -> resnet.scp; asr_my.sh "
+                        "--enroll_prefix)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -85,41 +118,36 @@ def main(argv=None):
     from ..train.loop import LoopConfig, run_training
     from ..utils.config import load_experiment
 
+    import dataclasses
+
     exp = load_experiment(args.config)
     if args.num_epochs is not None:
         exp.num_epochs = args.num_epochs
     if args.batch_size is not None:
         exp.batch_size = args.batch_size
+    if args.enroll_type is not None:
+        exp.ts = dataclasses.replace(exp.ts, enroll_type=args.enroll_type)
     if args.fsdp is not None:
-        import dataclasses
-
         from .decode import _str2bool
 
         exp.train = dataclasses.replace(exp.train, fsdp=_str2bool(args.fsdp))
 
     tokenizer = load_tokenizer(args.tokenizer_assets)
-    dataset = KaldiTSDataset(
-        args.train_dir,
-        tokenizer,
+    ds_kwargs = dict(
         speech_seconds=exp.speech_seconds,
         enroll_seconds=exp.enroll_seconds,
         utt_style=exp.utt_style,
         num_speakers=exp.model.num_speakers,
         seed=args.seed,
+        enroll_type=exp.ts.enroll_type,
+        enroll_prefix=args.enroll_prefix or "resnet",
     )
+    dataset = KaldiTSDataset(args.train_dir, tokenizer, **ds_kwargs)
     logging.info("dataset: %d utterances", len(dataset))
 
     valid_dataset = None
     if args.valid_dir:
-        valid_dataset = KaldiTSDataset(
-            args.valid_dir,
-            tokenizer,
-            speech_seconds=exp.speech_seconds,
-            enroll_seconds=exp.enroll_seconds,
-            utt_style=exp.utt_style,
-            num_speakers=exp.model.num_speakers,
-            seed=args.seed,
-        )
+        valid_dataset = KaldiTSDataset(args.valid_dir, tokenizer, **ds_kwargs)
         logging.info("valid dataset: %d utterances", len(valid_dataset))
 
     rng = jax.random.PRNGKey(args.seed)
@@ -140,6 +168,12 @@ def main(argv=None):
         ckpt_dir=f"{args.expdir}/checkpoints",
         nbest=args.nbest,
         patience=args.patience,
+        wer_utts=max(0, args.valid_wer_utts),
+        # eval-time WER decodes dense weights, no speculation (ValidWer)
+        wer_decode=dataclasses.replace(
+            exp.decode, eot=exp.model.eos, quantize_weights=False,
+            speculative_gamma=0,
+        ) if args.valid_wer_utts > 0 else None,
     )
     state = run_training(
         model, dataset, variables, exp.train, lcfg, mesh=mesh, rng=rng,

@@ -93,7 +93,7 @@ def pad_1d(arrays: List[np.ndarray], length: int, value: float = 0.0) -> np.ndar
 def collate_batch(
     utt_ids: Sequence[str],
     speech: List[np.ndarray],
-    enroll: List[np.ndarray],
+    enroll: Optional[List[np.ndarray]],
     texts: List[np.ndarray],
     speech_samples: int,
     enroll_samples: int,
@@ -102,8 +102,15 @@ def collate_batch(
     speaker_to_id: Optional[Dict[str, int]] = None,
     num_speakers: Optional[int] = None,
     ignore_id: int = -1,
+    enroll_embeds: Optional[np.ndarray] = None,
 ) -> Dict[str, np.ndarray]:
-    """Build the fixed-shape training batch dict consumed by TSASRModel."""
+    """Build the fixed-shape training batch dict consumed by TSASRModel.
+
+    ``enroll`` is the list of enrollment waveforms (enroll_type "audio");
+    for embedding enrollment pass ``enroll=None`` and the stacked
+    ``enroll_embeds`` (B, enroll_size) instead — the batch then carries an
+    ``enroll_embed`` key and no enroll audio.
+    """
     b = len(utt_ids)
     text_arr = np.full((b, text_len), ignore_id, dtype=np.int32)
     text_lens = np.zeros((b,), dtype=np.int32)
@@ -111,14 +118,10 @@ def collate_batch(
         n = min(len(t), text_len)
         text_arr[i, :n] = t[:n]
         text_lens[i] = n
-    return {
+    batch = {
         "speech": pad_1d(speech, speech_samples),
         "speech_lens": np.minimum(
             np.asarray([len(s) for s in speech], np.int32), speech_samples
-        ),
-        "enroll": pad_1d(enroll, enroll_samples),
-        "enroll_lens": np.minimum(
-            np.asarray([len(e) for e in enroll], np.int32), enroll_samples
         ),
         "text": text_arr,
         "text_lens": text_lens,
@@ -127,3 +130,11 @@ def collate_batch(
             utt_ids, style, speaker_to_id, num_speakers
         ),
     }
+    if enroll_embeds is not None:
+        batch["enroll_embed"] = np.asarray(enroll_embeds, np.float32)
+    else:
+        batch["enroll"] = pad_1d(enroll, enroll_samples)
+        batch["enroll_lens"] = np.minimum(
+            np.asarray([len(e) for e in enroll], np.int32), enroll_samples
+        )
+    return batch

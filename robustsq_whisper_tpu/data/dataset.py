@@ -45,6 +45,8 @@ class KaldiTSDataset:
         num_speakers: Optional[int] = None,
         spk2enroll_path: Optional[str] = None,
         seed: int = 0,
+        enroll_type: str = "audio",
+        enroll_prefix: str = "resnet",
     ):
         self.data_dir = data_dir
         self.tokenizer = tokenizer
@@ -56,6 +58,8 @@ class KaldiTSDataset:
         self.num_speakers = num_speakers
         self.rng = np.random.default_rng(seed)
         self.speaker_to_id: Dict[str, int] = {}
+        self.enroll_type = enroll_type
+        self.enroll_prefix = enroll_prefix
 
         self.wav = kaldi_io.read_scp(os.path.join(data_dir, "wav.scp"))
         self.text = kaldi_io.read_scp(os.path.join(data_dir, "text"))
@@ -68,6 +72,25 @@ class KaldiTSDataset:
             kaldi_io.read_spk2enroll(s2e) if os.path.exists(s2e) else None
         )
         self.utt_ids: List[str] = sorted(set(self.wav) & set(self.text))
+
+        # embedding enrollment (asr_my.sh --enroll_type embedding): stage-103
+        # resnet.scp maps either the mixture utt (eval mode, concrete
+        # enroll.scp rows) or the enrollment utt (train mode, extracted for
+        # every spk2enroll utterance — reference
+        # extract_reset_embedding_onnx.py:119-130) to a .npy embedding.
+        self.embed_scp: Dict[str, str] = {}
+        if enroll_type == "embedding":
+            scp_path = os.path.join(data_dir, f"{enroll_prefix}.scp")
+            if not os.path.exists(scp_path):
+                raise FileNotFoundError(
+                    f"{scp_path}: enroll_type=embedding needs the stage-103 "
+                    f"embedding scp (cli.datapre extract_embeddings)"
+                )
+            self.embed_scp = kaldi_io.read_scp(scp_path)
+        elif enroll_type != "audio":
+            raise ValueError(
+                f"enroll_type must be audio|embedding, got {enroll_type}"
+            )
 
         # native batched WAV decode for the fixed-window speech path
         # (native/wavio.cpp); per-file scipy fallback otherwise
@@ -98,6 +121,26 @@ class KaldiTSDataset:
             audio = audio[start : start + self.enroll_samples]
         return audio
 
+    def _enroll_embedding(self, utt_id: str) -> np.ndarray:
+        """Precomputed speaker embedding for ``utt_id`` (enroll_type
+        "embedding"): lazy enroll rows resolve to a random same-speaker
+        enrollment utterance whose id keys resnet.scp; concrete/absent rows
+        key it by the mixture utt directly."""
+        row = self.enroll.get(utt_id)
+        key = utt_id
+        if row is not None and kaldi_io.is_lazy_enrollment(row):
+            enroll_utt, _ = kaldi_io.resolve_enrollment_entry(
+                row, self.spk2enroll, self.rng, exclude_utt=utt_id
+            )
+            key = enroll_utt if enroll_utt is not None else utt_id
+        npy = self.embed_scp.get(key)
+        if npy is None:
+            raise KeyError(
+                f"{self.enroll_prefix}.scp has no embedding for {key!r} "
+                f"(mixture {utt_id!r})"
+            )
+        return np.load(npy).astype(np.float32).reshape(-1)
+
     def batches(
         self, batch_size: int, shuffle: bool = True, drop_last: bool = True
     ) -> Iterator[Dict[str, np.ndarray]]:
@@ -126,7 +169,14 @@ class KaldiTSDataset:
                 speech = [
                     self._load_audio(self.wav[u].split()[0]) for u in utts
                 ]
-            enroll = [self._enroll_audio(u) for u in utts]
+            if self.enroll_type == "embedding":
+                enroll = None
+                enroll_embeds = np.stack(
+                    [self._enroll_embedding(u) for u in utts]
+                )
+            else:
+                enroll = [self._enroll_audio(u) for u in utts]
+                enroll_embeds = None
             texts = [
                 np.asarray(self.tokenizer.encode(self.text[u]), np.int32)
                 for u in utts
@@ -142,6 +192,7 @@ class KaldiTSDataset:
                 style=self.utt_style,
                 speaker_to_id=self.speaker_to_id,
                 num_speakers=self.num_speakers,
+                enroll_embeds=enroll_embeds,
             )
             batch["utt_ids"] = utts  # host-only metadata (popped before jit)
             yield batch

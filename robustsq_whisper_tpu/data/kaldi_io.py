@@ -518,8 +518,22 @@ def resolve_enrollment(
     """Turn an enroll.scp row into a concrete wav path. Lazy rows pick a
     random enrollment of the speaker, excluding the mixture's own utterance
     (SpeakerBeam convention)."""
+    return resolve_enrollment_entry(value, spk2enroll, rng, exclude_utt)[1]
+
+
+def resolve_enrollment_entry(
+    value: str,
+    spk2enroll: Optional[Dict[str, List[Tuple[str, str]]]],
+    rng: Optional[np.random.Generator] = None,
+    exclude_utt: Optional[str] = None,
+) -> Tuple[Optional[str], str]:
+    """Like :func:`resolve_enrollment` but returns ``(enroll_utt, path)`` —
+    the chosen enrollment utterance id keys stage-103 ``resnet.scp`` rows in
+    train mode (reference extract_reset_embedding_onnx.py:119-124 extracts
+    one embedding per spk2enroll utterance). Non-lazy rows return
+    ``(None, path)``: their scp key is the mixture utterance itself."""
     if not is_lazy_enrollment(value):
-        return value
+        return None, value
     src_utt, spk = parse_lazy_enrollment(value)
     if spk2enroll is None or spk not in spk2enroll:
         raise KeyError(f"no enrollment pool for speaker {spk}")
@@ -528,8 +542,8 @@ def resolve_enrollment(
     # caller-supplied id (e.g. the mixture row id)
     excluded = {src_utt, exclude_utt}
     pool = [
-        p for u, p in spk2enroll[spk] if u not in excluded
-    ] or [p for _, p in spk2enroll[spk]]
+        (u, p) for u, p in spk2enroll[spk] if u not in excluded
+    ] or list(spk2enroll[spk])
     rng = rng or np.random.default_rng()
     return pool[int(rng.integers(len(pool)))]
 

@@ -25,7 +25,7 @@ from ..audio.frontend import (
 )
 from ..data import kaldi_io
 from ..models.ts_decoder import TSDecoder
-from ..models.ts_encoder import QFormerTSEncoder
+from ..models.ts_encoder import QFormerTSEncoder, SpkAdapterTSEncoder
 from .scorer import cer, wer
 from .search import DecodeConfig, build_beam_decoder, strip_eot
 
@@ -50,18 +50,25 @@ def chunked_encode(enc_fn, feats, feats_lens, efeats, efeats_lens, chunk):
     encoder's transient activation peak (flash + 4x-wide MLP intermediates)
     separately from the decode batch. ``chunk`` <= 0 or >= batch encodes in
     one call. Returns ``(memory, spk_prompt)``."""
-    b = feats.shape[0]
-    if chunk <= 0 or chunk >= b:
-        memory, _, spk_prompt, _ = enc_fn(
-            feats, feats_lens, efeats, efeats_lens
-        )
+    def pair(f, fl, ef, el):
+        memory, _, spk_prompt, _ = enc_fn(f, fl, ef, el)
         return memory, spk_prompt
+
+    return chunked_encode_args(
+        pair, (feats, feats_lens, efeats, efeats_lens), chunk
+    )
+
+
+def chunked_encode_args(enc_fn, args, chunk):
+    """Generic sub-batched encode: ``enc_fn(*args) -> (memory, spk_prompt)``
+    with every arg batch-leading. Shared by the Qformer (4-tuple) and
+    embedding-enrollment (2-tuple) encode paths."""
+    b = args[0].shape[0]
+    if chunk <= 0 or chunk >= b:
+        return enc_fn(*args)
     mems, prompts = [], []
     for s in range(0, b, chunk):
-        e = s + chunk
-        m_c, _, p_c, _ = enc_fn(
-            feats[s:e], feats_lens[s:e], efeats[s:e], efeats_lens[s:e]
-        )
+        m_c, p_c = enc_fn(*(a[s : s + chunk] for a in args))
         mems.append(m_c)
         prompts.append(p_c)
     return jnp.concatenate(mems, axis=0), jnp.concatenate(prompts, axis=0)
@@ -75,13 +82,58 @@ def build_decode_fns(
     dcfg: DecodeConfig,
     mesh: Optional[Any] = None,
     batch_size: Optional[int] = None,
+    ctc_vars: Optional[Any] = None,
 ):
     """The serving program pair ``(encode, run)`` for every decode mode:
     single-device (greedy/beam/speculative), data-parallel shard_map, or
     tensor-parallel GSPMD. ``encode(enc_vars, mel, flens, emel, elens)``
     returns the encoder 4-tuple; ``run(memory, spk_prompt)`` returns
     ``(tokens, scores[, stats])``. Shared by the batch pipeline
-    (decode_dataset) and the online server (serve/engine.py)."""
+    (decode_dataset) and the online server (serve/engine.py).
+
+    Embedding-enrollment encoders (SpkAdapterTSEncoder) get
+    ``encode(enc_vars, mel, flens, enroll_embed) -> (memory, empty_prompt)``
+    instead — single-device or data-parallel; the decoder side is identical
+    (prompt-free ``run``)."""
+    if dcfg.ctc_decode_weight > 0:
+        # joint CTC/attention decode (ESPnet beam-search parity options):
+        # plain-jit program, single device (decode/joint.py)
+        if mesh is not None:
+            raise NotImplementedError(
+                "ctc_decode_weight > 0 decodes on a single device (the "
+                "joint scorer is the parity path, not the serving one); "
+                "drop --data_parallel/--model_parallel"
+            )
+        if ctc_vars is None:
+            raise ValueError(
+                "ctc_decode_weight > 0 needs the CTC head weights: pass "
+                "ctc_vars={'kernel': ..., 'bias': ...} (params.ctc.ctc_lo)"
+            )
+        from .joint import build_joint_beam_decoder
+
+        emb = isinstance(encoder, SpkAdapterTSEncoder)
+        prompt_frames = 0 if emb else encoder.prompt_len
+        ctc_apply = lambda v, mem: mem @ v["kernel"] + v["bias"]
+        run = build_joint_beam_decoder(
+            decoder, dec_vars, ctc_apply, ctc_vars, dcfg,
+            prompt_frames=prompt_frames,
+        )
+        if emb:
+            def enc_apply(v, mel, fl, e):
+                memory, _ = encoder.apply(v, mel, fl, e)
+                return memory, jnp.zeros(
+                    (memory.shape[0], 0, memory.shape[-1]), memory.dtype
+                )
+
+            return jax.jit(enc_apply), run
+        encode = jax.jit(
+            lambda v, mel, fl, emel, el: encoder.apply(v, mel, fl, emel, el)
+        )
+        return encode, run
+    if isinstance(encoder, SpkAdapterTSEncoder):
+        return _build_embedding_decode_fns(
+            encoder, enc_vars, decoder, dec_vars, dcfg, mesh, batch_size
+        )
     if mesh is not None and mesh.shape.get("model", 1) > 1:
         # tensor-parallel serving (capacity mode): weights sharded over the
         # model axis under GSPMD, dense XLA path (decode/sharded.py)
@@ -129,6 +181,77 @@ def build_decode_fns(
     return encode, run
 
 
+def _build_embedding_decode_fns(
+    encoder: SpkAdapterTSEncoder,
+    enc_vars: Any,
+    decoder: TSDecoder,
+    dec_vars: Any,
+    dcfg: DecodeConfig,
+    mesh: Optional[Any] = None,
+    batch_size: Optional[int] = None,
+):
+    """(encode, run) for the embedding-enrollment path (asr_my.sh
+    --enroll_type embedding): ``encode(enc_vars, mel, flens, enroll_embed)``
+    returns ``(memory, prompt0)`` where ``prompt0`` is the (b, 0, n_state)
+    empty speaker prompt the prompt-free decoder expects."""
+    assert not decoder.use_spk_prompt, (
+        "embedding enrollment decodes prompt-free: build the TSDecoder with "
+        "use_spk_prompt=False"
+    )
+
+    def enc_apply(v, mel, fl, emb):
+        memory, _ = encoder.apply(v, mel, fl, emb)
+        prompt0 = jnp.zeros(
+            (memory.shape[0], 0, memory.shape[-1]), memory.dtype
+        )
+        return memory, prompt0
+
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        raise NotImplementedError(
+            "tensor-parallel serving of the embedding-enrollment encoder is "
+            "not wired up (the TS flagship path is the Qformer encoder); use "
+            "--model_parallel 1"
+        )
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        from ..parallel.mesh import DATA_AXIS
+        from .sharded import build_sharded_decoder
+
+        P = jax.sharding.PartitionSpec
+        repl, data = P(), P(DATA_AXIS)
+        body = jax.shard_map(
+            enc_apply, mesh=mesh,
+            in_specs=(repl, data, data, data), out_specs=(data, data),
+            check_vma=False,
+        )
+        jitted = jax.jit(body)
+        enc_vars_repl = jax.device_put(
+            enc_vars, jax.sharding.NamedSharding(mesh, repl)
+        )
+        sh = jax.sharding.NamedSharding(mesh, data)
+
+        def encode(v, mel, fl, emb):
+            del v  # weights placed once at build time
+            return jitted(
+                enc_vars_repl,
+                *(jax.device_put(t, sh) for t in (mel, fl, emb)),
+            )
+
+        run = build_sharded_decoder(
+            decoder, dec_vars, dcfg, mesh,
+            return_stats=dcfg.speculative_gamma > 0,
+        )
+        return encode, run
+    if dcfg.speculative_gamma > 0:
+        from .speculative import build_speculative_decoder
+
+        run = build_speculative_decoder(
+            decoder, dec_vars, dcfg, return_stats=True
+        )
+    else:
+        run = build_beam_decoder(decoder, dec_vars, dcfg)
+    return jax.jit(enc_apply), run
+
+
 def decode_dataset(
     encoder: QFormerTSEncoder,
     enc_vars: Any,
@@ -141,9 +264,16 @@ def decode_dataset(
     output_dir: Optional[str] = None,
     mesh: Optional[Any] = None,
     enc_chunk: int = 0,
+    fns: Optional[Any] = None,
+    ctc_vars: Optional[Any] = None,
 ) -> DecodeResult:
-    encode, run = build_decode_fns(
-        encoder, enc_vars, decoder, dec_vars, dcfg, mesh, batch_size
+    # ``fns`` = a prebuilt (encode, run) pair (build_decode_fns contract) —
+    # lets a caller that decodes repeatedly with changing weights (e.g. the
+    # per-epoch valid-WER pass, train/eval.py) reuse one compiled program
+    # instead of rebuilding/recompiling here every call.
+    encode, run = fns if fns is not None else build_decode_fns(
+        encoder, enc_vars, decoder, dec_vars, dcfg, mesh, batch_size,
+        ctc_vars=ctc_vars,
     )
 
     hyps: Dict[str, str] = {}
@@ -191,6 +321,7 @@ def decode_dataset(
                 enc_chunk, rounded, n_data,
             )
             enc_chunk = rounded
+    emb_mode = isinstance(encoder, SpkAdapterTSEncoder)
     for batch in dataset.batches(batch_size, shuffle=False, drop_last=False):
         # int16 wire transport: half the host->device bytes per batch
         # (bit-faithful for WAV/FLAC-sourced rows; audio/frontend.py)
@@ -199,15 +330,22 @@ def decode_dataset(
             jnp.asarray(batch["speech_lens"]),
             n_mels=n_mels,
         )
-        efeats, efeats_lens = log_mel_spectrogram_jit(
-            pcm16_to_float(jnp.asarray(to_pcm16(batch["enroll"]))),
-            jnp.asarray(batch["enroll_lens"]),
-            n_mels=n_mels,
-        )
-        memory, spk_prompt = chunked_encode(
-            lambda *a: encode(enc_vars, *a),
-            feats, feats_lens, efeats, efeats_lens, enc_chunk,
-        )
+        if emb_mode:
+            memory, spk_prompt = chunked_encode_args(
+                lambda *a: encode(enc_vars, *a),
+                (feats, feats_lens, jnp.asarray(batch["enroll_embed"])),
+                enc_chunk,
+            )
+        else:
+            efeats, efeats_lens = log_mel_spectrogram_jit(
+                pcm16_to_float(jnp.asarray(to_pcm16(batch["enroll"]))),
+                jnp.asarray(batch["enroll_lens"]),
+                n_mels=n_mels,
+            )
+            memory, spk_prompt = chunked_encode(
+                lambda *a: encode(enc_vars, *a),
+                feats, feats_lens, efeats, efeats_lens, enc_chunk,
+            )
         res = run(memory, spk_prompt)
         tokens, stats = res[0], (res[2] if len(res) == 3 else None)
         if pending is not None:

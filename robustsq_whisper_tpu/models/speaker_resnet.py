@@ -274,11 +274,35 @@ def extract_embeddings_for_dir(
 ) -> Dict[str, int]:
     """Batched embedding extraction over a Kaldi dir -> per-utt .npy +
     ``resnet.scp`` (reference worker/main, extract_reset_embedding_onnx.py:
-    91-146)."""
+    91-146).
+
+    Source selection mirrors the reference's ``--is_train`` switch
+    (extract_reset_embedding_onnx.py:115-130): a ``spk2enroll.json`` in the
+    dir means train mode — extract one embedding per ENROLLMENT utterance in
+    the pool (lazy ``*utt spk`` rows resolve against these ids at load time);
+    otherwise concrete ``enroll.scp`` rows (eval mode, keyed by mixture utt);
+    otherwise every ``wav.scp`` row."""
     from ..audio.fbank import kaldi_fbank
     from ..data import kaldi_io
 
-    wav = kaldi_io.read_scp(os.path.join(data_dir, "wav.scp"))
+    s2e_path = os.path.join(data_dir, "spk2enroll.json")
+    enroll_path = os.path.join(data_dir, "enroll.scp")
+    if os.path.exists(s2e_path):
+        s2e = kaldi_io.read_spk2enroll(s2e_path)
+        wav = {u: p for pairs in s2e.values() for u, p in pairs}
+    elif os.path.exists(enroll_path):
+        rows = kaldi_io.read_scp(enroll_path)
+        wav = {
+            u: p for u, p in rows.items()
+            if not kaldi_io.is_lazy_enrollment(p)
+        }
+        if not wav:
+            raise ValueError(
+                f"{enroll_path}: only lazy rows but no spk2enroll.json to "
+                "resolve them — run the stage-102 enrollment json builder"
+            )
+    else:
+        wav = kaldi_io.read_scp(os.path.join(data_dir, "wav.scp"))
     os.makedirs(out_dir, exist_ok=True)
     model = SpeakerResNet34(embed_dim=embed_dim)
     rng = jax.random.PRNGKey(seed)

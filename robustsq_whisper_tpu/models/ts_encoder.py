@@ -145,8 +145,24 @@ class SpkAdapter(nn.Module):
 
 @dataclasses.dataclass(frozen=True)
 class TSEncoderConfig:
-    """Knobs of QFormerTgtSpkWhisperEncoder_V2 (whisper_encoder.py:395-435)."""
+    """Knobs of QFormerTgtSpkWhisperEncoder_V2 (whisper_encoder.py:395-435)
+    plus the embedding-enrollment axis of the absent ``asr_my.sh``
+    ``--enroll_type`` flag (README.md:41-77; TgtSpkWhisperEncoder,
+    whisper_encoder.py:195-334)."""
 
+    # enrollment modality: "audio" = enrollment waveform through the Qformer
+    # path (QFormerTSEncoder, the main path), "embedding" = a precomputed
+    # speaker embedding (stage-103 resnet.scp rows) injected at block 0
+    # (SpkAdapterTSEncoder). Selects the encoder class in TSASRModel.
+    enroll_type: str = "audio"
+    # --- embedding-enrollment knobs (enroll_type == "embedding";
+    #     reference TgtSpkWhisperEncoder.__init__, whisper_encoder.py:199-255)
+    enroll_size: int = 256  # voxceleb_resnet34_LM emits 256-d embeddings
+    adapter_method: str = "cat"  # cat | additive | film | cln
+    adapter_normalize: bool = True
+    adapter_layer: int = 1
+    modulate_bias: bool = False
+    # --- Qformer knobs (enroll_type == "audio")
     num_query_tokens: int = 16
     num_hidden_layers: int = 2
     use_spk_prompt: bool = True
@@ -301,6 +317,22 @@ class SpkAdapterTSEncoder(nn.Module):
     modulate_bias: bool = False
     dtype: Dtype = jnp.float32
 
+    @classmethod
+    def from_config(
+        cls, dims: WhisperDims, ts: "TSEncoderConfig", dtype: Dtype = jnp.float32,
+        name: Optional[str] = None,
+    ) -> "SpkAdapterTSEncoder":
+        return cls(
+            dims,
+            enroll_size=ts.enroll_size,
+            adapter_method=ts.adapter_method,
+            adapter_normalize=ts.adapter_normalize,
+            adapter_layer=ts.adapter_layer,
+            modulate_bias=ts.modulate_bias,
+            dtype=dtype,
+            name=name,
+        )
+
     def setup(self):
         # unrolled blocks: this variant patches block 0 individually
         # (reference whisper_encoder.py:277-291), which needs per-layer
@@ -356,6 +388,10 @@ class SpkAdapterTSEncoder(nn.Module):
         if feats_lens is not None:
             olens = AudioEncoder.output_lengths(feats_lens, self.dims.n_audio_ctx)
         return x, olens
+
+    @staticmethod
+    def make_buffers(dims: WhisperDims) -> dict:
+        return {"encoder": AudioEncoder.make_buffers(dims)}
 
 
 def quantize_encoder_weights(variables) -> dict:

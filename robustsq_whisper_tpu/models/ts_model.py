@@ -52,7 +52,7 @@ from ..losses.speaker import (
     asp_gamma_schedule,
 )
 from .ts_decoder import TSDecoder
-from .ts_encoder import QFormerTSEncoder, TSEncoderConfig
+from .ts_encoder import QFormerTSEncoder, SpkAdapterTSEncoder, TSEncoderConfig
 from .whisper.config import WhisperDims
 
 Dtype = Any
@@ -100,28 +100,46 @@ class TSASRModel(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.encoder = QFormerTSEncoder(
-            self.dims, self.ts, dtype=self.dtype, name="encoder"
-        )
+        # enroll_type selects the encoder family (the absent asr_my.sh
+        # --enroll_type axis, SURVEY.md §2.5): "audio" = the Qformer main
+        # path, "embedding" = precomputed speaker embedding at block 0
+        # (reference TgtSpkWhisperEncoder, whisper_encoder.py:195-334). The
+        # embedding path has no speaker prompt and no Qformer-derived
+        # enrollment frames, so the decoder runs prompt-free and the
+        # contrastive/AAM speaker losses don't exist (hybrid CTC/att only) —
+        # matching the plain-ESPnet-model plumbing that encoder slots into.
+        if self.ts.enroll_type == "embedding":
+            self.encoder = SpkAdapterTSEncoder.from_config(
+                self.dims, self.ts, dtype=self.dtype, name="encoder"
+            )
+        elif self.ts.enroll_type == "audio":
+            self.encoder = QFormerTSEncoder(
+                self.dims, self.ts, dtype=self.dtype, name="encoder"
+            )
+        else:
+            raise ValueError(
+                f"enroll_type must be audio|embedding, got {self.ts.enroll_type}"
+            )
         self.decoder = TSDecoder(
             self.dims.replace(n_vocab=self.cfg.vocab_size),
             startofprev_token=self.cfg.startofprev,
-            use_spk_prompt=True,
+            use_spk_prompt=self.ts.enroll_type == "audio",
             dtype=self.dtype,
             remat=self.ts.remat,
             sequence_parallel=self.ts.sequence_parallel,
             name="decoder",
         )
         self.ctc = CTCHead(self.cfg.vocab_size, name="ctc")
-        self.asp = AttentiveStatisticsPooling(
-            self.dims.n_audio_state, use_projection=True, name="asp"
-        )
-        self.aam = AAMSoftmaxHead(
-            self.cfg.num_speakers,
-            self.dims.n_audio_state,
-            temperature=self.cfg.aam_temp,
-            name="aam",
-        )
+        if self.ts.enroll_type == "audio":
+            self.asp = AttentiveStatisticsPooling(
+                self.dims.n_audio_state, use_projection=True, name="asp"
+            )
+            self.aam = AAMSoftmaxHead(
+                self.cfg.num_speakers,
+                self.dims.n_audio_state,
+                temperature=self.cfg.aam_temp,
+                name="aam",
+            )
 
     # ---- encode: frontend + specaug + TS encoder (reference :254-302) ----
 
@@ -134,14 +152,24 @@ class TSASRModel(nn.Module):
         specaug_rng: Optional[jax.Array] = None,
         train: bool = False,
         dropout_rng: Optional[jax.Array] = None,
-    ) -> Tuple[jax.Array, Optional[jax.Array], jax.Array, jax.Array]:
+    ) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array], Optional[jax.Array]]:
+        """``enroll`` is a waveform (B, samples) for enroll_type "audio", or
+        a precomputed speaker embedding (B, enroll_size) for "embedding" —
+        the same dual contract as the reference encode() (reference
+        ts_qformer_espnet_model.py:266-267). The embedding path returns
+        (encoder_out, out_lens, None, None)."""
         n_mels = self.dims.n_mels  # 80; 128 for whisper large-v3 family
         feats, feats_lens = log_mel_spectrogram(speech, speech_lens, n_mels=n_mels)
+        if train and self.cfg.use_specaug and specaug_rng is not None:
+            feats = apply_specaug(specaug_rng, feats, feats_lens, self.cfg.specaug)
+        if self.ts.enroll_type == "embedding":
+            x, x_lens = self.encoder(
+                feats, feats_lens, enroll, deterministic=not train
+            )
+            return x, x_lens, None, None
         enroll_feats, enroll_feats_lens = log_mel_spectrogram(
             enroll, enroll_lens, n_mels=n_mels
         )
-        if train and self.cfg.use_specaug and specaug_rng is not None:
-            feats = apply_specaug(specaug_rng, feats, feats_lens, self.cfg.specaug)
         return self.encoder(
             feats, feats_lens, enroll_feats, enroll_feats_lens,
             deterministic=not train,
@@ -161,33 +189,39 @@ class TSASRModel(nn.Module):
         rng_specaug, rng_neg = jax.random.split(jax.random.fold_in(rng, 0))
         rng_drop = jax.random.fold_in(rng, 1)  # Qformer training dropout
 
+        embedding_enroll = self.ts.enroll_type == "embedding"
         encoder_out, encoder_out_lens, spk_prompt, enroll_embedding = self.encode(
             batch["speech"],
             batch.get("speech_lens"),
-            batch["enroll"],
-            batch.get("enroll_lens"),
+            batch["enroll_embed"] if embedding_enroll else batch["enroll"],
+            None if embedding_enroll else batch.get("enroll_lens"),
             specaug_rng=rng_specaug,
             train=train,
             dropout_rng=rng_drop,
         )
 
         stats: Dict[str, jax.Array] = {}
-        prompt_len = self.encoder.prompt_len
+        prompt_len = 0 if embedding_enroll else self.encoder.prompt_len
         epoch = jnp.asarray(epoch, jnp.float32)
-
-        # warm-up schedules as traced scalars (losses/speaker.py helpers)
-        gamma = asp_gamma_schedule(
-            epoch, cfg.asp_gamma_initial, cfg.asp_gamma,
-            cfg.asp_gamma_warmup_epochs,
-        )
-        margin = aam_margin_schedule(epoch, cfg.aam_margin, cfg.warm_up_epochs)
-
-        pooled_enroll = self.asp(enroll_embedding, gamma)
 
         loss = jnp.float32(0.0)
 
-        # 2a. Arc-InfoNCE (reference :587-598)
-        if cfg.contrastive_weight > 0.0:
+        # 2a. speaker losses — Qformer path only: the embedding path has no
+        # spk_prompt / enrollment frames to contrast (reference
+        # TgtSpkWhisperEncoder slots into the plain hybrid CTC/att model)
+        if not embedding_enroll:
+            # warm-up schedules as traced scalars (losses/speaker.py helpers)
+            gamma = asp_gamma_schedule(
+                epoch, cfg.asp_gamma_initial, cfg.asp_gamma,
+                cfg.asp_gamma_warmup_epochs,
+            )
+            margin = aam_margin_schedule(
+                epoch, cfg.aam_margin, cfg.warm_up_epochs
+            )
+            pooled_enroll = self.asp(enroll_embedding, gamma)
+
+        # Arc-InfoNCE (reference :587-598)
+        if not embedding_enroll and cfg.contrastive_weight > 0.0:
             loss_con, acc_con = arc_infonce_loss(
                 spk_prompt,
                 pooled_enroll,
@@ -254,4 +288,6 @@ class TSASRModel(nn.Module):
 
     @staticmethod
     def make_buffers(dims: WhisperDims, ts: TSEncoderConfig) -> dict:
+        if ts.enroll_type == "embedding":
+            return {"encoder": SpkAdapterTSEncoder.make_buffers(dims)}
         return {"encoder": QFormerTSEncoder.make_buffers(dims, ts)}

@@ -25,6 +25,9 @@ fsdp=""                  # true: ZeRO-3 param/optimizer storage sharding
 batch_size=""
 num_epochs=""
 lang=en
+enroll_type=""           # audio | embedding (asr_my.sh --enroll_type)
+enroll_prefix=""         # embedding scp basename, default resnet
+
 # data-prep knobs
 src_dir=""               # clean single-speaker dir for stage 101
 noise_dir=""             # WHAM!-style noise wavs for stage 102
@@ -62,10 +65,15 @@ if [ "${stage}" -le 102 ] && [ "${stop_stage}" -ge 102 ] && [ -n "${noise_dir}" 
 fi
 
 if [ "${stage}" -le 103 ] && [ "${stop_stage}" -ge 103 ] && [ "${stage}" -ge 103 ]; then
-  log "stage 103: speaker-embedding extraction"
-  ${PY} -m robustsq_whisper_tpu.cli.datapre spk-embed \
-    --data_dir "${dumpdir}/${train_set}" \
-    --out_dir "${expdir}/spk_embeddings"
+  # one resnet.scp per set, like the reference's three extraction calls
+  # (reference datapre/data.sh:302-326: dev/test eval-mode, train train-mode)
+  for eset in ${train_set} ${test_sets}; do
+    [ -d "${dumpdir}/${eset}" ] || continue
+    log "stage 103: speaker-embedding extraction (${eset})"
+    ${PY} -m robustsq_whisper_tpu.cli.datapre spk-embed \
+      --data_dir "${dumpdir}/${eset}" \
+      --out_dir "${expdir}/spk_embeddings/${eset}"
+  done
 fi
 
 if [ "${stage}" -le 11 ] && [ "${stop_stage}" -ge 11 ]; then
@@ -87,6 +95,8 @@ if [ "${stage}" -le 11 ] && [ "${stop_stage}" -ge 11 ]; then
     ${tokenizer_assets:+--tokenizer_assets "${tokenizer_assets}"} \
     ${batch_size:+--batch_size "${batch_size}"} \
     ${num_epochs:+--num_epochs "${num_epochs}"} \
+    ${enroll_type:+--enroll_type "${enroll_type}"} \
+    ${enroll_prefix:+--enroll_prefix "${enroll_prefix}"} \
     ${fsdp:+--fsdp "${fsdp}"}
 fi
 
@@ -101,6 +111,8 @@ if [ "${stage}" -le 12 ] && [ "${stop_stage}" -ge 12 ]; then
       --expdir "${expdir}" \
       --output_dir "${expdir}/decode_${tset}" \
       --language "${lang}" \
+      ${enroll_type:+--enroll_type "${enroll_type}"} \
+      ${enroll_prefix:+--enroll_prefix "${enroll_prefix}"} \
       ${tokenizer_assets:+--tokenizer_assets "${tokenizer_assets}"}
   done
 fi
