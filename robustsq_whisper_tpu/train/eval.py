@@ -18,6 +18,7 @@ import os
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .checkpoint import restore_checkpoint, save_checkpoint
@@ -60,23 +61,133 @@ def evaluate(
     rng: jax.Array,
     place_batch_fn: Optional[Callable] = None,
 ) -> Dict[str, float]:
-    """Run one validation pass; returns batch-size-weighted mean stats."""
+    """Run one validation pass; returns batch-size-weighted mean stats.
+
+    Stats stay DEVICE scalars until the end of the pass (the same deferred
+    materialization as the training loop, train/loop.py:109-117): syncing
+    ``float(v)`` per batch would serialize host batch collation with device
+    compute — async dispatch lets the host build batch N+1 while the chip
+    evaluates batch N."""
     params = eval_params(state, tcfg)
-    totals: Dict[str, float] = {}
-    n_total = 0
+    pending: List[Tuple[int, Dict[str, jax.Array]]] = []
     for batch in dataset.batches(batch_size, shuffle=False):
         batch = dict(batch)
         batch.pop("utt_ids", None)
         if place_batch_fn is not None:
             batch = place_batch_fn(batch)
         b = int(batch["speech"].shape[0])
-        stats = eval_step(params, state.buffers, batch, rng, epoch)
+        pending.append((b, eval_step(params, state.buffers, batch, rng, epoch)))
+    if not pending:
+        return {}
+    totals: Dict[str, float] = {}
+    n_total = 0
+    for b, stats in pending:  # single host sync, after the full pass
         for k, v in stats.items():
             totals[k] = totals.get(k, 0.0) + float(v) * b
         n_total += b
-    if n_total == 0:
-        return {}
     return {k: v / n_total for k, v in totals.items()}
+
+
+class ValidWer:
+    """Per-epoch greedy-decode WER on a validation subset.
+
+    The reference's stage-12 model selection ultimately cares about WER on
+    dev_sglspk (/root/reference/run_tswhisper.sh:60-61, 80-87) — ``valid.acc``
+    is only its proxy. This runs the real metric every epoch: KV-cache greedy
+    decode of the first ``n_utts`` validation utterances through the shared
+    serving modules, scored with the decode scorer.
+
+    The decode program is BUILT ONCE and its jitted core reused across
+    epochs with the epoch's weights passed as arguments (rebuilding
+    ``build_beam_decoder`` each epoch would recompile the whole decode
+    program per epoch)."""
+
+    def __init__(self, model: Any, dcfg: Any = None, n_utts: int = 64):
+        from ..decode.search import DecodeConfig
+        from ..models.ts_decoder import TSDecoder
+        from ..models.ts_encoder import QFormerTSEncoder, SpkAdapterTSEncoder
+
+        self.model = model
+        self.n_utts = n_utts
+        emb = model.ts.enroll_type == "embedding"
+        if emb:
+            self.encoder = SpkAdapterTSEncoder.from_config(
+                model.dims, model.ts, dtype=model.dtype
+            )
+        else:
+            self.encoder = QFormerTSEncoder(
+                model.dims, model.ts, dtype=model.dtype
+            )
+        self.decoder = TSDecoder(
+            model.dims.replace(n_vocab=model.cfg.vocab_size),
+            startofprev_token=model.cfg.startofprev,
+            use_spk_prompt=not emb,
+            dtype=model.dtype,
+        )
+        if dcfg is None:
+            dcfg = DecodeConfig(
+                max_new_tokens=64, eot=model.cfg.eos,
+                init_tokens=(model.cfg.sos,),
+            )
+        assert not dcfg.quantize_weights, (
+            "eval-time WER decodes dense weights (the per-epoch int8 requant "
+            "would dominate; quantized serving is benched separately)"
+        )
+        assert dcfg.speculative_gamma == 0, "eval-time WER is plain greedy/beam"
+        self.dcfg = dcfg
+        self._core = None  # (jitted run, qw) after the first build
+
+    def __call__(
+        self,
+        state: TrainState,
+        tcfg: TrainConfig,
+        dataset: Any,  # KaldiTSDataset-like (has .tokenizer)
+        batch_size: int,
+    ) -> Dict[str, float]:
+        import copy
+
+        from ..decode import pipeline as dpipe
+        from ..decode.search import build_beam_decoder
+
+        params = eval_params(state, tcfg)
+        bufs = state.buffers.get("buffers", state.buffers)
+        enc_vars = {
+            "params": params["encoder"], "buffers": bufs["encoder"],
+        }
+        dec_vars = {"params": params["decoder"]}
+        if self._core is None:
+            bound = build_beam_decoder(self.decoder, dec_vars, self.dcfg)
+            # partial(run, variables, qw): keep the jitted core and swap the
+            # epoch's weights in as arguments — no retrace across epochs
+            emb = self.model.ts.enroll_type == "embedding"
+            if emb:
+                def enc_apply(v, mel, fl, e):
+                    memory, _ = self.encoder.apply(v, mel, fl, e)
+                    return memory, jnp.zeros(
+                        (memory.shape[0], 0, memory.shape[-1]), memory.dtype
+                    )
+            else:
+                def enc_apply(v, mel, fl, emel, el):
+                    return self.encoder.apply(v, mel, fl, emel, el)
+            self._core = (jax.jit(enc_apply), bound.func, bound.args[1])
+        enc_core, run_core, qw = self._core
+
+        sub = copy.copy(dataset)
+        if self.n_utts > 0:
+            sub.utt_ids = dataset.utt_ids[: self.n_utts]
+        res = dpipe.decode_dataset(
+            self.encoder, enc_vars, self.decoder, dec_vars, sub,
+            dataset.tokenizer, self.dcfg, batch_size=batch_size,
+            fns=(
+                enc_core,
+                lambda memory, prompt: run_core(dec_vars, qw, memory, prompt),
+            ),
+        )
+        return {
+            k: float(res.metrics[k])
+            for k in ("wer", "cer")
+            if k in res.metrics
+        }
 
 
 @dataclasses.dataclass

@@ -54,6 +54,12 @@ class LoopConfig:
     best_mode: str = "max"  # max for acc, min for loss
     patience: int = 0  # epochs without a new best before early stop; 0 = off
     eval_batch_size: Optional[int] = None  # defaults to batch_size
+    # per-epoch greedy-decode WER on the first N valid utterances — the
+    # metric stage-12 model selection actually cares about (reference
+    # run_tswhisper.sh:60-61, 80-87); 0 = off. Appears as ``valid.wer`` in
+    # the metrics hook; select on it with best_metric="wer", best_mode="min".
+    wer_utts: int = 0
+    wer_decode: Optional[Any] = None  # DecodeConfig override for the pass
 
 
 def run_training(
@@ -88,9 +94,13 @@ def run_training(
     if mesh is not None:
         state = jax.device_put(state, st_sh)
 
-    eval_step = tracker = None
+    eval_step = tracker = wer_pass = None
     if valid_dataset is not None:
         eval_step = make_eval_step(model)
+        if lcfg.wer_utts > 0:
+            from .eval import ValidWer
+
+            wer_pass = ValidWer(model, lcfg.wer_decode, n_utts=lcfg.wer_utts)
         if lcfg.ckpt_dir:
             tracker = NBestTracker(
                 lcfg.ckpt_dir, lcfg.nbest, lcfg.best_metric, lcfg.best_mode
@@ -175,6 +185,11 @@ def run_training(
                     (lambda b: place_batch(mesh, b)) if mesh is not None else None
                 ),
             )
+            if wer_pass is not None:
+                vstats.update(wer_pass(
+                    state, tcfg, valid_dataset,
+                    lcfg.eval_batch_size or lcfg.batch_size,
+                ))
             logger.info(
                 "epoch %d valid %s", epoch,
                 " ".join(f"{k}={v:.4f}" for k, v in sorted(vstats.items())),

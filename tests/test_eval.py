@@ -173,3 +173,84 @@ def test_restore_falls_back_to_weights_only_on_opt_state_mismatch(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(state.params["dense"]["kernel"]), np.ones((3, 3))
     )
+
+
+# ---------------- per-epoch valid WER (ValidWer) ----------------
+
+
+class _DummyTok:
+    def encode(self, s):
+        return [5, 6]
+
+    def decode(self, ids):
+        return " ".join(str(i) for i in ids)
+
+
+class _TinyDS:
+    """KaldiTSDataset-shaped wrapper over a fixed in-memory batch."""
+
+    sample_rate = 16000
+
+    def __init__(self, arrays, n):
+        self.arrays = arrays
+        self.utt_ids = [f"u{i}" for i in range(n)]
+        self.text = {u: "ref text" for u in self.utt_ids}
+        self.tokenizer = _DummyTok()
+
+    def batches(self, bs, shuffle=False, drop_last=True):
+        idx = list(range(len(self.utt_ids)))
+        for s in range(0, len(idx), bs):
+            sel = idx[s : s + bs]
+            if len(sel) < bs:
+                if drop_last:
+                    return
+                sel = sel + idx[: bs - len(sel)]
+            b = {
+                k: np.asarray(v)[np.asarray(sel)]
+                for k, v in self.arrays.items()
+            }
+            b["utt_ids"] = [self.utt_ids[i] for i in sel]
+            yield b
+
+
+def test_valid_wer_pass_runs_and_reuses_program(tiny_state):
+    """ValidWer decodes a valid subset each epoch and keeps ONE compiled
+    decode program across calls (no per-epoch rebuild)."""
+    from robustsq_whisper_tpu.decode.search import DecodeConfig
+    from robustsq_whisper_tpu.train.eval import ValidWer
+
+    model, state, tcfg, batch = tiny_state
+    arrays = {k: np.asarray(v) for k, v in batch.items()}
+    ds = _TinyDS(arrays, n=4)
+    dcfg = DecodeConfig(max_new_tokens=4, eot=2, init_tokens=(1,))
+    wp = ValidWer(model, dcfg, n_utts=2)
+    out = wp(state, tcfg, ds, batch_size=2)
+    assert "wer" in out and np.isfinite(out["wer"])
+    core = wp._core
+    out2 = wp(state, tcfg, ds, batch_size=2)
+    assert wp._core is core  # same compiled program, weights as arguments
+    assert out2["wer"] == out["wer"]
+
+
+def test_loop_reports_valid_wer(tmp_path, tiny_state):
+    """run_training with wer_utts>0 surfaces valid.wer in the metrics hook."""
+    from robustsq_whisper_tpu.decode.search import DecodeConfig
+    from robustsq_whisper_tpu.train.loop import LoopConfig, run_training
+
+    model, state, tcfg, batch = tiny_state
+    arrays = {k: np.asarray(v) for k, v in batch.items()}
+    ds = _TinyDS(arrays, n=4)
+    seen = []
+    lcfg = LoopConfig(
+        num_epochs=1, batch_size=2, log_every=1, ckpt_every_steps=0,
+        ckpt_dir=None, wer_utts=2,
+        wer_decode=DecodeConfig(max_new_tokens=4, eot=2, init_tokens=(1,)),
+    )
+    variables = {"params": state.params, **state.buffers}
+    run_training(
+        model, ds, variables, tcfg, lcfg, rng=jax.random.PRNGKey(0),
+        metrics_hook=lambda step, m: seen.append(m),
+        valid_dataset=ds,
+    )
+    wer_rows = [m for m in seen if "valid.wer" in m]
+    assert wer_rows and np.isfinite(wer_rows[-1]["valid.wer"])
