@@ -132,6 +132,29 @@ def main(argv=None):
         help="early-exit draft depth for --speculative_gamma",
     )
     parser.add_argument(
+        "--ctc_weight", type=float, default=0.0,
+        help="decode-time joint CTC/attention scoring weight (ESPnet "
+        "beam-search ctc_weight): combined score = (1-w)*attention + "
+        "w*CTC-prefix over the attention-preselected candidate set "
+        "(decode/joint.py). 0 = attention-only (default; the named "
+        "reference decode config). Single-device path",
+    )
+    parser.add_argument(
+        "--pre_beam", type=int, default=8,
+        help="candidates per hypothesis the CTC partial scorer evaluates "
+        "(ESPnet pre-beam) when --ctc_weight > 0",
+    )
+    parser.add_argument(
+        "--maxlenratio", type=float, default=0.0,
+        help="output length cap relative to encoder frames (ESPnet "
+        "maxlenratio); 0 keeps the absolute max_new_tokens semantics",
+    )
+    parser.add_argument(
+        "--minlenratio", type=float, default=0.0,
+        help="eot suppressed below this fraction of encoder frames (ESPnet "
+        "minlenratio); 0 keeps absolute min_new_tokens",
+    )
+    parser.add_argument(
         "--min_new_tokens", type=int, default=0,
         help="suppress <|endoftext|> until this many tokens were emitted per "
         "utterance (the ESPnet minlenratio analog, absolute count; 0 = off)",
@@ -144,6 +167,16 @@ def main(argv=None):
         "the dense XLA decode path (Pallas serving kernels need local "
         "shapes); composes with --data_parallel over the remaining devices",
     )
+    parser.add_argument("--enroll_type", default=None,
+                        choices=["audio", "embedding"],
+                        help="enrollment modality (asr_my.sh --enroll_type): "
+                        "audio = Qformer on enrollment waveform; embedding = "
+                        "precomputed stage-103 speaker embeddings via the "
+                        "block-0 SpkAdapter/CLN encoder. Overrides "
+                        "encoder_conf.enroll_type")
+    parser.add_argument("--enroll_prefix", default="resnet",
+                        help="embedding scp basename in the data dir "
+                        "(asr_my.sh --enroll_prefix)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -206,6 +239,16 @@ def main(argv=None):
             gelu_approx=bool(args.gelu_approx),
         )
     )
+    if args.enroll_type is not None:
+        exp = dataclasses.replace(
+            exp, ts=dataclasses.replace(exp.ts, enroll_type=args.enroll_type)
+        )
+    emb_mode = exp.ts.enroll_type == "embedding"
+    if emb_mode and tp > 1:
+        parser.error(
+            "--model_parallel serving of the embedding-enrollment encoder is "
+            "not wired up; decode with --model_parallel 1"
+        )
     dtype = jnp.bfloat16 if exp.compute_dtype == "bfloat16" else jnp.float32
     tokenizer = load_tokenizer(args.tokenizer_assets)
     st = special_tokens_for_vocab(exp.model.vocab_size)
@@ -217,6 +260,8 @@ def main(argv=None):
         enroll_seconds=exp.enroll_seconds,
         utt_style=exp.utt_style,
         seed=args.seed,
+        enroll_type=exp.ts.enroll_type,
+        enroll_prefix=args.enroll_prefix,
     )
     logging.info("decoding %d utterances", len(dataset))
 
@@ -261,7 +306,12 @@ def main(argv=None):
         "buffers": variables["buffers"]["encoder"],
     }
     dec_vars = {"params": variables["params"]["decoder"]}
-    encoder = QFormerTSEncoder(dims, exp.ts, dtype=dtype)
+    if emb_mode:
+        from ..models.ts_encoder import SpkAdapterTSEncoder
+
+        encoder = SpkAdapterTSEncoder.from_config(dims, exp.ts, dtype=dtype)
+    else:
+        encoder = QFormerTSEncoder(dims, exp.ts, dtype=dtype)
     spec = max(0, args.speculative_gamma)
     if spec and tp > 1:
         parser.error(
@@ -271,6 +321,7 @@ def main(argv=None):
     decoder = TSDecoder(
         dims.replace(n_vocab=exp.model.vocab_size),
         startofprev_token=exp.model.startofprev,
+        use_spk_prompt=not emb_mode,
         dtype=dtype,
         cross_kv_bits=args.cross_kv_bits,
         self_kv_bits=args.self_kv_bits if tp == 1 else 16,
@@ -284,11 +335,28 @@ def main(argv=None):
         speculative_gamma=spec,
         draft_layers=args.draft_layers,
         min_new_tokens=max(0, args.min_new_tokens),
+        ctc_decode_weight=max(0.0, args.ctc_weight),
+        pre_beam=max(2, args.pre_beam),
+        maxlenratio=max(0.0, args.maxlenratio),
+        minlenratio=max(0.0, args.minlenratio),
         eot=exp.model.eos,
         init_tokens=st.sot_sequence(args.language, "transcribe", True)
         if exp.model.vocab_size >= st.n_vocab
         else (exp.model.sos,),
     )
+    ctc_vars = None
+    if dcfg.ctc_decode_weight > 0:
+        if spec or args.long_audio or tp > 1:
+            parser.error(
+                "--ctc_weight joint decoding is the single-device plain "
+                "path: incompatible with --speculative_gamma, --long_audio "
+                "and --model_parallel"
+            )
+        # single-device joint path: no DP mesh
+        args.data_parallel = False
+        ctc_vars = jax.tree_util.tree_map(
+            lambda x: x, variables["params"]["ctc"]["ctc_lo"]
+        )
     if args.prefill_quantized:
         # prefill on the quantized cross-KV (implies a quantized token loop)
         dcfg = dataclasses.replace(
@@ -301,6 +369,11 @@ def main(argv=None):
         )
     mesh = None
     batch_size = args.batch_size
+    if args.long_audio and emb_mode:
+        parser.error(
+            "--long_audio windows share one Qformer speaker prompt and is "
+            "audio-enrollment only; the embedding path decodes fixed windows"
+        )
     if args.long_audio and tp > 1:
         parser.error(
             "--long_audio decodes per-utterance window batches on one device "
@@ -337,7 +410,7 @@ def main(argv=None):
         result = decode_dataset(
             encoder, enc_vars, decoder, dec_vars, dataset, tokenizer, dcfg,
             batch_size=batch_size, output_dir=args.output_dir, mesh=mesh,
-            enc_chunk=args.enc_chunk,
+            enc_chunk=args.enc_chunk, ctc_vars=ctc_vars,
         )
     logging.info(
         "decoded %d utts in %.1fs (RTF %.1fx): %s",

@@ -90,6 +90,39 @@ class DecodeConfig:
     # on the draft's acceptance rate.
     speculative_gamma: int = 0
     draft_layers: int = 4
+    # --- joint CTC/attention decode (decode/joint.py; ESPnet beam_search
+    # parity options, SURVEY.md §3.2). ctc_decode_weight > 0 routes decoding
+    # through build_joint_beam_decoder: combined score =
+    # (1-w)·att_logp + w·ctc_prefix_delta over a per-hypothesis candidate
+    # set the attention decoder pre-selects (``pre_beam`` candidates — the
+    # ESPnet partial-scorer pattern; full-vocab CTC prefix scoring is
+    # O(T·V) per step). Attention-only decode is unaffected at the default.
+    ctc_decode_weight: float = 0.0
+    pre_beam: int = 8
+    # encoder-length-relative output bounds (ESPnet maxlenratio/minlenratio):
+    # maxlen_i = floor(ratio * enc_frames_i), forced-eot beyond; minlen_i
+    # masks eot below. 0 = absolute max_new_tokens/min_new_tokens semantics.
+    # Per-utterance when the runner passes mem_lens; else the static window.
+    maxlenratio: float = 0.0
+    minlenratio: float = 0.0
+
+
+def length_bounds(
+    cfg: "DecodeConfig", memory: jax.Array, spk_prompt: jax.Array,
+    use_prompt: bool,
+) -> Tuple[int, int]:
+    """(max_new, min_new) with the encoder-relative ratio bounds applied
+    against the STATIC encoder window (trace-time ints — memory shapes are
+    static under jit). The joint decoder (decode/joint.py) additionally
+    applies per-utterance dynamic bounds from mem_lens."""
+    enc_t = memory.shape[1] - (spk_prompt.shape[1] if use_prompt else 0)
+    max_new = cfg.max_new_tokens
+    if cfg.maxlenratio > 0:
+        max_new = min(max_new, max(1, int(cfg.maxlenratio * enc_t)))
+    min_new = cfg.min_new_tokens
+    if cfg.minlenratio > 0:
+        min_new = max(min_new, int(cfg.minlenratio * enc_t))
+    return max_new, min_new
 
 
 def _step_weights(dec: TSDecoder, variables: Any, cfg: "DecodeConfig"):
@@ -137,7 +170,10 @@ def build_greedy_decoder(
     ):
         b = memory.shape[0]
         prompt_len = 1 + spk_prompt.shape[1] if dec.use_spk_prompt else 0
-        total = prompt_len + len(cfg.init_tokens) + cfg.max_new_tokens
+        max_new, min_new = length_bounds(
+            cfg, memory, spk_prompt, dec.use_spk_prompt
+        )
+        total = prompt_len + len(cfg.init_tokens) + max_new
 
         m = lambda method, *a, **kw: dec.apply(variables, *a, method=method, **kw)
         # prefill on DENSE cross K/V (exact numerics, runs once), quantize
@@ -156,10 +192,10 @@ def build_greedy_decoder(
 
         def emit(logits, done, score, idx):
             # idx = emission index of this token (0-based); eot is masked
-            # from the raw logits until min_new_tokens were emitted
-            if cfg.min_new_tokens > 0:
+            # from the raw logits until min_new tokens were emitted
+            if min_new > 0:
                 masked = logits.at[:, cfg.eot].set(jnp.float32(-1e30))
-                logits = jnp.where(idx < cfg.min_new_tokens, masked, logits)
+                logits = jnp.where(idx < min_new, masked, logits)
             logp = jax.nn.log_softmax(logits, axis=-1)
             tok = jnp.argmax(logp, axis=-1).astype(jnp.int32)  # (b,)
             tok = jnp.where(done, cfg.eot, tok)
@@ -173,11 +209,11 @@ def build_greedy_decoder(
         score0 = jnp.zeros((b,), jnp.float32)
 
         if cfg.stop_early:
-            tokens0 = jnp.full((b, cfg.max_new_tokens), cfg.eot, jnp.int32)
+            tokens0 = jnp.full((b, max_new), cfg.eot, jnp.int32)
 
             def cond(carry):
                 i, _, _, done, _, _ = carry
-                return (i < cfg.max_new_tokens) & ~jnp.all(done)
+                return (i < max_new) & ~jnp.all(done)
 
             def body(carry):
                 i, logits, cache, done, score, tokens = carry
@@ -206,7 +242,7 @@ def build_greedy_decoder(
 
         carry = (logits, cache, done0, score0)
         (_, _, _, scores), tokens = jax.lax.scan(
-            step, carry, jnp.arange(cfg.max_new_tokens)
+            step, carry, jnp.arange(max_new)
         )
         return tokens.T, scores  # (b, max_new), (b,)
 
@@ -247,7 +283,10 @@ def build_beam_decoder(
     ):
         b = memory.shape[0]
         prompt_len = 1 + spk_prompt.shape[1] if dec.use_spk_prompt else 0
-        total = prompt_len + len(cfg.init_tokens) + cfg.max_new_tokens
+        max_new, min_new = length_bounds(
+            cfg, memory, spk_prompt, dec.use_spk_prompt
+        )
+        total = prompt_len + len(cfg.init_tokens) + max_new
         vocab = dec.dims.n_vocab
 
         m = lambda method, *a, **kw: dec.apply(variables, *a, method=method, **kw)
@@ -325,9 +364,9 @@ def build_beam_decoder(
             # every live beam has emitted exactly i tokens at step i, so the
             # min-length eot mask is uniform; finished beams are overridden
             # to eot-only right after, unaffected by the mask
-            if cfg.min_new_tokens > 0:
+            if min_new > 0:
                 masked = logits.at[:, cfg.eot].set(jnp.float32(-1e30))
-                logits = jnp.where(i < cfg.min_new_tokens, masked, logits)
+                logits = jnp.where(i < min_new, masked, logits)
             logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, k, vocab)
 
             # finished beams: only eot allowed, at zero cost
@@ -387,15 +426,15 @@ def build_beam_decoder(
             # with identity backpointers and unchanged scores/lengths (top_k
             # over already-sorted finished scores is the identity permutation)
             # — so the unwritten tail below IS the scan's tail.
-            toks0 = jnp.full((cfg.max_new_tokens, b, k), cfg.eot, jnp.int32)
+            toks0 = jnp.full((max_new, b, k), cfg.eot, jnp.int32)
             backptr0 = jnp.broadcast_to(
                 jnp.arange(k, dtype=jnp.int32)[None, None, :],
-                (cfg.max_new_tokens, b, k),
+                (max_new, b, k),
             )
 
             def cond(carry):
                 i, _, _, _, done, _, _, _ = carry
-                return (i < cfg.max_new_tokens) & ~jnp.all(done)
+                return (i < max_new) & ~jnp.all(done)
 
             def body(carry):
                 i, logits, cache, scores, done, lengths, toks, backptr = carry
@@ -427,7 +466,7 @@ def build_beam_decoder(
 
             carry = (logits, cache, scores, done0, lengths0)
             (_, _, final_scores, _, final_lengths), (toks, backptr) = (
-                jax.lax.scan(step, carry, jnp.arange(cfg.max_new_tokens))
+                jax.lax.scan(step, carry, jnp.arange(max_new))
             )
         # toks/backptr: (steps, b, k). Backtrace best beam per utterance.
         if cfg.length_penalty > 0.0:
