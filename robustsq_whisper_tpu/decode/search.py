@@ -71,6 +71,17 @@ class DecodeConfig:
     # into whole (32, 128) DMA tiles (padding the cache length slightly if
     # that makes them tile), gather otherwise.
     beam_reorder: str = "auto"
+    # Deferred beam reorder (docs/KERNELS.md §11): flush period R > 0 stops
+    # physically permuting the whole live cache prefix every beam step (the
+    # measured-dominant beam-loop HBM term, at streaming-copy roofline).
+    # Instead the settled prefix stays in last-flush row order and is READ
+    # through a per-row indirection inside the self-attention kernel
+    # (ops/self_attention.py settled_self_attention); only the <= R most
+    # recent positions are mini-reordered each step, and the accumulated
+    # row permutation is applied once every R steps — the reorder traffic
+    # drops ~R x. Token-identical to the eager path. Requires the dense
+    # flat self cache (self_kv_bits 16). 0 = eager reorder (default).
+    defer_reorder: int = 0
     # quantize the cross K/V INSIDE the projection scan and run the prefill
     # on the quantized form, instead of prefilling on dense K/V and
     # quantizing after. The dense stacked cross K/V is the decode session's
@@ -315,7 +326,25 @@ def build_beam_decoder(
         use_dma = cfg.beam_reorder == "dma" or (
             cfg.beam_reorder == "auto" and required <= 64
         )
-        if use_dma:
+        base = prompt_len + len(cfg.init_tokens)
+        # flush boundaries must align to the reorder kernel's 8-position
+        # chunks (a partial chunk would re-permute already-logical window
+        # entries): round the period up and start the first window at the
+        # aligned boundary at or below the prefix end — the few prefix
+        # positions that land in the window are identical across beams, so
+        # window handling of them is trivially correct.
+        R = -(-cfg.defer_reorder // 8) * 8 if cfg.defer_reorder > 0 else 0
+        if R > 0:
+            # deferred reorder: dense flat cache only; pad the cache length
+            # by one window and round to 128 so the settled kernel's
+            # position groups and the flush kernel's DMA tiles both divide
+            # it (every whisper n_state's `required` divides 128)
+            assert dec.self_kv_bits == 16 and dec.flat_self_cache, (
+                "defer_reorder needs the dense flat self cache"
+            )
+            assert required <= 128 and 128 % required == 0, required
+            total = -(-(total + R) // 128) * 128
+        elif use_dma:
             total = -(-total // required) * required  # pad to tile
         # Prefill at PLAIN batch rows: every beam starts from the identical
         # prefix, so cross K/V projection + prefill run ONCE per utterance
@@ -360,7 +389,10 @@ def build_beam_decoder(
             (b, 1),
         )  # (b, k)
 
-        def step_core(i, logits, cache, scores, done, lengths):
+        anc0 = jnp.arange(b * k, dtype=jnp.int32)  # deferred lineage map
+        s0_init = jnp.int32(base - base % 8)  # chunk-aligned (see above)
+
+        def step_core(i, logits, cache, scores, done, lengths, s0, anc):
             # every live beam has emitted exactly i tokens at step i, so the
             # min-length eot mask is uniform; finished beams are overridden
             # to eot-only right after, unaffected by the mask
@@ -384,7 +416,45 @@ def build_beam_decoder(
             gather_idx = (
                 jnp.arange(b)[:, None] * k + src_beam
             ).reshape(-1)  # (b*k,)
-            if use_dma:
+            if R > 0:
+                # deferred reorder: track lineage, mini-reorder only the
+                # window slab, flush the settled permutation every R steps
+                pos_now = base + i
+                anc2 = jnp.take(anc, gather_idx)  # compose permutations
+
+                def window_reorder(x):
+                    L_ = x.shape[0]
+                    slab = jax.lax.dynamic_slice(
+                        x, (0, 0, s0, 0),
+                        (L_, b * k, R, x.shape[3]),
+                    )
+                    slab = jnp.take(slab, gather_idx, axis=1)
+                    return jax.lax.dynamic_update_slice(
+                        x, slab, (0, 0, s0, 0)
+                    )
+
+                cache2 = jax.tree_util.tree_map(window_reorder, cache)
+                # branchless flush: live=0 on non-flush steps copies one
+                # identity chunk (the aliased kernel leaves the rest
+                # untouched), live=s0 applies the accumulated permutation
+                flush = (pos_now - s0) >= R
+                live = jnp.where(flush, s0, 0)
+                # the reorder kernel clips to a 1-chunk minimum even at
+                # live=0 — keep the identity permutation unless a flush
+                # with a NON-EMPTY settled region is due, or that chunk of
+                # already-logical window entries gets spuriously permuted
+                idx_f = jnp.where(flush & (s0 > 0), anc2, anc0)
+                leaves, treedef = jax.tree_util.tree_flatten(cache2)
+                cache2 = jax.tree_util.tree_unflatten(
+                    treedef,
+                    beam_reorder_cache(
+                        leaves, idx_f, live=live, time_len=total,
+                        interpret=jax.default_backend() == "cpu",
+                    ),
+                )
+                anc2 = jnp.where(flush, anc0, anc2)
+                s0 = jnp.where(flush, s0 + R, s0)
+            elif use_dma:
                 leaves, treedef = jax.tree_util.tree_flatten(cache)
                 cache2 = jax.tree_util.tree_unflatten(
                     treedef,
@@ -401,6 +471,8 @@ def build_beam_decoder(
                 cache2 = jax.tree_util.tree_map(
                     lambda x: jnp.take(x, gather_idx, axis=1), cache
                 )
+            if R == 0:
+                anc2 = anc
             done_prev = jnp.take_along_axis(done, src_beam, axis=1)
             done2 = done_prev | (tok == cfg.eot)
             # hypothesis length follows the beam LINEAGE (gather by src_beam);
@@ -408,13 +480,16 @@ def build_beam_decoder(
             lengths2 = jnp.take_along_axis(lengths, src_beam, axis=1) + (
                 ~done_prev
             ).astype(jnp.int32)
-            pos = prompt_len + len(cfg.init_tokens) + i
+            pos = base + i
+            step_kw = {}
+            if R > 0:
+                step_kw = dict(row_map=anc2, settled=s0, defer_window=R)
             new_logits, cache3 = m(
                 TSDecoder.step, tok.reshape(-1, 1), pos, cache2, cross,
-                qw=qw, beam_group=group,
+                qw=qw, beam_group=group, **step_kw,
             )
             return (
-                (new_logits, cache3, top_scores, done2, lengths2),
+                (new_logits, cache3, top_scores, done2, lengths2, s0, anc2),
                 (tok, src_beam),
             )
 
@@ -433,13 +508,14 @@ def build_beam_decoder(
             )
 
             def cond(carry):
-                i, _, _, _, done, _, _, _ = carry
+                i, _, _, _, done = carry[:5]
                 return (i < max_new) & ~jnp.all(done)
 
             def body(carry):
-                i, logits, cache, scores, done, lengths, toks, backptr = carry
-                (logits, cache, scores, done, lengths), (tok, src) = (
-                    step_core(i, logits, cache, scores, done, lengths)
+                (i, logits, cache, scores, done, lengths, s0, anc, toks,
+                 backptr) = carry
+                (logits, cache, scores, done, lengths, s0, anc), (tok, src) = (
+                    step_core(i, logits, cache, scores, done, lengths, s0, anc)
                 )
                 toks = jax.lax.dynamic_update_slice(
                     toks, tok[None], (i, 0, 0)
@@ -448,24 +524,27 @@ def build_beam_decoder(
                     backptr, src.astype(jnp.int32)[None], (i, 0, 0)
                 )
                 return (
-                    i + 1, logits, cache, scores, done, lengths, toks, backptr
+                    i + 1, logits, cache, scores, done, lengths, s0, anc,
+                    toks, backptr,
                 )
 
-            (_, _, _, final_scores, _, final_lengths, toks, backptr) = (
+            (_, _, _, final_scores, _, final_lengths, _, _, toks, backptr) = (
                 jax.lax.while_loop(
                     cond,
                     body,
-                    (0, logits, cache, scores, done0, lengths0, toks0,
-                     backptr0),
+                    (0, logits, cache, scores, done0, lengths0, s0_init,
+                     anc0, toks0, backptr0),
                 )
             )
         else:
             def step(carry, i):
-                logits, cache, scores, done, lengths = carry
-                return step_core(i, logits, cache, scores, done, lengths)
+                logits, cache, scores, done, lengths, s0, anc = carry
+                return step_core(
+                    i, logits, cache, scores, done, lengths, s0, anc
+                )
 
-            carry = (logits, cache, scores, done0, lengths0)
-            (_, _, final_scores, _, final_lengths), (toks, backptr) = (
+            carry = (logits, cache, scores, done0, lengths0, s0_init, anc0)
+            (_, _, final_scores, _, final_lengths, _, _), (toks, backptr) = (
                 jax.lax.scan(step, carry, jnp.arange(max_new))
             )
         # toks/backptr: (steps, b, k). Backtrace best beam per utterance.

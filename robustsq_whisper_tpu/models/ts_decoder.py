@@ -143,10 +143,14 @@ class TSDecoder(nn.Module):
         cross: List[Tuple[jax.Array, jax.Array]],
         qw=None,  # int8 step weights (quantize_step_weights)
         beam_group: int = 1,  # beams per utterance sharing quantized cross
+        row_map=None,  # deferred beam reorder: physical row per logical row
+        settled=None,  # deferred beam reorder: settled-prefix length
+        defer_window: int = 8,
     ) -> Tuple[jax.Array, List[Tuple[jax.Array, jax.Array]]]:
         return self.decoder.step(
             self.decoder.embed(token), pos, cache, cross, qw=qw,
-            beam_group=beam_group,
+            beam_group=beam_group, row_map=row_map, settled=settled,
+            defer_window=defer_window,
         )
 
 

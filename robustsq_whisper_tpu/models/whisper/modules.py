@@ -599,6 +599,9 @@ class ResidualAttentionBlock(nn.Module):
         beam_group: int = 1,
         self_flat: Optional[Tuple[jax.Array, ...]] = None,
         self_tmin: Optional[Tuple[jax.Array, ...]] = None,
+        row_map: Optional[jax.Array] = None,
+        settled: Optional[jax.Array] = None,
+        defer_window: int = 8,
     ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
         """Decode step against a READ-ONLY KV-cache prefix.
 
@@ -656,6 +659,7 @@ class ResidualAttentionBlock(nn.Module):
             # f32 outside the kernel.
             from ...ops.self_attention import (
                 decode_self_attention, decode_self_attention_tmin,
+                deferred_self_attention,
             )
 
             if qw is None:
@@ -669,7 +673,19 @@ class ResidualAttentionBlock(nn.Module):
                 qf = qmatmul(h, *a["query"], out_dtype=dt)[:, 0]
             b = qf.shape[0]
             interp = jax.default_backend() == "cpu"
-            if self_tmin is not None:
+            if row_map is not None:
+                # deferred-beam-reorder read protocol: settled prefix via
+                # the row-indirected kernel, the logically-ordered window
+                # + new token merged exactly (ops/self_attention.py)
+                assert self_flat is not None and len(self_flat) == 2, (
+                    "deferred reorder needs the dense flat cache"
+                )
+                o = deferred_self_attention(
+                    qf, kf, vf, tuple(self_flat), pos, settled, row_map,
+                    layer_idx, heads=self.n_head, window=defer_window,
+                    interpret=interp,
+                )
+            elif self_tmin is not None:
                 hd = self.n_state // self.n_head
                 as3 = lambda t: t.reshape(b, self.n_head, hd)
                 o = decode_self_attention_tmin(
@@ -1246,6 +1262,9 @@ class TextDecoder(nn.Module):
         cross: CrossKV,
         qw: Optional[dict] = None,
         beam_group: int = 1,
+        row_map: Optional[jax.Array] = None,
+        settled: Optional[jax.Array] = None,
+        defer_window: int = 8,
     ) -> Tuple[jax.Array, Cache]:
         """One decode step. token_emb: (batch, M, n_state); pos: scalar int
         (uniform positions, the decode loop, M = 1) or a (batch,) int vector
@@ -1283,6 +1302,9 @@ class TextDecoder(nn.Module):
             "speculative (ragged/multi-token) steps need the 5-D cache: "
             "build the decoder with flat_self_cache=False"
         )
+        assert row_map is None or (
+            layout == "flat" and self.scan_layers and not self._flat_quant
+        ), "deferred beam reorder: dense flat cache + scan layers only"
         layers_qw = None if qw is None else qw["layers"]
         quantized_cross = len(cross) == 6
         assert beam_group == 1 or quantized_cross, (
@@ -1310,6 +1332,8 @@ class TextDecoder(nn.Module):
                         carry, lcache, pos,
                         (kq_full, ks_l, vq_full, vs_l, vzp_l, len_l),
                         qw=qw_l, layer_idx=idx, beam_group=beam_group,
+                        row_map=row_map, settled=settled,
+                        defer_window=defer_window,
                         **{kw_self: big[2:] or None},
                     )
                     return y, news
@@ -1328,6 +1352,8 @@ class TextDecoder(nn.Module):
                     y, news = block.step(
                         carry, lcache, pos, cross_l, qw=qw_l,
                         layer_idx=idx if packed_self else None,
+                        row_map=row_map, settled=settled,
+                        defer_window=defer_window,
                         **{kw_self: big or None},
                     )
                     return y, news

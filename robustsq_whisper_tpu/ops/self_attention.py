@@ -273,6 +273,240 @@ def quantize_flat_kv(
     return k8, v8, jnp.concatenate([ks, vs, pad], axis=-1)
 
 
+def _settled_kernel(
+    meta_ref,  # (2,) int32: [layer_idx, settled]
+    rmap_ref,  # (rows,) int32: physical row per logical row
+    q_ref,  # (1, n_state) — this row's query, UNSCALED
+    k_ref,  # (1, G, n_state) — indirected cache K block
+    v_ref,
+    m_ref,  # out (1, heads) f32 running max
+    l_ref,  # out (1, heads) f32 running normalizer
+    acc_ref,  # out (1, n_state) f32 unnormalized numerator
+    *,
+    heads: int,
+    n_state: int,
+    group: int,
+):
+    del rmap_ref  # consumed by the index maps only
+    g = pl.program_id(1)
+    hd = n_state // heads
+    NEG = jnp.float32(-1e30)
+    E = _head_map(n_state, heads)
+
+    def reduce_heads(x):  # (1, p, n_state) -> (1, p, heads)
+        p = x.shape[1]
+        return jax.lax.dot_general(
+            x.reshape(p, n_state), E, (((1,), (0,)), ((), ())),
+            precision=_DEFAULT, preferred_element_type=jnp.float32,
+        ).reshape(1, p, heads)
+
+    def expand_heads(x):  # (1[, p], heads) -> (1[, p], n_state)
+        lead = x.shape[:-1]
+        return jax.lax.dot_general(
+            x.reshape(-1, heads), E, (((1,), (1,)), ((), ())),
+            precision=_DEFAULT, preferred_element_type=jnp.float32,
+        ).reshape(*lead, n_state)
+
+    q = q_ref[:].astype(jnp.float32) * (hd**-0.5)  # (1, n_state)
+
+    @pl.when(g == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    k = k_ref[:].astype(jnp.float32)  # (1, G, n_state)
+    s = reduce_heads(k * q[:, None, :])  # (1, G, heads)
+    pglob = g * group + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(pglob < meta_ref[1], s, NEG)
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
+    p = jnp.exp(s - m_new[:, None, :])
+    alpha = jnp.exp(m_prev - m_new)
+    w = expand_heads(p)
+    pv = jnp.sum(w * v_ref[:].astype(jnp.float32), axis=1)
+    m_ref[:] = m_new
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1)
+    acc_ref[:] = acc_ref[:] * expand_heads(alpha) + pv
+
+
+def settled_self_attention(
+    q: jax.Array,  # (rows, n_state) current query, head-concatenated
+    cache: tuple,  # (k_flat, v_flat) — dense bf16 flat cache
+    settled: jax.Array,  # scalar int32: positions [0, settled) are settled
+    layer_idx: jax.Array,  # scalar int32 layer slab
+    row_map: jax.Array,  # (rows,) int32: physical cache row per logical row
+    heads: int,
+    group: int = 128,
+    interpret: bool = False,
+) -> tuple:
+    """Online-softmax STATE of each logical row's attention over the settled
+    cache prefix [0, settled), reading PHYSICAL row ``row_map[i]``.
+
+    The deferred-beam-reorder read path (docs/KERNELS.md §11): between
+    flushes the settled prefix stays in last-flush row order and logical
+    beams read it through this per-row indirection instead of the cache
+    being physically permuted every step. Per-row blocks (the indirection
+    is a block index map over a scalar-prefetched row table) of ``group``
+    positions; the grid's position dim is the traced live-group count.
+    Returns unnormalized ``(m, l, acc)`` — (rows, heads) f32 ×2 and
+    (rows, n_state) f32 — for the caller to merge with the window and
+    new-token contributions (``merge_attention_states``)."""
+    k_flat, v_flat = cache
+    L, b_phys, T, n_state = k_flat.shape
+    rows = q.shape[0]
+    assert n_state % 128 == 0 and n_state % heads == 0, (heads, n_state)
+    # group must divide the padded cache length (the beam builder rounds
+    # the deferred-mode cache length to a 128 multiple; shrink gracefully
+    # for odd test lengths — T is always a multiple of BLOCK_POS)
+    group = min(group, T)
+    while T % group:
+        group -= BLOCK_POS
+    n_groups = T // group
+    valid = jnp.clip(
+        (settled + group - 1) // group, 1, n_groups
+    ).astype(jnp.int32)
+    meta = jnp.stack([layer_idx.astype(jnp.int32), settled.astype(jnp.int32)])
+
+    small = pl.BlockSpec((1, n_state), lambda i, g, m, r: (i, 0))
+    kv_spec = pl.BlockSpec(
+        (None, 1, group, n_state), lambda i, g, m, r: (m[0], r[i], g, 0)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # meta, row_map
+        grid=(rows, valid),
+        in_specs=[small, kv_spec, kv_spec],
+        out_specs=[
+            pl.BlockSpec((1, heads), lambda i, g, m, r: (i, 0)),
+            pl.BlockSpec((1, heads), lambda i, g, m, r: (i, 0)),
+            pl.BlockSpec((1, n_state), lambda i, g, m, r: (i, 0)),
+        ],
+        scratch_shapes=[],
+    )
+    m_out, l_out, acc = pl.pallas_call(
+        functools.partial(
+            _settled_kernel, heads=heads, n_state=n_state, group=group
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, heads), jnp.float32),
+            jax.ShapeDtypeStruct((rows, heads), jnp.float32),
+            jax.ShapeDtypeStruct((rows, n_state), jnp.float32),
+        ],
+        interpret=interpret,
+    )(meta, row_map.astype(jnp.int32), q, k_flat, v_flat)
+    return m_out, l_out, acc
+
+
+def merge_attention_states(
+    states: list,  # [(m, l, acc), ...] each (rows, heads)/(rows, n_state)
+    heads: int,
+) -> jax.Array:
+    """Combine online-softmax partial states; returns the normalized
+    (rows, n_state) output in f32 (exactly the score-concatenation
+    semantics, merged pairwise)."""
+    m, l, acc = states[0]
+    n_state = acc.shape[-1]
+    hd = n_state // heads
+
+    def expand(x):  # (rows, heads) -> (rows, n_state)
+        return jnp.repeat(x, hd, axis=-1)
+
+    for m2, l2, acc2 in states[1:]:
+        m_new = jnp.maximum(m, m2)
+        a1 = jnp.exp(m - m_new)
+        a2 = jnp.exp(m2 - m_new)
+        l = l * a1 + l2 * a2
+        acc = acc * expand(a1) + acc2 * expand(a2)
+        m = m_new
+    return acc / expand(jnp.maximum(l, 1e-30))
+
+
+def window_attention_state(
+    q: jax.Array,  # (rows, n_state) UNSCALED
+    k_win: jax.Array,  # (rows, W, n_state) logical window K
+    v_win: jax.Array,
+    count: jax.Array,  # scalar int32: window positions [0, count) are live
+    heads: int,
+) -> tuple:
+    """Online-softmax state over the (small, logically-ordered) reorder
+    window — plain XLA; the window is <= the flush period, so this is a
+    few positions per row."""
+    rows, w, n_state = k_win.shape
+    hd = n_state // heads
+    qf = q.astype(jnp.float32).reshape(rows, heads, hd) * (hd**-0.5)
+    kf = k_win.astype(jnp.float32).reshape(rows, w, heads, hd)
+    s = jnp.einsum("rhd,rwhd->rwh", qf, kf, precision=_HI)  # (rows, W, heads)
+    live = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) < count
+    s = jnp.where(live, s, jnp.float32(-1e30))
+    m = jnp.max(s, axis=1)  # (rows, heads)
+    p = jnp.exp(s - m[:, None, :])
+    l = jnp.sum(p, axis=1)
+    vf = v_win.astype(jnp.float32).reshape(rows, w, heads, hd)
+    acc = jnp.einsum("rwh,rwhd->rhd", p, vf, precision=_HI).reshape(
+        rows, n_state
+    )
+    return m, l, acc
+
+
+def new_token_state(
+    q: jax.Array, k_new: jax.Array, v_new: jax.Array, heads: int
+) -> tuple:
+    """Online-softmax state of the single current token (not yet cached)."""
+    rows, n_state = q.shape
+    hd = n_state // heads
+    qf = q.astype(jnp.float32).reshape(rows, heads, hd) * (hd**-0.5)
+    kf = k_new.astype(jnp.float32).reshape(rows, heads, hd)
+    s = jnp.sum(qf * kf, axis=-1)  # (rows, heads)
+    l = jnp.ones_like(s)
+    acc = v_new.astype(jnp.float32).reshape(rows, n_state)
+    return s, l, acc
+
+
+def deferred_self_attention(
+    q: jax.Array,  # (rows, n_state)
+    k_new: jax.Array,  # (rows, n_state)
+    v_new: jax.Array,
+    cache: tuple,  # (k_flat, v_flat) dense flat cache
+    pos: jax.Array,  # scalar: positions [0, pos) are filled
+    settled: jax.Array,  # scalar: [0, settled) in flush order; rest window
+    row_map: jax.Array,  # (rows,) physical row of each logical row's prefix
+    layer_idx: jax.Array,
+    heads: int,
+    window: int,  # static flush period R (window capacity)
+    interpret: bool = False,
+) -> jax.Array:
+    """Decode self-attention for the deferred-beam-reorder cache protocol:
+    settled prefix via the row-indirected kernel, the <=``window`` most
+    recent positions (kept logically ordered by the per-step mini-reorder)
+    via XLA, the current token merged exactly — numerics mirror the eager
+    flat path's score concatenation."""
+    assert len(tuple(cache)) == 2, (
+        "deferred beam reorder supports the dense flat cache (int8 flat "
+        "was measured net-negative for beam; KERNELS.md §6)"
+    )
+    k_flat, v_flat = cache
+    rows, n_state = q.shape
+    st = settled_self_attention(
+        q, cache, settled, layer_idx, row_map, heads=heads,
+        interpret=interpret,
+    )
+    # window slab [settled, settled+window): logical rows, static size
+    start = jnp.clip(settled, 0, k_flat.shape[2] - window)
+    kw = jax.lax.dynamic_slice(
+        k_flat, (layer_idx.astype(jnp.int32), 0, start, 0),
+        (1, rows, window, n_state),
+    )[0]
+    vw = jax.lax.dynamic_slice(
+        v_flat, (layer_idx.astype(jnp.int32), 0, start, 0),
+        (1, rows, window, n_state),
+    )[0]
+    win = window_attention_state(q, kw, vw, pos - settled, heads)
+    new = new_token_state(q, k_new, v_new, heads)
+    out = merge_attention_states([st, win, new], heads)
+    return out.astype(q.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "interpret"))
 def decode_self_attention(
     q: jax.Array,  # (batch, n_state) current query, head-concatenated

@@ -1209,3 +1209,70 @@ def test_special_tokens_for_vocab_and_yue():
         v2.lang("yue")  # v2 layout has no <|yue|> slot
     # expanded vocab (reference adapt_vocab) keeps the v2 layout
     assert special_tokens_for_vocab(52000).transcribe == 50359
+
+
+def test_deferred_beam_reorder_matches_eager():
+    """Deferred beam reorder (defer_reorder=R: settled prefix read through
+    the row-indirected kernel, window mini-reorders, periodic flush) ==
+    the eager per-step full reorder, token for token, across flush
+    periods — including R larger than the emitted length (flush never
+    fires) and R=1 (flush every step)."""
+    dims = WhisperDims(
+        n_mels=80, n_vocab=64, n_audio_ctx=16, n_audio_state=128,
+        n_audio_head=2, n_audio_layer=1, n_text_ctx=64, n_text_state=128,
+        n_text_head=2, n_text_layer=2,
+    )
+    rng = np.random.default_rng(5)
+    memory = jnp.asarray(rng.standard_normal((2, 10, 128)) * 0.3, jnp.float32)
+    prompt = jnp.asarray(rng.standard_normal((2, 2, 128)) * 0.3, jnp.float32)
+    ys = jnp.asarray(rng.integers(0, 64, (2, 4)))
+    dec = TSDecoder(dims, startofprev_token=3)
+    variables = dec.init(jax.random.PRNGKey(5), memory, ys, prompt)
+
+    base = dict(max_new_tokens=10, eot=2, init_tokens=(1,), beam_size=3)
+    t_ref, s_ref = build_beam_decoder(
+        dec, variables, DecodeConfig(**base, beam_reorder="take")
+    )(memory, prompt)
+    for period in (1, 4, 16):
+        t_d, s_d = build_beam_decoder(
+            dec, variables,
+            DecodeConfig(**base, defer_reorder=period),
+        )(memory, prompt)
+        np.testing.assert_array_equal(
+            np.asarray(t_ref), np.asarray(t_d), err_msg=f"R={period}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_ref), np.asarray(s_d), rtol=1e-4, atol=1e-4,
+            err_msg=f"R={period}",
+        )
+
+
+def test_deferred_beam_with_quantized_cross_and_weights():
+    """defer_reorder composes with the quantized cross-KV (grouped kernel)
+    and W8A8 step weights — the headline beam serving knobs."""
+    dims = WhisperDims(
+        n_mels=80, n_vocab=64, n_audio_ctx=16, n_audio_state=128,
+        n_audio_head=2, n_audio_layer=1, n_text_ctx=64, n_text_state=128,
+        n_text_head=2, n_text_layer=2,
+    )
+    rng = np.random.default_rng(6)
+    memory = jnp.asarray(rng.standard_normal((2, 10, 128)) * 0.3, jnp.float32)
+    prompt = jnp.asarray(rng.standard_normal((2, 2, 128)) * 0.3, jnp.float32)
+    ys = jnp.asarray(rng.integers(0, 64, (2, 4)))
+    dec = TSDecoder(dims, startofprev_token=3, cross_kv_bits=8)
+    variables = dec.init(jax.random.PRNGKey(6), memory, ys, prompt)
+
+    base = dict(
+        max_new_tokens=8, eot=2, init_tokens=(1,), beam_size=3,
+        quantize_cross_kv=True, quantize_weights=True,
+    )
+    t_ref, s_ref = build_beam_decoder(
+        dec, variables, DecodeConfig(**base)
+    )(memory, prompt)
+    t_d, s_d = build_beam_decoder(
+        dec, variables, DecodeConfig(**base, defer_reorder=4)
+    )(memory, prompt)
+    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_d))
+    np.testing.assert_allclose(
+        np.asarray(s_ref), np.asarray(s_d), rtol=1e-4, atol=1e-4
+    )
