@@ -413,6 +413,18 @@ def main():
 
         from robustsq_whisper_tpu.decode.search import strip_eot
 
+        def agreement(a_rows, b_rows):
+            """Fraction of positions agreeing over the longer row (a bool
+            match hides how close a near-miss is)."""
+            num = den = 0
+            for ra, rb in zip(a_rows, b_rows):
+                n = max(len(ra), len(rb), 1)
+                den += n
+                num += sum(
+                    1 for x, y in zip(ra, rb) if x == y
+                )
+            return round(num / max(den, 1), 4)
+
         h_rows = strip_eot(h_tok, st.eot)
         d_rows = strip_eot(d_tok, st.eot)
         match = h_rows == d_rows
@@ -420,26 +432,44 @@ def main():
         guard = {
             "batch": gb,
             "tokens_match_dense": bool(match),
+            "token_agreement": agreement(h_rows, d_rows),
             "max_score_drift": round(drift, 5),
         }
         if not match:
-            # attribute: same comparison with the quantization knobs only
-            # (dense side shares the headline's GELU + attention route), so a
-            # mismatch splits into "GELU/kernel numerics" vs "quantization"
             mism = [i for i, (a, b) in enumerate(zip(h_rows, d_rows)) if a != b]
             guard["mismatched_rows"] = len(mism)
-            # decode the HEADLINE encoder's output with the dense decoder:
-            # True here clears the decode-side quantization (mismatch came
-            # from encoder numerics — GELU approx / flash route); False
-            # implicates the quantized decode loop.
+            # ---- attribution ladder, all on the HEADLINE encoder output so
+            # encoder numerics (GELU approx / flash route) are held fixed:
+            # dense decode isolates the encoder; single-knob decodes isolate
+            # the int-KV cache and the W8A8 step weights.
             sg_mem, sg_prompt = chunked_encode(
                 lambda m, fl, em, el: encode(enc_vars, enc_qw, m, fl, em, el),
                 gmel, gfl, gemel, gel, 0,
             )
             sg_tok, _ = run_dense(sg_mem, sg_prompt)
-            guard["tokens_match_same_encoder"] = bool(
-                strip_eot(np.asarray(sg_tok), st.eot) == h_rows
-            )
+            sg_rows = strip_eot(np.asarray(sg_tok), st.eot)
+            guard["tokens_match_same_encoder"] = bool(sg_rows == h_rows)
+            guard["agreement_same_encoder"] = agreement(sg_rows, h_rows)
+            if not guard["tokens_match_same_encoder"]:
+                knobs = {}
+                for name, kv, w8 in (
+                    (f"int{kv_bits}_kv_only", True, False),
+                    ("w8a8_only", False, True),
+                ):
+                    r = build_beam_decoder(
+                        dec, dec_vars, _dc.replace(
+                            dense_cfg, quantize_cross_kv=kv,
+                            quantize_weights=w8,
+                        ),
+                    )
+                    t_k, _ = r(sg_mem, sg_prompt)
+                    rows_k = strip_eot(np.asarray(t_k), st.eot)
+                    knobs[name] = {
+                        "tokens_match": bool(rows_k == sg_rows),
+                        "agreement": agreement(rows_k, sg_rows),
+                    }
+                    del r, t_k
+                guard["decode_knobs_vs_dense"] = knobs
             del sg_mem, sg_prompt, sg_tok
         log(f"[guard] {guard}")
         result_guard = guard
@@ -492,6 +522,10 @@ def main():
             init_tokens=dcfg.init_tokens, beam_size=beam_k,
             quantize_cross_kv=dcfg.quantize_cross_kv,
             quantize_weights=dcfg.quantize_weights,
+            # BENCH_DEFER=R: deferred beam reorder (flush period R) — the
+            # settled prefix reads through the row-indirected kernel and
+            # the full permutation applies once per R steps (search.py)
+            defer_reorder=int(os.environ.get("BENCH_DEFER", "0")),
         )
         beam_run = build_beam_decoder(dec, dec_vars, bcfg)
 
