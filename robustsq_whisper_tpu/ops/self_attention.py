@@ -276,18 +276,20 @@ def quantize_flat_kv(
 def _settled_kernel(
     meta_ref,  # (2,) int32: [layer_idx, settled]
     rmap_ref,  # (rows,) int32: physical row per logical row
-    q_ref,  # (1, n_state) — this row's query, UNSCALED
+    q_ref,  # (1, 1, n_state) — this row's query (operands ride 3-D so the
+    #         per-row blocks' LAST-TWO dims equal the array dims — Mosaic's
+    #         block rule; a 2-D (1, n_state) row block crashes the compiler)
     k_ref,  # (1, G, n_state) — indirected cache K block
     v_ref,
-    m_ref,  # out (1, heads) f32 running max
-    l_ref,  # out (1, heads) f32 running normalizer
-    acc_ref,  # out (1, n_state) f32 unnormalized numerator
+    m_ref,  # out (1, 1, heads) f32 running max (revisited across g)
+    l_ref,  # out (1, 1, heads) f32 running normalizer
+    acc_ref,  # out (1, 1, n_state) f32 unnormalized numerator
     *,
     heads: int,
     n_state: int,
     group: int,
 ):
-    del rmap_ref  # consumed by the index maps only
+    del rmap_ref  # consumed by the K/V index maps only
     g = pl.program_id(1)
     hd = n_state // heads
     NEG = jnp.float32(-1e30)
@@ -307,7 +309,7 @@ def _settled_kernel(
             precision=_DEFAULT, preferred_element_type=jnp.float32,
         ).reshape(*lead, n_state)
 
-    q = q_ref[:].astype(jnp.float32) * (hd**-0.5)  # (1, n_state)
+    q = q_ref[0].astype(jnp.float32) * (hd**-0.5)  # (1, n_state)
 
     @pl.when(g == 0)
     def _():
@@ -319,15 +321,15 @@ def _settled_kernel(
     s = reduce_heads(k * q[:, None, :])  # (1, G, heads)
     pglob = g * group + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(pglob < meta_ref[1], s, NEG)
-    m_prev = m_ref[:]
+    m_prev = m_ref[0]  # (1, heads)
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
     p = jnp.exp(s - m_new[:, None, :])
     alpha = jnp.exp(m_prev - m_new)
     w = expand_heads(p)
     pv = jnp.sum(w * v_ref[:].astype(jnp.float32), axis=1)
-    m_ref[:] = m_new
-    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1)
-    acc_ref[:] = acc_ref[:] * expand_heads(alpha) + pv
+    m_ref[0] = m_new
+    l_ref[0] = l_ref[0] * alpha + jnp.sum(p, axis=1)
+    acc_ref[0] = acc_ref[0] * expand_heads(alpha) + pv
 
 
 def settled_self_attention(
@@ -368,19 +370,21 @@ def settled_self_attention(
     ).astype(jnp.int32)
     meta = jnp.stack([layer_idx.astype(jnp.int32), settled.astype(jnp.int32)])
 
-    small = pl.BlockSpec((1, n_state), lambda i, g, m, r: (i, 0))
+    # q and the three state outputs ride 3-D with per-row blocks whose
+    # LAST-TWO dims equal the array dims — the only per-row block shape
+    # Mosaic's divisibility rule admits (a 2-D (1, n_state) row block
+    # crashed the compiler on the first chip run). Outputs are revisited
+    # across the g dim (constant index in g) so they accumulate in VMEM.
+    q3 = q.reshape(rows, 1, n_state)
+    row3 = lambda d: pl.BlockSpec((1, 1, d), lambda i, g, m, r: (i, 0, 0))
     kv_spec = pl.BlockSpec(
         (None, 1, group, n_state), lambda i, g, m, r: (m[0], r[i], g, 0)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # meta, row_map
         grid=(rows, valid),
-        in_specs=[small, kv_spec, kv_spec],
-        out_specs=[
-            pl.BlockSpec((1, heads), lambda i, g, m, r: (i, 0)),
-            pl.BlockSpec((1, heads), lambda i, g, m, r: (i, 0)),
-            pl.BlockSpec((1, n_state), lambda i, g, m, r: (i, 0)),
-        ],
+        in_specs=[row3(n_state), kv_spec, kv_spec],
+        out_specs=[row3(heads), row3(heads), row3(n_state)],
         scratch_shapes=[],
     )
     m_out, l_out, acc = pl.pallas_call(
@@ -389,13 +393,13 @@ def settled_self_attention(
         ),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((rows, heads), jnp.float32),
-            jax.ShapeDtypeStruct((rows, heads), jnp.float32),
-            jax.ShapeDtypeStruct((rows, n_state), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 1, heads), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 1, heads), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 1, n_state), jnp.float32),
         ],
         interpret=interpret,
-    )(meta, row_map.astype(jnp.int32), q, k_flat, v_flat)
-    return m_out, l_out, acc
+    )(meta, row_map.astype(jnp.int32), q3, k_flat, v_flat)
+    return m_out[:, 0], l_out[:, 0], acc[:, 0]
 
 
 def merge_attention_states(
