@@ -336,14 +336,17 @@ def build_beam_decoder(
         R = -(-cfg.defer_reorder // 8) * 8 if cfg.defer_reorder > 0 else 0
         if R > 0:
             # deferred reorder: dense flat cache only; pad the cache length
-            # by one window and round to 128 so the settled kernel's
-            # position groups and the flush kernel's DMA tiles both divide
-            # it (every whisper n_state's `required` divides 128)
+            # by one window, rounded only to what the flush kernel's DMA
+            # tiles and the 8-position chunks need — the settled kernel's
+            # position group adapts to any 8-multiple length, and padding
+            # to a power of two was measured to OOM medium/b64/beam5 by
+            # 45 MB (the beam-tiled cache grows with every padded position)
             assert dec.self_kv_bits == 16 and dec.flat_self_cache, (
                 "defer_reorder needs the dense flat self cache"
             )
-            assert required <= 128 and 128 % required == 0, required
-            total = -(-(total + R) // 128) * 128
+            assert required <= 64, required
+            mlt = math.lcm(required, 8)
+            total = -(-(total + R) // mlt) * mlt
         elif use_dma:
             total = -(-total // required) * required  # pad to tile
         # Prefill at PLAIN batch rows: every beam starts from the identical

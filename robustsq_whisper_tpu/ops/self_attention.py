@@ -339,7 +339,10 @@ def settled_self_attention(
     layer_idx: jax.Array,  # scalar int32 layer slab
     row_map: jax.Array,  # (rows,) int32: physical cache row per logical row
     heads: int,
-    group: int = 128,
+    group: int = 512,  # positions per grid step (measured: 512 -> 1.44
+    # ms/layer vs 1.57 at 128 at rows=160/settled=288; the eager b-tiled
+    # kernel reads the same bytes in 1.22 — the per-row indirection costs
+    # ~18% on the kernel itself)
     interpret: bool = False,
 ) -> tuple:
     """Online-softmax STATE of each logical row's attention over the settled
