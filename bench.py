@@ -30,7 +30,12 @@ BENCH_NEW_TOKENS (default 128), BENCH_ITERS
 (default 3), BENCH_FLASH (Pallas encoder attention, default 1),
 BENCH_INT8_KV (fused quantized cross-attention decode kernel, default 1),
 BENCH_KV_BITS (cross-KV width under BENCH_INT8_KV=1: 8 or 4, default 4),
-BENCH_INT8_W (W8A8 int8 decode-step weight matmuls, default 1),
+BENCH_INT8_W (W8A8 int8 decode-step weight matmuls, default 0 — at the
+b128 + prefill-quant operating point the per-step weight read is a small
+share and W8A8 measured only +1.6% RTF (1058.2 vs 1041.4) while costing
+decode-side token exactness: without it the decode loop reproduces the
+dense decode token-for-token on the chip (guard agreement_same_encoder
+1.0). Opt back in for weight-read-bound shapes, e.g. small batches),
 BENCH_SELF_KV_BITS (decode self-attention cache: 16 dense or 8 int8,
 default 16 — int8 measured slower, see main()),
 BENCH_INT8_ENC_W (W8A8 int8 encoder block matmuls, default 0 — measured
@@ -311,7 +316,7 @@ def main():
         init_tokens=st.sot_sequence("en", "transcribe", True),
         beam_size=int(os.environ.get("BENCH_BEAM", "1")),
         quantize_cross_kv=os.environ.get("BENCH_INT8_KV", "1") == "1",
-        quantize_weights=os.environ.get("BENCH_INT8_W", "1") == "1",
+        quantize_weights=os.environ.get("BENCH_INT8_W", "0") == "1",
         beam_reorder=os.environ.get("BENCH_BEAM_REORDER", "auto"),
         # caps the decode session's HBM peak (the dense stacked cross-KV) —
         # what lets large-v3 run at batch 64 and medium at batch 128 on one
