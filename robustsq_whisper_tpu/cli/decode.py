@@ -167,6 +167,13 @@ def main(argv=None):
         "the dense XLA decode path (Pallas serving kernels need local "
         "shapes); composes with --data_parallel over the remaining devices",
     )
+    parser.add_argument(
+        "--timestamps", type=_str2bool, default=False,
+        help="Whisper timestamp-token decoding: drop <|notimestamps|> from "
+        "the init sequence and constrain sampling with the timestamp rules "
+        "(pairs, monotonic, first-token window); writes a `segments` file "
+        "of (start_s, end_s, text) next to the text output. Greedy only",
+    )
     parser.add_argument("--enroll_type", default=None,
                         choices=["audio", "embedding"],
                         help="enrollment modality (asr_my.sh --enroll_type): "
@@ -335,15 +342,27 @@ def main(argv=None):
         speculative_gamma=spec,
         draft_layers=args.draft_layers,
         min_new_tokens=max(0, args.min_new_tokens),
+        with_timestamps=bool(args.timestamps)
+        and exp.model.vocab_size >= st.n_vocab,
+        timestamp_begin=st.timestamp_begin,
         ctc_decode_weight=max(0.0, args.ctc_weight),
         pre_beam=max(2, args.pre_beam),
         maxlenratio=max(0.0, args.maxlenratio),
         minlenratio=max(0.0, args.minlenratio),
         eot=exp.model.eos,
-        init_tokens=st.sot_sequence(args.language, "transcribe", True)
+        init_tokens=st.sot_sequence(
+            args.language, "transcribe", not args.timestamps
+        )
         if exp.model.vocab_size >= st.n_vocab
         else (exp.model.sos,),
     )
+    if dcfg.with_timestamps and (
+        exp.decode.beam_size > 1 or spec or args.long_audio
+    ):
+        parser.error(
+            "--timestamps is plain-greedy only: incompatible with beam "
+            "sizes > 1, --speculative_gamma and --long_audio"
+        )
     ctc_vars = None
     if dcfg.ctc_decode_weight > 0:
         if spec or args.long_audio or tp > 1:

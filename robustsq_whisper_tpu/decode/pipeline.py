@@ -278,6 +278,7 @@ def decode_dataset(
 
     hyps: Dict[str, str] = {}
     refs: Dict[str, str] = {}
+    segments: Dict[str, list] = {}
     spec_totals = np.zeros(3, np.int64)  # chunks, accepted, emitted
     audio_sec = 0.0
     t0 = time.time()
@@ -293,6 +294,13 @@ def decode_dataset(
             if utt in hyps:  # drop_last=False wraps; skip duplicates
                 continue
             ids = strip_eot(tokens[i : i + 1], dcfg.eot)[0]
+            if dcfg.with_timestamps:
+                from .timestamps import segments_from_tokens
+
+                segments[utt] = segments_from_tokens(
+                    ids, tokenizer, dcfg.timestamp_begin
+                )
+                ids = [t for t in ids if t < dcfg.timestamp_begin]
             hyps[utt] = tokenizer.decode(ids).strip()
             refs[utt] = dataset.text.get(utt, "")
             audio_sec += float(speech_lens[i]) / dataset.sample_rate
@@ -377,6 +385,12 @@ def decode_dataset(
             dcfg.speculative_gamma, dcfg.draft_layers,
         )
 
+    if segments and output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(output_dir, "segments"), "w") as f:
+            for utt in sorted(segments):
+                for s0, s1, text in segments[utt]:
+                    f.write(f"{utt} {s0:.2f} {s1:.2f} {text}\n")
     return score_and_write(hyps, refs, audio_sec, wall, output_dir, extra)
 
 

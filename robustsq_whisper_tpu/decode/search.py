@@ -116,6 +116,14 @@ class DecodeConfig:
     # Per-utterance when the runner passes mem_lens; else the static window.
     maxlenratio: float = 0.0
     minlenratio: float = 0.0
+    # Whisper timestamp-token decoding (decode/timestamps.py): drop
+    # <|notimestamps|> from init_tokens and constrain sampling with the
+    # published timestamp rules (pairs, monotonicity, first-token window,
+    # timestamp-mass). Greedy only; the reference decodes <|notimestamps|>
+    # so this is a completeness feature (`--timestamps`).
+    with_timestamps: bool = False
+    timestamp_begin: int = 50364
+    max_initial_timestamp_index: int = 50  # 1.0 s at 0.02 s per step
 
 
 def length_bounds(
@@ -165,6 +173,11 @@ def build_greedy_decoder(
     if cfg.speculative_gamma > 0:
         from .speculative import build_speculative_decoder
 
+        if cfg.with_timestamps:
+            raise ValueError(
+                "timestamp decoding is plain-greedy only (the draft/verify "
+                "chunks don't apply the timestamp rules)"
+            )
         return build_speculative_decoder(dec, variables, cfg)
 
     if cfg.prefill_quantized and not cfg.quantize_cross_kv:
@@ -201,34 +214,54 @@ def build_greedy_decoder(
         if cfg.quantize_cross_kv and not pq:
             cross = m(TSDecoder.quantize_cross, cross)
 
-        def emit(logits, done, score, idx):
+        def emit(logits, done, score, idx, ts_state):
             # idx = emission index of this token (0-based); eot is masked
             # from the raw logits until min_new tokens were emitted
             if min_new > 0:
                 masked = logits.at[:, cfg.eot].set(jnp.float32(-1e30))
                 logits = jnp.where(idx < min_new, masked, logits)
+            if cfg.with_timestamps:
+                from .timestamps import (
+                    apply_timestamp_rules, update_timestamp_state,
+                )
+
+                last, penult, max_ts = ts_state
+                logits = apply_timestamp_rules(
+                    logits.astype(jnp.float32), last, penult, max_ts,
+                    cfg.timestamp_begin, cfg.eot,
+                    cfg.max_initial_timestamp_index,
+                )
             logp = jax.nn.log_softmax(logits, axis=-1)
             tok = jnp.argmax(logp, axis=-1).astype(jnp.int32)  # (b,)
             tok = jnp.where(done, cfg.eot, tok)
             tok_logp = jnp.take_along_axis(logp, tok[:, None], axis=-1)[:, 0]
             score = score + jnp.where(done, 0.0, tok_logp)
             done = done | (tok == cfg.eot)
-            return tok, done, score
+            if cfg.with_timestamps:
+                ts_state = update_timestamp_state(
+                    tok, ts_state[0], ts_state[2], cfg.timestamp_begin
+                )
+            return tok, done, score, ts_state
 
         base = prompt_len + len(cfg.init_tokens)
         done0 = jnp.zeros((b,), bool)
         score0 = jnp.zeros((b,), jnp.float32)
+        ts0 = (
+            jnp.full((b,), -1, jnp.int32),  # last token
+            jnp.full((b,), -1, jnp.int32),  # penultimate token
+            jnp.full((b,), cfg.timestamp_begin, jnp.int32),  # max timestamp
+        )
 
         if cfg.stop_early:
             tokens0 = jnp.full((b, max_new), cfg.eot, jnp.int32)
 
             def cond(carry):
-                i, _, _, done, _, _ = carry
+                i, _, _, done = carry[:4]
                 return (i < max_new) & ~jnp.all(done)
 
             def body(carry):
-                i, logits, cache, done, score, tokens = carry
-                tok, done, score = emit(logits, done, score, i)
+                i, logits, cache, done, score, tokens, ts = carry
+                tok, done, score, ts = emit(logits, done, score, i, ts)
                 tokens = jax.lax.dynamic_update_slice(
                     tokens, tok[:, None], (0, i)
                 )
@@ -236,23 +269,23 @@ def build_greedy_decoder(
                     TSDecoder.step, tok[:, None], base + i, cache, cross,
                     qw=qw,
                 )
-                return (i + 1, new_logits, cache, done, score, tokens)
+                return (i + 1, new_logits, cache, done, score, tokens, ts)
 
-            _, _, _, _, scores, tokens = jax.lax.while_loop(
-                cond, body, (0, logits, cache, done0, score0, tokens0)
+            _, _, _, _, scores, tokens, _ = jax.lax.while_loop(
+                cond, body, (0, logits, cache, done0, score0, tokens0, ts0)
             )
             return tokens, scores
 
         def step(carry, i):
-            logits, cache, done, score = carry
-            tok, done, score = emit(logits, done, score, i)
+            logits, cache, done, score, ts = carry
+            tok, done, score, ts = emit(logits, done, score, i, ts)
             new_logits, cache2 = m(
                 TSDecoder.step, tok[:, None], base + i, cache, cross, qw=qw
             )
-            return (new_logits, cache2, done, score), tok
+            return (new_logits, cache2, done, score, ts), tok
 
-        carry = (logits, cache, done0, score0)
-        (_, _, _, scores), tokens = jax.lax.scan(
+        carry = (logits, cache, done0, score0, ts0)
+        (_, _, _, scores, _), tokens = jax.lax.scan(
             step, carry, jnp.arange(max_new)
         )
         return tokens.T, scores  # (b, max_new), (b,)
@@ -278,6 +311,11 @@ def build_beam_decoder(
         raise ValueError(
             "speculative decode is greedy-only: beam_size must be 1 when "
             "speculative_gamma > 0"
+        )
+    if cfg.with_timestamps:
+        raise ValueError(
+            "timestamp decoding is greedy-only (beam_size 1): the timestamp "
+            "rules are not threaded through the beam carry"
         )
 
     if cfg.prefill_quantized and not cfg.quantize_cross_kv:
