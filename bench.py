@@ -447,10 +447,7 @@ def main():
             # encoder numerics (GELU approx / flash route) are held fixed:
             # dense decode isolates the encoder; single-knob decodes isolate
             # the int-KV cache and the W8A8 step weights.
-            sg_mem, sg_prompt = chunked_encode(
-                lambda m, fl, em, el: encode(enc_vars, enc_qw, m, fl, em, el),
-                gmel, gfl, gemel, gel, 0,
-            )
+            sg_mem, sg_prompt = h_mem, h_prompt  # same inputs, same program
             sg_tok, _ = run_dense(sg_mem, sg_prompt)
             sg_rows = strip_eot(np.asarray(sg_tok), st.eot)
             guard["tokens_match_same_encoder"] = bool(sg_rows == h_rows)

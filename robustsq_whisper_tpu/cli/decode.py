@@ -342,8 +342,7 @@ def main(argv=None):
         speculative_gamma=spec,
         draft_layers=args.draft_layers,
         min_new_tokens=max(0, args.min_new_tokens),
-        with_timestamps=bool(args.timestamps)
-        and exp.model.vocab_size >= st.n_vocab,
+        with_timestamps=bool(args.timestamps),
         timestamp_begin=st.timestamp_begin,
         ctc_decode_weight=max(0.0, args.ctc_weight),
         pre_beam=max(2, args.pre_beam),
@@ -356,12 +355,20 @@ def main(argv=None):
         if exp.model.vocab_size >= st.n_vocab
         else (exp.model.sos,),
     )
+    if dcfg.with_timestamps and exp.model.vocab_size < st.n_vocab:
+        parser.error(
+            "--timestamps needs the full Whisper vocabulary (the timestamp "
+            f"tokens start at id {st.timestamp_begin}); this checkpoint has "
+            f"vocab_size {exp.model.vocab_size}"
+        )
     if dcfg.with_timestamps and (
         exp.decode.beam_size > 1 or spec or args.long_audio
+        or dcfg.ctc_decode_weight > 0
     ):
         parser.error(
             "--timestamps is plain-greedy only: incompatible with beam "
-            "sizes > 1, --speculative_gamma and --long_audio"
+            "sizes > 1, --speculative_gamma, --long_audio and --ctc_weight "
+            "(the joint decoder applies no timestamp rules)"
         )
     ctc_vars = None
     if dcfg.ctc_decode_weight > 0:
@@ -373,15 +380,27 @@ def main(argv=None):
             )
         # single-device joint path: no DP mesh
         args.data_parallel = False
-        ctc_vars = jax.tree_util.tree_map(
-            lambda x: x, variables["params"]["ctc"]["ctc_lo"]
-        )
+        ctc_vars = variables["params"]["ctc"]["ctc_lo"]
     if args.prefill_quantized:
         # prefill on the quantized cross-KV (implies a quantized token loop)
         dcfg = dataclasses.replace(
             dcfg, quantize_cross_kv=True, prefill_quantized=True
         )
     if tp > 1:
+        dcfg = dataclasses.replace(
+            dcfg, quantize_cross_kv=False, quantize_weights=False,
+            prefill_quantized=False,
+        )
+    if dcfg.ctc_decode_weight > 0:
+        # the joint scorer is the dense parity path (decode/joint.py): it
+        # reads neither the quantized cross-KV nor the W8A8 step weights, so
+        # surface the reset instead of letting the flags look honored
+        if (dcfg.quantize_cross_kv or dcfg.quantize_weights
+                or dcfg.prefill_quantized):
+            logging.warning(
+                "--ctc_weight joint decoding runs fully dense; ignoring "
+                "--int8_weights/--prefill_quantized/quantized cross-KV"
+            )
         dcfg = dataclasses.replace(
             dcfg, quantize_cross_kv=False, quantize_weights=False,
             prefill_quantized=False,

@@ -26,6 +26,7 @@ from ..audio.frontend import (
 from ..data import kaldi_io
 from ..models.ts_decoder import TSDecoder
 from ..models.ts_encoder import QFormerTSEncoder, SpkAdapterTSEncoder
+from ..models.whisper.modules import AudioEncoder
 from .scorer import cer, wer
 from .search import DecodeConfig, build_beam_decoder, strip_eot
 
@@ -354,7 +355,22 @@ def decode_dataset(
                 lambda *a: encode(enc_vars, *a),
                 feats, feats_lens, efeats, efeats_lens, enc_chunk,
             )
-        res = run(memory, spk_prompt)
+        if dcfg.ctc_decode_weight > 0:
+            # the joint CTC scorer needs per-utterance encoder lengths so pad
+            # frames beyond each utterance stay out of the prefix scores and
+            # the ratio length bounds (joint.py masks frames >= mem_lens -
+            # prompt_frames); lens INCLUDE the leading prompt frames, exactly
+            # like the encoder's own x_lens output (ts_encoder.py:281-282)
+            prompt_frames = 0 if emb_mode else encoder.prompt_len
+            mem_lens = (
+                AudioEncoder.output_lengths(
+                    feats_lens, memory.shape[1] - prompt_frames
+                )
+                + prompt_frames
+            )
+            res = run(memory, spk_prompt, mem_lens)
+        else:
+            res = run(memory, spk_prompt)
         tokens, stats = res[0], (res[2] if len(res) == 3 else None)
         if pending is not None:
             consume(pending)

@@ -121,4 +121,8 @@ def segments_from_tokens(
                 start = ts
         elif start is not None:
             text_ids.append(t)
+    if start is not None and text_ids:
+        # unclosed trailing segment (decode hit max_new_tokens mid-segment):
+        # the last timestamp seen is its opening one, so it ends there too
+        segments.append((start, start, tokenizer.decode(text_ids).strip()))
     return segments

@@ -32,6 +32,7 @@ import tempfile
 import threading
 import time
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FuturesTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Optional, Tuple
 
@@ -103,7 +104,10 @@ class MicroBatcher:
             max_queue = 4 * engine.cfg.batch_size
         self.max_queue = max_queue
         self._q: "queue.Queue" = queue.Queue(maxsize=max_queue + 1)  # +1: the
-        # close() sentinel must never block behind a full admission queue
+        # close() sentinel must never block behind a full admission queue;
+        # submit() enforces the max_queue bound itself (under _adm_lock) so a
+        # normal request can never occupy the reserved sentinel slot
+        self._adm_lock = threading.Lock()
         # staged queue (maxsize=1): bounds in-flight work to the batch the
         # device is computing + one fully staged batch + (briefly) one more
         # the stager has built and is blocked put()-ing — at most two staged
@@ -129,11 +133,14 @@ class MicroBatcher:
         fut: Future = Future()
         if self._closed:
             raise RuntimeError("server closing")
-        try:
+        # check+put is atomic under the lock (the stager only ever REMOVES
+        # items concurrently, so qsize can't grow past the check): exactly
+        # max_queue requests can be queued and the sentinel slot stays free
+        with self._adm_lock:
+            if self._q.qsize() >= self.max_queue:
+                self.shed += 1
+                raise queue.Full
             self._q.put_nowait((speech, enroll, fut))
-        except queue.Full:
-            self.shed += 1
-            raise
         return fut
 
     def close(self) -> None:
@@ -347,7 +354,9 @@ def make_server(
                 return
             try:
                 text = fut.result(timeout=result_timeout_s)
-            except TimeoutError:
+            # concurrent.futures.TimeoutError is only a builtin-TimeoutError
+            # subclass from Python 3.11; catch both so 3.10 still gets a 504
+            except (TimeoutError, FuturesTimeout):
                 self._json(
                     504,
                     {"error": f"no result within {result_timeout_s:.0f}s"},

@@ -324,3 +324,102 @@ def test_ratio_bounds_attention_only_paths():
     runb = build_beam_decoder(dec, variables, cfgb)
     tokens_b, _ = runb(memory, prompt)
     assert tokens_b.shape[1] == 3
+
+
+def test_decode_dataset_threads_encoder_lengths(tmp_path, monkeypatch):
+    """decode_dataset must hand the joint decoder per-utterance encoder
+    lengths (regression: run(memory, spk_prompt) used to drop them, so the
+    CTC prefix scorer treated every pad frame of the static window as real
+    audio and the ratio bounds came from the padded length)."""
+    from robustsq_whisper_tpu.data import simulate
+    from robustsq_whisper_tpu.data.dataset import KaldiTSDataset
+    from robustsq_whisper_tpu.decode import joint as joint_mod
+    from robustsq_whisper_tpu.decode.pipeline import decode_dataset
+    from robustsq_whisper_tpu.models import (
+        QFormerTSEncoder,
+        TSASRModel,
+        TSEncoderConfig,
+        TSModelConfig,
+    )
+    from robustsq_whisper_tpu.tokenizer.whisper_tokenizer import ByteTokenizer
+    from tests.test_pipeline import _make_clean_dir
+
+    edims = WhisperDims(
+        n_mels=80, n_vocab=300, n_audio_ctx=32, n_audio_state=32,
+        n_audio_head=2, n_audio_layer=1, n_text_ctx=64, n_text_state=32,
+        n_text_head=2, n_text_layer=1,
+    )
+    ts = TSEncoderConfig(
+        num_query_tokens=2, num_hidden_layers=1, qformer_hidden_size=32,
+        qformer_heads=2, qformer_intermediate_size=64,
+    )
+    src = _make_clean_dir(tmp_path, n_speakers=3, utts_per_spk=2)
+    data_dir = str(tmp_path / "mix")
+    simulate.generate_overlap_enrollment(
+        src, data_dir, simulate.OverlapConfig(num_mixtures=4, seed=0)
+    )
+    tok = ByteTokenizer()
+    speech_sec = (edims.n_audio_ctx * 2 * 160) / 16000
+    dataset = KaldiTSDataset(
+        data_dir, tok, speech_seconds=speech_sec,
+        enroll_seconds=speech_sec / 2, text_len=48, seed=0,
+    )
+
+    cfg = TSModelConfig(
+        vocab_size=300, sos=257, eos=258, startofprev=259, ctc_weight=0.3,
+    )
+    model = TSASRModel(edims, ts, cfg)
+    rng = jax.random.PRNGKey(0)
+    first = next(dataset.batches(4, shuffle=False))
+    first.pop("utt_ids")
+    variables = model.init(rng, first, rng, 0, train=False)
+
+    encoder = QFormerTSEncoder(edims, ts)
+    decoder = TSDecoder(edims, startofprev_token=259)
+    enc_vars = {
+        "params": variables["params"]["encoder"],
+        "buffers": variables["buffers"]["encoder"],
+    }
+    dec_vars = {"params": variables["params"]["decoder"]}
+    ctc_vars = variables["params"]["ctc"]["ctc_lo"]
+
+    seen = []
+    orig = joint_mod.build_joint_beam_decoder
+
+    def spy(*a, **kw):
+        run = orig(*a, **kw)
+
+        def wrapped(memory, spk_prompt, mem_lens=None):
+            seen.append(
+                (None if mem_lens is None else np.asarray(mem_lens),
+                 np.asarray(memory.shape))
+            )
+            return run(memory, spk_prompt, mem_lens)
+
+        return wrapped
+
+    monkeypatch.setattr(joint_mod, "build_joint_beam_decoder", spy)
+    dcfg = DecodeConfig(
+        max_new_tokens=4, eot=258, init_tokens=(257,), beam_size=2,
+        ctc_decode_weight=0.3, pre_beam=4,
+    )
+    result = decode_dataset(
+        encoder, enc_vars, decoder, dec_vars, dataset, tok, dcfg,
+        batch_size=4, ctc_vars=ctc_vars,
+    )
+    assert len(result.hyps) == len(dataset)
+    assert seen, "the joint path never ran"
+    prompt = ts.num_query_tokens
+    for mem_lens, mem_shape in seen:
+        assert mem_lens is not None, "mem_lens dropped (pad frames scored)"
+        enc_t = int(mem_shape[1]) - prompt
+        assert mem_lens.shape == (int(mem_shape[0]),)
+        assert np.all(mem_lens >= 1 + prompt)
+        assert np.all(mem_lens <= enc_t + prompt)
+    # per-utterance lens follow the conv out-length formula on the mel lens
+    batch = next(dataset.batches(4, shuffle=False))
+    want = np.minimum(
+        1 + (np.asarray(batch["speech_lens"]) // 160 - 1) // 2,
+        edims.n_audio_ctx,
+    ) + prompt
+    np.testing.assert_array_equal(seen[0][0], want)

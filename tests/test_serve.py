@@ -329,3 +329,56 @@ def test_http_request_size_cap(engine):
         server.shutdown()
         batcher.close()
         server.server_close()
+
+
+def test_microbatcher_admission_bound_is_exact(engine):
+    """The admission bound is exactly max_queue: the +1 queue slot is
+    RESERVED for the close() sentinel and can never be taken by a request
+    (review r3: put_nowait alone let request max_queue+1 slip in, making
+    shedding start one late and close() block on a full queue)."""
+    import queue as _queue
+    import threading as _th
+
+    from robustsq_whisper_tpu.serve.server import MicroBatcher
+
+    eng = engine[0]
+
+    class BlockingEngine:
+        cfg = eng.cfg
+
+        def __init__(self):
+            self.release = _th.Event()
+
+        def stage(self, items):
+            self.release.wait(timeout=30)
+            return eng.stage(items)
+
+        def infer_staged(self, staged, n):
+            return eng.infer_staged(staged, n)
+
+    slow = BlockingEngine()
+    batcher = MicroBatcher(slow, max_wait_ms=1.0, max_queue=3)
+    import time as _t
+
+    try:
+        futs = [batcher.submit(_wav(0, 0.2), _wav(9, 0.15))]
+        _t.sleep(0.3)  # stager drains what it can, then blocks in stage()
+        admitted, shed = 0, 0
+        for i in range(10):
+            try:
+                futs.append(batcher.submit(_wav(i, 0.2), _wav(i + 9, 0.15)))
+                admitted += 1
+            except _queue.Full:
+                shed += 1
+            # with the stager blocked, the queue never drains mid-loop
+            assert batcher._q.qsize() <= batcher.max_queue
+        assert admitted == 3 and shed == 7
+        # the sentinel slot is free: close() must not block on the full queue
+        t0 = _t.time()
+        slow.release.set()
+        batcher.close()
+        assert _t.time() - t0 < 5.0
+        for f in futs:
+            assert f.done()
+    finally:
+        slow.release.set()

@@ -185,3 +185,20 @@ def test_timestamps_rejected_for_beam_and_speculative():
         build_greedy_decoder(
             dec, {}, dataclasses.replace(cfg, beam_size=1, speculative_gamma=2)
         )
+
+
+def test_segments_unclosed_trailing_segment_flushes():
+    """A row that ends mid-segment (decode hit max_new_tokens) must still
+    emit the trailing text, ending at its opening timestamp (docstring
+    contract; review r3: it was silently dropped)."""
+    class Tok:
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    row = [22, 5, 6, 24, 26, 7, 8]  # closed seg, then open seg w/ text
+    segs = segments_from_tokens(row, Tok(), TS_BEGIN)
+    assert segs[0] == (pytest.approx(0.04), pytest.approx(0.08), "5 6")
+    assert segs[1] == (pytest.approx(0.12), pytest.approx(0.12), "7 8")
+    # an open segment with NO text is still dropped
+    segs2 = segments_from_tokens([22, 5, 24, 26], Tok(), TS_BEGIN)
+    assert len(segs2) == 1
