@@ -53,7 +53,9 @@ per-token step, multi-token verify chunk, early-exit draft step — and
 report the implied speedup over acceptance rate; see the sub-record note),
 BENCH_SPEC_GAMMA (speculation depth, default 4), BENCH_SPEC_DRAFT (draft
 decoder layers, default 4), BENCH_SPEC_STEPS (chained iterations per
-timing, default 32),
+timing, default 32), BENCH_SPEC_BATCH (sub-batch rows for the speculative
+primitives, default 64 — the 5-D cache the spec path needs OOMs the
+headline b128 verify program),
 BENCH_TRACE_DIR (capture one profiled pipeline run after the timed iters;
 parse with robustsq_whisper_tpu.utils.profiling.op_stats),
 BENCH_GUARD (default 1: composite accuracy guard — decode a small
@@ -595,27 +597,35 @@ def main():
             else {"layers": _slice_stack(qw["layers"], sd),
                   "emb": qw["emb"]}
         )
+        # the speculative path needs the 5-D self-cache whose XLA reads are
+        # lane-padded 2x (KERNELS.md §5), so the headline b128 operating
+        # point OOMs the verify program — measure the primitives on a capped
+        # sub-batch (per-call ms scale ~linearly with rows anyway)
+        sb = max(1, min(batch, int(os.environ.get("BENCH_SPEC_BATCH", "64"))))
         memory, _, spk_p, _ = encode(
-            enc_vars, enc_qw, mel, feats_lens, emel, emel_lens
+            enc_vars, enc_qw, mel[:sb], feats_lens[:sb],
+            emel[:sb], emel_lens[:sb],
         )
         base0 = 1 + spk_p.shape[1] + len(dcfg.init_tokens)
         total = base0 + n_chain * (sg + 1) + sg + 2
         TSD = TSDecoder
+        # when the cross-KV is quantized anyway, build it quantized directly:
+        # the dense STACKED (layers, b, T, 2, state) form (~10 GB at medium
+        # b64) otherwise has to materialize before the quantize pass
+        spec_pq = dcfg.prefill_quantized or dcfg.quantize_cross_kv
 
         @jax.jit
         def spec_setup(v, memory, spk_p):
             m = lambda meth, *a, **kw: spec_dec.apply(
                 v, *a, method=meth, **kw
             )
-            cross = m(TSD.cross_kv, memory, quantize=dcfg.prefill_quantized)
+            cross = m(TSD.cross_kv, memory, quantize=spec_pq)
             cache = m(TSD.init_cache, memory.shape[0], total)
             init = jnp.tile(
                 jnp.asarray(dcfg.init_tokens, jnp.int32)[None],
                 (memory.shape[0], 1),
             )
             lg, cache = m(TSD.prefill, init, spk_p, cache, cross)
-            if dcfg.quantize_cross_kv and not dcfg.prefill_quantized:
-                cross = m(TSD.quantize_cross, cross)
             return jnp.argmax(lg, -1).astype(jnp.int32), cache, cross
 
         tok0, cache0, cross0 = spec_setup(dec_vars, memory, spk_p)
