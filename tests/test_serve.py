@@ -362,7 +362,12 @@ def test_microbatcher_admission_bound_is_exact(engine):
 
     try:
         futs = [batcher.submit(_wav(0, 0.2), _wav(9, 0.15))]
-        _t.sleep(0.3)  # stager drains what it can, then blocks in stage()
+        # wait until the stager has TAKEN the first item and is blocked in
+        # stage() (a fixed sleep flakes on loaded hosts)
+        deadline = _t.time() + 10
+        while batcher._q.qsize() > 0 and _t.time() < deadline:
+            _t.sleep(0.01)
+        assert batcher._q.qsize() == 0
         admitted, shed = 0, 0
         for i in range(10):
             try:
