@@ -388,7 +388,13 @@ def main():
     # checkpoint-free image: a kernel/quantization tweak that silently trades
     # tokens for speed flips the guard bit in the round record instead of
     # hiding behind prose (VERDICT r2 weak #1).
-    if os.environ.get("BENCH_GUARD", "1") == "1":
+    if os.environ.get("BENCH_GUARD", "1") == "1" and dcfg.beam_size > 1:
+        # the guard's dense reference is greedy (beam_size=1): comparing it
+        # against a BENCH_BEAM>1 headline would record a beam-width
+        # difference as a numerics regression — skip with an explicit note
+        log("[guard] skipped: BENCH_BEAM > 1 (dense reference is greedy)")
+        result_guard = {"skipped": f"beam_size={dcfg.beam_size}"}
+    elif os.environ.get("BENCH_GUARD", "1") == "1":
         import dataclasses as _dc
 
         gb = max(1, min(batch, int(os.environ.get("BENCH_GUARD_BATCH", "8"))))

@@ -379,6 +379,11 @@ def main(argv=None):
                 "and --model_parallel"
             )
         # single-device joint path: no DP mesh
+        if args.data_parallel:
+            logging.warning(
+                "--ctc_weight joint decoding is single-device; dropping "
+                "--data_parallel"
+            )
         args.data_parallel = False
         ctc_vars = variables["params"]["ctc"]["ctc_lo"]
     if args.prefill_quantized:

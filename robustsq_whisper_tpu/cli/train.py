@@ -169,10 +169,18 @@ def main(argv=None):
         nbest=args.nbest,
         patience=args.patience,
         wer_utts=max(0, args.valid_wer_utts),
-        # eval-time WER decodes dense weights, no speculation (ValidWer)
+        # eval-time WER decodes dense weights, no speculation, attention-only
+        # (ValidWer is the greedy parity path; the joint CTC scorer is a
+        # stage-12 option, not an eval-loop one)
         wer_decode=dataclasses.replace(
             exp.decode, eot=exp.model.eos, quantize_weights=False,
-            speculative_gamma=0,
+            speculative_gamma=0, ctc_decode_weight=0.0,
+            # reduced-vocab configs cannot start from the full-vocab default
+            # sot id (it would clamp-gather an arbitrary embedding row);
+            # fall back to the model's own sos like cli/decode does
+            init_tokens=exp.decode.init_tokens
+            if max(exp.decode.init_tokens) < exp.model.vocab_size
+            else (exp.model.sos,),
         ) if args.valid_wer_utts > 0 else None,
     )
     state = run_training(

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from ..models.ts_decoder import TSDecoder
 from .ctc_prefix import NEG_INF, score_candidate_columns
-from .search import DecodeConfig
+from .search import DecodeConfig, length_bounds_static
 
 
 def build_joint_beam_decoder(
@@ -75,21 +75,21 @@ def build_joint_beam_decoder(
         vocab = dec.dims.n_vocab
         enc_t = memory.shape[1] - prompt_frames
 
-        # static decode-step budget (trace-time int)
-        if cfg.maxlenratio > 0:
-            maxlen_static = min(
-                cfg.max_new_tokens, max(1, int(cfg.maxlenratio * enc_t))
-            )
-        else:
-            maxlen_static = cfg.max_new_tokens
+        # static decode-step budget (trace-time int; shared ratio formula)
+        maxlen_static, _ = length_bounds_static(cfg, enc_t)
 
         if mem_lens is None:
             ctc_lens = jnp.full((b,), enc_t, jnp.int32)
         else:
             ctc_lens = jnp.clip(mem_lens - prompt_frames, 1, enc_t)
         if cfg.maxlenratio > 0:
+            # >= 1 like the static formula (ESPnet's max(1, ratio*len)):
+            # a 1-2 frame utterance must still get to emit one token
             maxlen_i = jnp.minimum(
-                (cfg.maxlenratio * ctc_lens).astype(jnp.int32), maxlen_static
+                jnp.maximum(
+                    (cfg.maxlenratio * ctc_lens).astype(jnp.int32), 1
+                ),
+                maxlen_static,
             )
         else:
             maxlen_i = jnp.full((b,), maxlen_static, jnp.int32)

@@ -60,6 +60,22 @@ def chunked_encode(enc_fn, feats, feats_lens, efeats, efeats_lens, chunk):
     )
 
 
+def embedding_encode_fn(encoder):
+    """``enc_apply(vars, mel, flens, enroll_embed) -> (memory, prompt0)``
+    for the embedding-enrollment decode contract: the prompt-free decoder
+    expects an EMPTY (b, 0, n_state) speaker prompt. One definition shared
+    by build_decode_fns, _build_embedding_decode_fns and train/eval.py's
+    ValidWer so the eval path can never drift from the serving one."""
+    def enc_apply(v, mel, fl, emb):
+        memory, _ = encoder.apply(v, mel, fl, emb)
+        prompt0 = jnp.zeros(
+            (memory.shape[0], 0, memory.shape[-1]), memory.dtype
+        )
+        return memory, prompt0
+
+    return enc_apply
+
+
 def chunked_encode_args(enc_fn, args, chunk):
     """Generic sub-batched encode: ``enc_fn(*args) -> (memory, spk_prompt)``
     with every arg batch-leading. Shared by the Qformer (4-tuple) and
@@ -120,13 +136,7 @@ def build_decode_fns(
             prompt_frames=prompt_frames,
         )
         if emb:
-            def enc_apply(v, mel, fl, e):
-                memory, _ = encoder.apply(v, mel, fl, e)
-                return memory, jnp.zeros(
-                    (memory.shape[0], 0, memory.shape[-1]), memory.dtype
-                )
-
-            return jax.jit(enc_apply), run
+            return jax.jit(embedding_encode_fn(encoder)), run
         encode = jax.jit(
             lambda v, mel, fl, emel, el: encoder.apply(v, mel, fl, emel, el)
         )

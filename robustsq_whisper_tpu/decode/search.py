@@ -135,6 +135,13 @@ def length_bounds(
     static under jit). The joint decoder (decode/joint.py) additionally
     applies per-utterance dynamic bounds from mem_lens."""
     enc_t = memory.shape[1] - (spk_prompt.shape[1] if use_prompt else 0)
+    return length_bounds_static(cfg, enc_t)
+
+
+def length_bounds_static(cfg: "DecodeConfig", enc_t: int) -> Tuple[int, int]:
+    """The ratio-bound arithmetic on a bare trace-time encoder length —
+    one formula shared by the attention-only paths (length_bounds) and the
+    joint decoder's static budget (decode/joint.py)."""
     max_new = cfg.max_new_tokens
     if cfg.maxlenratio > 0:
         max_new = min(max_new, max(1, int(cfg.maxlenratio * enc_t)))

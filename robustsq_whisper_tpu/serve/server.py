@@ -131,20 +131,27 @@ class MicroBatcher:
         """Enqueue one request; raises ``queue.Full`` when the admission
         queue is at capacity (the HTTP layer turns that into 503)."""
         fut: Future = Future()
-        if self._closed:
-            raise RuntimeError("server closing")
-        # check+put is atomic under the lock (the stager only ever REMOVES
+        # checks+put are atomic under the lock (the stager only ever REMOVES
         # items concurrently, so qsize can't grow past the check): exactly
-        # max_queue requests can be queued and the sentinel slot stays free
+        # max_queue requests can be queued, the sentinel slot stays free, and
+        # — because close() flips _closed under the same lock BEFORE draining
+        # — no request can slip into the queue after the shutdown drain and
+        # strand its future until the result timeout
         with self._adm_lock:
+            if self._closed:
+                raise RuntimeError("server closing")
             if self._q.qsize() >= self.max_queue:
                 self.shed += 1
                 raise queue.Full
             self._q.put_nowait((speech, enroll, fut))
         return fut
 
+    def _mark_closed(self) -> None:
+        with self._adm_lock:
+            self._closed = True
+
     def close(self) -> None:
-        self._closed = True
+        self._mark_closed()  # under _adm_lock: no submit() can race past it
         self._q.put(None)  # wake the stager; it forwards the stop downstream
         self._stager.join(timeout=5)
         self._runner.join(timeout=5)

@@ -134,6 +134,15 @@ class ValidWer:
             "would dominate; quantized serving is benched separately)"
         )
         assert dcfg.speculative_gamma == 0, "eval-time WER is plain greedy/beam"
+        assert dcfg.ctc_decode_weight == 0, (
+            "eval-time WER is attention-only (the prebuilt fns pair has no "
+            "joint-CTC program and takes no mem_lens); strip "
+            "ctc_decode_weight from wer_decode"
+        )
+        assert max(dcfg.init_tokens) < model.cfg.vocab_size, (
+            f"init_tokens {dcfg.init_tokens} exceed the model vocab "
+            f"({model.cfg.vocab_size}); use the model's sos"
+        )
         self.dcfg = dcfg
         self._core = None  # (jitted run, qw) after the first build
 
