@@ -7,9 +7,11 @@ decode re-runs the whole prefix per token, whisper_decoder.py:174-176; this
 is the gap the TPU build closes). Baseline for ``vs_baseline`` is the
 driver-set 50x real-time target.
 
-Also measures TRAINING throughput (audio-sec trained per chip-sec, LoRA mode
-— the reference's lora_qkvo_r16 config semantics) and embeds it in the same
-JSON object under ``"train"`` so every round's record is machine-comparable.
+Also measures TRAINING throughput (audio-sec trained per chip-sec) in both
+fine-tuning modes — "lora" (the reference's lora_qkvo_r16 config semantics)
+and "full" (the full-FT mode the reference actually trains) — embedded in the
+same JSON object under ``"train": {mode: record}`` so every round's record is
+machine-comparable.
 
 Prints ONE JSON line to stdout; all logging goes to stderr.
 
@@ -44,10 +46,14 @@ BENCH_BEAM (beam size, default 1 = greedy fast path),
 BENCH_BEAM_REORDER (beam cache reorder: auto|dma|take, default auto),
 BENCH_BEAM_SUB (beam width for the "beam" serving sub-record measured
 alongside the greedy headline; 0/1 disables, default 5),
-BENCH_TRAIN (default 1), BENCH_TRAIN_BATCH (default 16; halved on OOM),
-BENCH_TRAIN_MODE (default lora),
-BENCH_TRAIN_MU (Adam first-moment storage dtype: float32|bfloat16,
-default float32 — bfloat16 is the full-FT single-chip capacity lever),
+BENCH_TRAIN (default 1), BENCH_TRAIN_BATCH (default 8 — the known-good
+single-chip batch for both modes at medium; halved on OOM),
+BENCH_TRAIN_MODES (comma list of sub-records, default "lora,full" —
+lora = the reference's lora_qkvo_r16 config, full = the full-FT mode the
+reference actually trains, run_tswhisper.sh:17),
+BENCH_TRAIN_MU (Adam first-moment storage dtype: float32|bfloat16;
+per-mode defaults are the measured operating points — bfloat16 for full,
+float32 for lora),
 BENCH_SPECULATIVE (default 0: measure the speculative-decode primitives —
 per-token step, multi-token verify chunk, early-exit draft step — and
 report the implied speedup over acceptance rate; see the sub-record note),
@@ -79,10 +85,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_train(model_name: str, dims, ts) -> dict | None:
+def bench_train(model_name: str, dims, ts, mode: str) -> dict | None:
     """Training throughput: audio-sec of 30 s mixtures trained per chip-sec,
     one jitted (state, batch) -> state step in the requested mode. Probes
-    BENCH_TRAIN_BATCH and halves once on OOM."""
+    BENCH_TRAIN_BATCH (default 8 — the known-good single-chip operating
+    point for BOTH modes at medium, docs/TRAINING.md:68-76; 16 OOMs at
+    medium-LoRA) and halves on OOM."""
     import jax
     import jax.numpy as jnp
 
@@ -93,12 +101,16 @@ def bench_train(model_name: str, dims, ts) -> dict | None:
         make_train_step,
     )
 
-    mode = os.environ.get("BENCH_TRAIN_MODE", "lora")
-    batch_size = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
+    batch_size = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
-    # BENCH_TRAIN_MU=bfloat16: Adam first moment stored bf16 (the full-FT
-    # single-chip capacity lever; docs/TRAINING.md)
-    moment_dtype = os.environ.get("BENCH_TRAIN_MU", "float32")
+    # BENCH_TRAIN_MU overrides the Adam first-moment storage dtype; the
+    # per-mode defaults are the measured operating points (docs/TRAINING.md):
+    # full-FT needs the bf16 first moment to fit params + moments at b8
+    # (the mode the reference actually trains, run_tswhisper.sh:17), LoRA's
+    # trainable subtree is small enough for f32 moments.
+    moment_dtype = os.environ.get(
+        "BENCH_TRAIN_MU", "bfloat16" if mode == "full" else "float32"
+    )
     seconds, enroll_seconds = 30, 10
 
     import dataclasses
@@ -693,7 +705,13 @@ def main():
             return round(etok * step_ms / (sg * dr_ms + ver_ms), 2)
 
         result["speculative"] = {
-            "gamma": sg, "draft_layers": sd, **records,
+            "gamma": sg, "draft_layers": sd, "batch": sb,
+            # prefill built directly on the quantized cross-KV whenever the
+            # token loop is quantized (serving with prefill_quantized=False
+            # prefills dense and quantizes after) — untimed setup only, but
+            # the numerics divergence from serving semantics is recorded
+            "prefill_quantized_cross": bool(spec_pq),
+            **records,
             "amortization": round(step_ms * (sg + 1) / ver_ms, 2),
             "speedup_at_acceptance": {
                 "0.5": _speedup(0.5), "0.8": _speedup(0.8),
@@ -704,9 +722,19 @@ def main():
         del cache0, cross0, dcache0, dcross0, memory, spk_p
     if os.environ.get("BENCH_TRAIN", "1") == "1":
         del enc_vars, enc_qw, dec_vars, tokens, scores, greedy, encode
-        train_stats = bench_train(model_name, dims, ts)
-        if train_stats is not None:
-            result["train"] = train_stats
+        # one sub-record per mode: "lora" (the lora_qkvo_r16 config) and
+        # "full" (the mode the reference actually trains,
+        # run_tswhisper.sh:17) — both tracked metrics, not TRAINING.md prose
+        train_block = {}
+        for mode in os.environ.get("BENCH_TRAIN_MODES", "lora,full").split(","):
+            mode = mode.strip()
+            if not mode:
+                continue
+            train_stats = bench_train(model_name, dims, ts, mode)
+            if train_stats is not None:
+                train_block[mode] = train_stats
+        if train_block:
+            result["train"] = train_block
     print(json.dumps(result))
 
 

@@ -210,12 +210,7 @@ def _build_embedding_decode_fns(
         "use_spk_prompt=False"
     )
 
-    def enc_apply(v, mel, fl, emb):
-        memory, _ = encoder.apply(v, mel, fl, emb)
-        prompt0 = jnp.zeros(
-            (memory.shape[0], 0, memory.shape[-1]), memory.dtype
-        )
-        return memory, prompt0
+    enc_apply = embedding_encode_fn(encoder)
 
     if mesh is not None and mesh.shape.get("model", 1) > 1:
         raise NotImplementedError(

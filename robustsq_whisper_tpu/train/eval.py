@@ -18,7 +18,6 @@ import os
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .checkpoint import restore_checkpoint, save_checkpoint
@@ -170,11 +169,7 @@ class ValidWer:
             # epoch's weights in as arguments — no retrace across epochs
             emb = self.model.ts.enroll_type == "embedding"
             if emb:
-                def enc_apply(v, mel, fl, e):
-                    memory, _ = self.encoder.apply(v, mel, fl, e)
-                    return memory, jnp.zeros(
-                        (memory.shape[0], 0, memory.shape[-1]), memory.dtype
-                    )
+                enc_apply = dpipe.embedding_encode_fn(self.encoder)
             else:
                 def enc_apply(v, mel, fl, emel, el):
                     return self.encoder.apply(v, mel, fl, emel, el)
