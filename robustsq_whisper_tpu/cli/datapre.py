@@ -10,6 +10,10 @@ reference as subcommands:
     fix           utils/fix_data_dir.sh
     num-samples   utt2num_samples via wav headers (data.sh:246-251 soxi)
     spk-embed     extract_reset_embedding_onnx.py (JAX ResNet34 extractor)
+    synth-clean   hermetic synthetic clean corpus (the reference's own
+                  synthetic-fixture pattern, test_quick_overlap_enrollment
+                  :36-113, promoted to a CLI so the full recipe runs in
+                  dataset-free images)
 """
 
 from __future__ import annotations
@@ -78,6 +82,16 @@ def main(argv=None):
     p.add_argument("--last_segment_end_padding", type=float, default=0.1)
     p.add_argument("--fix_overlapping_segments", type=lambda s: s.lower() != "false",
                    default=True)
+
+    p = sub.add_parser(
+        "synth-clean",
+        help="synthetic LibriSpeech-style clean dir (hermetic recipe input)",
+    )
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--n_speakers", type=int, default=8)
+    p.add_argument("--utts_per_spk", type=int, default=8)
+    p.add_argument("--seconds", type=float, default=6.0)
+    p.add_argument("--seed", type=int, default=0)
 
     p = sub.add_parser("spk-embed", help="extract speaker embeddings")
     p.add_argument("--data_dir", required=True)
@@ -148,6 +162,13 @@ def main(argv=None):
             fix_overlapping_segments=args.fix_overlapping_segments,
         )
         print(json.dumps({"overlap_fixes": n_fixed}))
+    elif args.cmd == "synth-clean":
+        stats = simulate.generate_synth_clean_dir(
+            args.out_dir, n_speakers=args.n_speakers,
+            utts_per_spk=args.utts_per_spk, seconds=args.seconds,
+            seed=args.seed,
+        )
+        print(json.dumps(stats))
     elif args.cmd == "spk-embed":
         from ..models.speaker_resnet import extract_embeddings_for_dir
 

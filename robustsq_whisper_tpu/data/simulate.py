@@ -309,6 +309,66 @@ def format_sglspk_dataset(
     return {"num_rows": len(out_wav)}
 
 
+_SYNTH_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform victor "
+    "whiskey xray yankee zulu zero one two three four five six seven eight "
+    "nine north south east west river mountain valley harbor"
+).split()
+
+
+def generate_synth_clean_dir(
+    out_dir: str,
+    n_speakers: int = 8,
+    utts_per_spk: int = 8,
+    seconds: float = 6.0,
+    words_min: int = 4,
+    words_max: int = 9,
+    sample_rate: int = 16000,
+    seed: int = 0,
+) -> Dict[str, int]:
+    """Synthetic LibriSpeech-style clean dir: per-speaker harmonic tones +
+    noise with distinct word transcripts — the hermetic stand-in for a real
+    corpus, following the reference's own synthetic-fixture philosophy
+    (reference datapre/test_quick_overlap_enrollment.py:36-113). Drives the
+    full recipe (stages 101->103->11->12) in images with no datasets: the
+    audio is distinguishable per utterance (speaker-dependent fundamental +
+    utterance-dependent overtones), so an overfit model can map each row to
+    its transcript and a scored decode is meaningful."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(out_dir, "wavs"), exist_ok=True)
+    n = int(seconds * sample_rate)
+    t = np.arange(n) / sample_rate
+    wav: Dict[str, str] = {}
+    u2s: Dict[str, str] = {}
+    text: Dict[str, str] = {}
+    for s in range(n_speakers):
+        spk = f"{100 + s}"
+        f0 = 120.0 + 37.0 * s
+        for u in range(utts_per_spk):
+            utt = f"{spk}-0-{u:04d}"
+            f1 = f0 * (2.0 + 0.13 * u)
+            audio = (
+                0.25 * np.sin(2 * np.pi * f0 * t)
+                + 0.15 * np.sin(2 * np.pi * f1 * t + 0.7 * u)
+                + 0.03 * rng.standard_normal(n)
+            ).astype(np.float32)
+            p = os.path.join(out_dir, "wavs", f"{utt}.wav")
+            kaldi_io.write_wav(p, audio, sample_rate)
+            wav[utt] = p
+            u2s[utt] = spk
+            k = int(rng.integers(words_min, words_max + 1))
+            words = rng.choice(_SYNTH_WORDS, size=k, replace=True)
+            text[utt] = " ".join(str(w) for w in words)
+    kaldi_io.write_scp(os.path.join(out_dir, "wav.scp"), wav)
+    kaldi_io.write_scp(os.path.join(out_dir, "utt2spk"), u2s)
+    kaldi_io.write_scp(os.path.join(out_dir, "text"), text)
+    kaldi_io.write_spk2utt(
+        os.path.join(out_dir, "spk2utt"), kaldi_io.utt2spk_to_spk2utt(u2s)
+    )
+    return {"num_utts": len(wav), "num_speakers": n_speakers}
+
+
 def librispeech_to_kaldi(
     root: str,
     out_dir: str,
