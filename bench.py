@@ -62,6 +62,14 @@ decoder layers, default 4), BENCH_SPEC_STEPS (chained iterations per
 timing, default 32), BENCH_SPEC_BATCH (sub-batch rows for the speculative
 primitives, default 64 — the 5-D cache the spec path needs OOMs the
 headline b128 verify program),
+BENCH_TRAINED (default 1: the trained-weights lane — overfit a synthetic
+corpus at real model dims on the chip, then re-drive the compiled
+serving programs with the trained weights: composite guard at trained
+margins, stop_early greedy RTF, beam-5 under early stopping, measured
+speculative acceptance + e2e speculative RTF. Skipped when BENCH_BEAM >
+1), BENCH_TRAINED_MODE (lora|full, default lora), BENCH_TRAINED_STEPS
+(default 500), BENCH_TRAINED_LR (default 2.5e-4),
+BENCH_TRAINED_SPEC (default 1), BENCH_TRAINED_SPEC_BATCH (default 32),
 BENCH_TRACE_DIR (capture one profiled pipeline run after the timed iters;
 parse with robustsq_whisper_tpu.utils.profiling.op_stats),
 BENCH_GUARD (default 1: composite accuracy guard — decode a small
@@ -83,6 +91,61 @@ import numpy as np
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def agreement(a_rows, b_rows):
+    """Fraction of positions agreeing over the longer row (a bool match
+    hides how close a near-miss is)."""
+    num = den = 0
+    for ra, rb in zip(a_rows, b_rows):
+        n = max(len(ra), len(rb), 1)
+        den += n
+        num += sum(1 for x, y in zip(ra, rb) if x == y)
+    return round(num / max(den, 1), 4)
+
+
+def synth_trained_corpus(dims, st, n_items, seconds=30, enroll_seconds=10):
+    """Deterministic overfittable corpus at REAL model dims: per-item
+    harmonic-tone speech/enrollment (items must be DISTINGUISHABLE — with
+    statistically-identical random-noise clips the model memorizes the
+    texts as a pure LM and never learns the audio->identity mapping, so
+    greedy decode picks the wrong sequence) + distinct token bodies whose
+    text includes the decode conditioning prefix (lang/task/notimestamps)
+    so training's [sos; text] matches serving's init_tokens."""
+    r = np.random.default_rng(0)
+    prefix = list(st.sot_sequence("en", "transcribe", True)[1:])
+    t_sp = np.arange(seconds * 16000) / 16000.0
+    t_en = np.arange(enroll_seconds * 16000) / 16000.0
+    speech = np.stack([
+        0.25 * np.sin(2 * np.pi * (120.0 + 23.0 * i) * t_sp)
+        + 0.15 * np.sin(
+            2 * np.pi * (120.0 + 23.0 * i) * (2.0 + 0.11 * (i % 7)) * t_sp
+        )
+        + 0.03 * r.standard_normal(len(t_sp))
+        for i in range(n_items)
+    ]).astype(np.float32)
+    enroll = np.stack([
+        0.3 * np.sin(2 * np.pi * (150.0 + 29.0 * i) * t_en)
+        + 0.03 * r.standard_normal(len(t_en))
+        for i in range(n_items)
+    ]).astype(np.float32)
+    lmax = 48
+    bodies = []
+    text = np.full((n_items, lmax), -1, np.int32)
+    text_lens = np.zeros((n_items,), np.int32)
+    for i in range(n_items):
+        body = r.integers(0, 50000, (int(r.integers(17, 45)),)).astype(
+            np.int32
+        )
+        bodies.append([int(x) for x in body])
+        row = prefix + bodies[-1]
+        text[i, : len(row)] = row
+        text_lens[i] = len(row)
+    return {
+        "speech": speech, "enroll": enroll, "text": text,
+        "text_lens": text_lens, "bodies": bodies,
+        "seconds": seconds, "enroll_seconds": enroll_seconds,
+    }
 
 
 def bench_train(model_name: str, dims, ts, mode: str) -> dict | None:
@@ -146,7 +209,10 @@ def bench_train(model_name: str, dims, ts, mode: str) -> dict | None:
         }
 
     rng = jax.random.PRNGKey(0)
+    import gc
+
     while batch_size >= 2:
+        gc.collect()  # drop the previous attempt's (or mode's) buffers
         try:
             b = batch_size
             tiny = make_batch(2)
@@ -190,6 +256,12 @@ def bench_train(model_name: str, dims, ts, mode: str) -> dict | None:
                 ),
             }
         except Exception as e:  # OOM -> halve the batch once or twice
+            # drop the failed attempt's device buffers BEFORE retrying —
+            # the try's locals (state, batch, half-built variables) would
+            # otherwise stay alive into the smaller-batch attempt and OOM
+            # it too, cascading 8 -> 4 -> 2 failures
+            state = tx = step = batch = tiny = variables = stats = None
+            gc.collect()
             msg = str(e)
             if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg:
                 log(f"[train] OOM at batch {batch_size}; halving")
@@ -208,6 +280,367 @@ def bench_train(model_name: str, dims, ts, mode: str) -> dict | None:
             log(f"[train] bench failed: {type(e).__name__}: {msg[:500]}")
             return None
     return None
+
+
+def bench_trained_lane(model_name, dims, ts, st, dcfg, dec, progs):
+    """Trained-weights lane: overfit a synthetic corpus at REAL model dims
+    on the chip, then re-drive the ALREADY-COMPILED serving programs with
+    the trained weights as arguments (weights are jit ARGUMENTS everywhere,
+    so nothing recompiles) and measure what random-init weights cannot:
+
+    - ``guard``: headline-vs-dense token equality at trained (wide) logit
+      margins — settles whether the flash/tanh-GELU encoder route has a
+      real accuracy cost or the random-init guard's mismatches were
+      knife-edge artifacts (round-3 verdict weak #1);
+    - ``stop_early``: greedy RTF at the headline operating point with real
+      eot emissions driving the while-loop early exit (the honest headline
+      at realistic output lengths);
+    - ``beam``: the beam-5 sub-record under the same early stopping;
+    - ``speculative``: measured draft acceptance + an end-to-end
+      speculative RTF point vs plain greedy at the same batch.
+
+    Returns (record, enc_vars_t, dec_vars_t, enc_qw_t) — the trained
+    serving weights replace the random ones in main so later sections'
+    cleanup paths stay valid."""
+    import dataclasses
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+
+    from robustsq_whisper_tpu.audio.frontend import log_mel_spectrogram_jit
+    from robustsq_whisper_tpu.decode.search import (
+        DecodeConfig,
+        _step_weights,
+        build_beam_decoder,
+        strip_eot,
+    )
+    from robustsq_whisper_tpu.models import (
+        QFormerTSEncoder,
+        TSASRModel,
+        TSDecoder,
+        TSModelConfig,
+    )
+    from robustsq_whisper_tpu.train.eval import eval_params
+    from robustsq_whisper_tpu.train.optim import OptimConfig
+    from robustsq_whisper_tpu.train.step import (
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    mode = os.environ.get("BENCH_TRAINED_MODE", "lora")
+    steps = int(os.environ.get("BENCH_TRAINED_STEPS", "500"))
+    lr = float(os.environ.get("BENCH_TRAINED_LR", "2.5e-4"))
+    n_items, tb = 32, 8
+    corpus = synth_trained_corpus(dims, st, n_items)
+    seconds = corpus["seconds"]
+
+    # ---- overfit at real dims (exact GELU, row-major flash, remat —
+    # the same training operating point as bench_train) ----
+    ts_train = dataclasses.replace(
+        ts, remat=True, gelu_approx=False, flash_tmaj=False
+    )
+    model = TSASRModel(
+        dims, ts_train, TSModelConfig(use_specaug=False), dtype=jnp.bfloat16
+    )
+
+    def make_batch(idx):
+        return {
+            "speech": jnp.asarray(corpus["speech"][idx]),
+            "speech_lens": jnp.full(
+                (len(idx),), seconds * 16000, jnp.int32
+            ),
+            "enroll": jnp.asarray(corpus["enroll"][idx]),
+            "enroll_lens": jnp.full(
+                (len(idx),), corpus["enroll_seconds"] * 16000, jnp.int32
+            ),
+            "text": jnp.asarray(corpus["text"][idx]),
+            "text_lens": jnp.asarray(corpus["text_lens"][idx]),
+            "neg_logits": jnp.ones((len(idx), len(idx)), jnp.float32),
+            "spk_labels": jnp.asarray(idx, jnp.int32),
+        }
+
+    rng = jax.random.PRNGKey(0)
+    t0 = time.time()
+    log(f"[trained] initializing {model_name} ({mode}, {steps} steps) ...")
+    tiny = make_batch(np.arange(2))
+    variables = jax.jit(lambda r: model.init(r, tiny, r, 0, train=False))(rng)
+    tcfg = TrainConfig(
+        mode=mode,
+        optim=OptimConfig(
+            lr=lr, schedule="linear", warmup_steps=50,
+            moment_dtype="bfloat16" if mode == "full" else "float32",
+        ),
+    )
+    state, tx = create_train_state(rng, variables, tcfg)
+    step = make_train_step(model, tx, tcfg)
+    batches = [
+        make_batch(np.arange(s, s + tb) % n_items)
+        for s in range(0, n_items, tb)
+    ]
+    log(f"[trained] init {time.time()-t0:.1f}s; compiling step ...")
+    t0 = time.time()
+    state, stats = step(state, batches[0], rng, 0)
+    float(stats["loss"])
+    log(f"[trained] compile+first step {time.time()-t0:.1f}s")
+    t0 = time.time()
+    for i in range(1, steps):
+        ep = i * tb // n_items
+        state, stats = step(
+            state, batches[i % len(batches)], jax.random.fold_in(rng, i), ep
+        )
+        if i % 100 == 0:
+            log(
+                f"[trained] step {i}: loss={float(stats['loss']):.2f} "
+                f"acc={float(stats['acc']):.4f}"
+            )
+    final_acc = float(stats["acc"])
+    train_wall = time.time() - t0
+    log(f"[trained] {steps} steps in {train_wall:.1f}s, acc={final_acc:.4f}")
+
+    # ---- serving weights (bf16), free the train state ----
+    params = eval_params(state, tcfg)
+    bufs = state.buffers.get("buffers", state.buffers)
+
+    def to_bf16(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x,
+            tree,
+        )
+
+    enc_vars = jax.jit(to_bf16)(
+        {"params": params["encoder"], "buffers": bufs["encoder"]}
+    )
+    dec_vars = jax.jit(to_bf16)({"params": params["decoder"]})
+    jax.block_until_ready((enc_vars, dec_vars))
+    del state, params, variables, batches, tiny, stats
+    gc.collect()
+    qw = _step_weights(dec, dec_vars, dcfg)
+    enc_qw = None
+    if os.environ.get("BENCH_INT8_ENC_W", "0") == "1":
+        from robustsq_whisper_tpu.models.ts_encoder import (
+            quantize_encoder_weights,
+        )
+
+        enc_qw = jax.jit(quantize_encoder_weights)(enc_vars)
+
+    mel, fl = log_mel_spectrogram_jit(
+        jnp.asarray(corpus["speech"]),
+        jnp.full((n_items,), seconds * 16000, jnp.int32),
+        n_mels=dims.n_mels,
+    )
+    emel, el = log_mel_spectrogram_jit(
+        jnp.asarray(corpus["enroll"]),
+        jnp.full((n_items,), corpus["enroll_seconds"] * 16000, jnp.int32),
+        n_mels=dims.n_mels,
+    )
+    mel, emel = np.asarray(mel), np.asarray(emel)
+    fl, el = np.asarray(fl), np.asarray(el)
+
+    def tiled(a, n):
+        reps = -(-n // a.shape[0])
+        return jnp.asarray(np.tile(a, (reps,) + (1,) * (a.ndim - 1))[:n])
+
+    record = {
+        "mode": mode, "steps": steps, "items": n_items,
+        "final_acc": round(final_acc, 4),
+        "train_wall_s": round(train_wall, 1),
+    }
+    encode, greedy = progs["encode"], progs["greedy"]
+    from robustsq_whisper_tpu.decode.pipeline import chunked_encode
+
+    # ---- trained-margins composite guard (batch 8; same program pair the
+    # random-init guard compiled — pure cache hits) ----
+    gb = 8
+    gmel, gfl = jnp.asarray(mel[:gb]), jnp.asarray(fl[:gb])
+    gemel, gel = jnp.asarray(emel[:gb]), jnp.asarray(el[:gb])
+    h_mem, h_prompt = chunked_encode(
+        lambda m_, f_, em_, e_: encode(enc_vars, enc_qw, m_, f_, em_, e_),
+        gmel, gfl, gemel, gel, 0,
+    )
+    h_tok, h_sc = greedy.func(dec_vars, qw, h_mem, h_prompt)
+    h_tok, h_sc = np.asarray(h_tok), np.asarray(h_sc)
+
+    dense_ts = dataclasses.replace(
+        ts, use_flash_attention=False, flash_tmaj=False, gelu_approx=False
+    )
+    enc_dense = QFormerTSEncoder(dims, dense_ts, dtype=jnp.bfloat16)
+    dec_dense = TSDecoder(dims, dtype=jnp.bfloat16)
+    dense_cfg = DecodeConfig(
+        max_new_tokens=progs["new_tokens"], eot=st.eot,
+        init_tokens=dcfg.init_tokens, beam_size=1,
+    )
+    run_dense = build_beam_decoder(dec_dense, dec_vars, dense_cfg)
+    d_mem, _, d_prompt, _ = jax.jit(
+        lambda v, m_, f_, em_, e_: enc_dense.apply(v, m_, f_, em_, e_)
+    )(enc_vars, gmel, gfl, gemel, gel)
+    d_tok, d_sc = run_dense(d_mem, d_prompt)
+    d_tok, d_sc = np.asarray(d_tok), np.asarray(d_sc)
+    h_rows = strip_eot(h_tok, st.eot)
+    d_rows = strip_eot(d_tok, st.eot)
+    bodies = corpus["bodies"][:gb]
+    guard = {
+        "batch": gb,
+        "tokens_match_dense": bool(h_rows == d_rows),
+        "token_agreement": agreement(h_rows, d_rows),
+        "max_score_drift": round(float(np.max(np.abs(h_sc - d_sc))), 5),
+        # margins are real iff the trained model actually reproduces its
+        # corpus: exact transcript matches of the DENSE decode vs ground
+        # truth (the memorization quality, independent of the knob ladder)
+        "dense_exact_vs_corpus": sum(
+            1 for i in range(gb) if d_rows[i] == bodies[i]
+        ),
+        "dense_agreement_vs_corpus": agreement(d_rows, bodies),
+    }
+    log(f"[trained] guard: {guard}")
+    record["guard"] = guard
+    del run_dense, enc_dense, dec_dense, d_mem, d_prompt, h_mem, h_prompt
+    gc.collect()
+
+    # ---- stop_early greedy RTF at the headline operating point ----
+    batch, iters = progs["batch"], progs["iters"]
+    bmel, bfl = tiled(mel, batch), tiled(fl, batch)
+    bemel, bel = tiled(emel, batch), tiled(el, batch)
+
+    def pipeline():
+        memory, spk_prompt = chunked_encode(
+            lambda m_, f_, em_, e_: encode(
+                enc_vars, enc_qw, m_, f_, em_, e_
+            ),
+            bmel, bfl, bemel, bel, progs["enc_chunk"],
+        )
+        return greedy.func(dec_vars, qw, memory, spk_prompt)
+
+    tok, _ = pipeline()
+    tok = np.asarray(tok)  # first call: shape cache hits, settles async work
+    times = []
+    for i in range(iters):
+        t0 = time.time()
+        tok, _ = pipeline()
+        tok = np.asarray(tok)
+        times.append(time.time() - t0)
+        log(f"[trained] stop_early iter {i}: {times[-1]*1000:.1f} ms")
+    lens = [len(r) for r in strip_eot(tok, st.eot)]
+    wall = min(times)
+    rtf = batch * seconds / wall
+    record["stop_early"] = {
+        "metric": f"ts_asr_decode_rtf_{model_name}_b{batch}_stop_early",
+        "value": round(rtf, 2),
+        "unit": "audio-sec/chip-sec",
+        "vs_baseline": round(rtf / 50.0, 3),
+        "mean_tokens": round(float(np.mean(lens)), 1),
+        "max_tokens": int(np.max(lens)),
+    }
+    log(f"[trained] stop_early RTF={rtf:.1f}x mean_tokens={np.mean(lens):.1f}")
+
+    # ---- beam-5 under early stopping (same compiled beam program) ----
+    if progs.get("beam_run") is not None:
+        bb = progs["beam_batch"]
+        qw_beam = qw  # same quantize_weights config as the headline
+        bmel2, bfl2 = tiled(mel, bb), tiled(fl, bb)
+        bemel2, bel2 = tiled(emel, bb), tiled(el, bb)
+
+        def beam_pipeline():
+            memory, spk_prompt = chunked_encode(
+                lambda m_, f_, em_, e_: encode(
+                    enc_vars, enc_qw, m_, f_, em_, e_
+                ),
+                bmel2, bfl2, bemel2, bel2, progs["enc_chunk"],
+            )
+            return progs["beam_run"].func(
+                dec_vars, qw_beam, memory, spk_prompt
+            )
+
+        btok, _ = beam_pipeline()
+        np.asarray(btok)
+        btimes = []
+        for i in range(max(2, iters - 1)):
+            t0 = time.time()
+            btok, _ = beam_pipeline()
+            btok = np.asarray(btok)
+            btimes.append(time.time() - t0)
+            log(f"[trained] beam iter {i}: {btimes[-1]*1000:.1f} ms")
+        blens = [len(r) for r in strip_eot(btok, st.eot)]
+        brtf = bb * seconds / min(btimes)
+        record["beam"] = {
+            "metric":
+                f"ts_asr_decode_rtf_{model_name}_b{bb}_beam5_stop_early",
+            "value": round(brtf, 2),
+            "unit": "audio-sec/chip-sec",
+            "vs_baseline": round(brtf / 50.0, 3),
+            "mean_tokens": round(float(np.mean(blens)), 1),
+        }
+        log(f"[trained] beam stop_early RTF={brtf:.1f}x")
+        del btok
+
+    # ---- measured speculative acceptance + e2e RTF point ----
+    if os.environ.get("BENCH_TRAINED_SPEC", "1") == "1":
+        from robustsq_whisper_tpu.decode.speculative import (
+            build_speculative_decoder,
+        )
+
+        sb = int(os.environ.get("BENCH_TRAINED_SPEC_BATCH", "32"))
+        sg = int(os.environ.get("BENCH_SPEC_GAMMA", "4"))
+        sd = int(os.environ.get("BENCH_SPEC_DRAFT", "4"))
+        spec_dec = TSDecoder(
+            dims, dtype=jnp.bfloat16, cross_kv_bits=dec.cross_kv_bits,
+            self_kv_bits=dec.self_kv_bits, flat_self_cache=False,
+        )
+        scfg = dataclasses.replace(
+            dcfg, speculative_gamma=sg, draft_layers=sd
+        )
+        spec_run = build_speculative_decoder(
+            spec_dec, dec_vars, scfg, return_stats=True
+        )
+        smel, sfl = tiled(mel, sb), tiled(fl, sb)
+        semel, sel = tiled(emel, sb), tiled(el, sb)
+        s_mem, s_prompt = chunked_encode(
+            lambda m_, f_, em_, e_: encode(
+                enc_vars, enc_qw, m_, f_, em_, e_
+            ),
+            smel, sfl, semel, sel, 0,
+        )
+        stok, _, sstats = spec_run(s_mem, s_prompt)
+        np.asarray(stok)
+        stimes = []
+        for i in range(max(2, iters - 1)):
+            t0 = time.time()
+            stok, _, sstats = spec_run(s_mem, s_prompt)
+            stok = np.asarray(stok)
+            stimes.append(time.time() - t0)
+        chunks = int(np.sum(np.asarray(sstats["chunks"])))
+        accepted = int(np.sum(np.asarray(sstats["accepted"])))
+        # plain greedy on the same rows/batch for the apples-to-apples RTF
+        gtok, _ = greedy.func(dec_vars, qw, s_mem, s_prompt)
+        np.asarray(gtok)
+        gtimes = []
+        for i in range(max(2, iters - 1)):
+            t0 = time.time()
+            gtok, _ = greedy.func(dec_vars, qw, s_mem, s_prompt)
+            gtok = np.asarray(gtok)
+            gtimes.append(time.time() - t0)
+        record["speculative"] = {
+            "batch": sb, "gamma": sg, "draft_layers": sd,
+            "acceptance_rate": round(
+                accepted / max(chunks * sg, 1), 4
+            ),
+            # decode-phase-only times (memory precomputed) — NOT comparable
+            # to the e2e RTF records; speedup_vs_greedy is the
+            # apples-to-apples number
+            "decode_ms": round(min(stimes) * 1000, 1),
+            "greedy_decode_ms": round(min(gtimes) * 1000, 1),
+            "speedup_vs_greedy": round(min(gtimes) / min(stimes), 3),
+            "tokens_match_greedy": bool(
+                strip_eot(stok, st.eot) == strip_eot(np.asarray(gtok),
+                                                     st.eot)
+            ),
+        }
+        log(f"[trained] speculative: {record['speculative']}")
+        del spec_run, s_mem, s_prompt, stok, gtok
+    gc.collect()
+    return record, enc_vars, dec_vars, enc_qw
 
 
 def main():
@@ -438,18 +871,6 @@ def main():
 
         from robustsq_whisper_tpu.decode.search import strip_eot
 
-        def agreement(a_rows, b_rows):
-            """Fraction of positions agreeing over the longer row (a bool
-            match hides how close a near-miss is)."""
-            num = den = 0
-            for ra, rb in zip(a_rows, b_rows):
-                n = max(len(ra), len(rb), 1)
-                den += n
-                num += sum(
-                    1 for x, y in zip(ra, rb) if x == y
-                )
-            return round(num / max(den, 1), 4)
-
         h_rows = strip_eot(h_tok, st.eot)
         d_rows = strip_eot(d_tok, st.eot)
         match = h_rows == d_rows
@@ -580,7 +1001,11 @@ def main():
             "unit": "audio-sec/chip-sec",
             "vs_baseline": round(brtf / 50.0, 3),
         }
-        del beam_run, btokens
+        # beam_run is kept alive: the trained-weights lane re-drives the
+        # same compiled program with the trained weights as arguments
+        del btokens
+    else:
+        beam_run, b_batch = None, 0
     # Speculative-decode MECHANICS sub-record (BENCH_SPECULATIVE=1, default
     # off): random-init weights accept ~no draft proposals, so an e2e
     # speculative RTF here would only measure worst-case overhead. Instead
@@ -720,8 +1145,35 @@ def main():
             "note": "mechanics only; acceptance needs trained weights",
         }
         del cache0, cross0, dcache0, dcross0, memory, spk_p
+    # Trained-weights lane (BENCH_TRAINED, default 1): overfit a synthetic
+    # corpus at real dims on the chip, then re-drive the compiled serving
+    # programs with the trained weights — the guard at non-degenerate
+    # margins, the stop_early headline, beam under early stopping, and
+    # measured speculative acceptance (all blocked on trained weights in a
+    # checkpoint-free image; round-3 verdict next-steps #1-2).
+    if os.environ.get("BENCH_TRAINED", "1") == "1" and dcfg.beam_size == 1:
+        del enc_vars, dec_vars, tokens, scores  # random-init weights freed
+        trained_rec, enc_vars, dec_vars, enc_qw = bench_trained_lane(
+            model_name, dims, ts, st, dcfg, dec,
+            dict(
+                encode=encode, greedy=greedy, enc_chunk=enc_chunk,
+                batch=batch, new_tokens=new_tokens, iters=iters,
+                beam_run=beam_run, beam_batch=b_batch,
+            ),
+        )
+        result["trained"] = trained_rec
+        tokens = scores = None
     if os.environ.get("BENCH_TRAIN", "1") == "1":
+        # free EVERYTHING the decode sections pinned before the train probes:
+        # full-FT b8 needs params + Adam moments ~8.5 GB resident and the
+        # partial-bound programs (greedy/beam_run) hold the random-init
+        # decoder weights alive even after `del dec_vars`
         del enc_vars, enc_qw, dec_vars, tokens, scores, greedy, encode
+        beam_run = None
+        del mel, emel, feats_lens, emel_lens
+        import gc
+
+        gc.collect()
         # one sub-record per mode: "lora" (the lora_qkvo_r16 config) and
         # "full" (the mode the reference actually trains,
         # run_tswhisper.sh:17) — both tracked metrics, not TRAINING.md prose

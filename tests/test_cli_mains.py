@@ -13,6 +13,38 @@ from robustsq_whisper_tpu.data import kaldi_io
 from tests.test_pipeline import _make_clean_dir
 
 
+def test_cli_synth_clean_feeds_overlap(tmp_path, capsys):
+    """synth-clean (the hermetic recipe input, examples/recipe_e2e.sh
+    stage 0) produces a valid clean dir the overlap simulator consumes;
+    transcripts flow through to the per-target mixture rows."""
+    from robustsq_whisper_tpu.cli import datapre
+
+    clean = str(tmp_path / "clean")
+    rc = datapre.main([
+        "synth-clean", "--out_dir", clean, "--n_speakers", "3",
+        "--utts_per_spk", "2", "--seconds", "1",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats == {"num_utts": 6, "num_speakers": 3}
+    text = kaldi_io.read_scp(os.path.join(clean, "text"))
+    assert len(set(text.values())) == 6  # distinct word transcripts
+    a, sr = kaldi_io.read_wav(
+        kaldi_io.read_scp(os.path.join(clean, "wav.scp"))["100-0-0000"]
+    )
+    assert sr == 16000 and len(a) == 16000
+
+    mix = str(tmp_path / "mix")
+    rc = datapre.main([
+        "overlap", "--src_dir", clean, "--out_dir", mix,
+        "--num_mixtures", "4", "--seed", "0",
+    ])
+    assert rc == 0
+    assert kaldi_io.validate_data_dir(mix) == []
+    mtext = kaldi_io.read_scp(os.path.join(mix, "text"))
+    assert len(mtext) == 8 and all(t.strip() for t in mtext.values())
+
+
 @pytest.mark.slow
 def test_cli_train_then_decode(tmp_path, capsys):
     from robustsq_whisper_tpu.cli import datapre, decode, train
