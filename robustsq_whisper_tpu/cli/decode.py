@@ -199,8 +199,9 @@ def main(argv=None):
     from ..decode.pipeline import decode_dataset
     from ..models import TSDecoder, QFormerTSEncoder
     from ..tokenizer.whisper_tokenizer import load_tokenizer, special_tokens_for_vocab
-    from ..train.checkpoint import latest_step, restore_checkpoint
-    from ..train.step import create_train_state
+    import numpy as np
+
+    from ..train.checkpoint import latest_step
     from ..utils.config import load_experiment, load_yaml
 
     exp = load_experiment(args.config)
@@ -214,6 +215,10 @@ def main(argv=None):
                         k: (tuple(v) if k == "init_tokens" else v)
                         for k, v in inf["decode_conf"].items()
                     }
+                ),
+                decode_init_tokens_explicit=(
+                    exp.decode_init_tokens_explicit
+                    or "init_tokens" in inf["decode_conf"]
                 ),
             )
 
@@ -292,27 +297,70 @@ def main(argv=None):
             ckpt_dir = ave_dir
             logging.info("using averaged n-best checkpoint %s", ave_dir)
         if latest_step(ckpt_dir) is not None:
-            state_t, _ = create_train_state(rng, variables, exp.train)
-            state, epoch, _ = restore_checkpoint(ckpt_dir, state_t)
-            params = state.params
-            if exp.train.mode == "lora" and state.lora:
+            # weights-only restore to HOST: materializing a concrete train
+            # state as the restore template would put params + optimizer
+            # moments (~8.5 GB at full-FT medium) on device NEXT TO the
+            # restored copy — two train states never fit one chip
+            from ..train.checkpoint import restore_weights
+
+            raw_params, raw_buffers, raw_lora, step_i, epoch = (
+                restore_weights(ckpt_dir)
+            )
+            variables = None  # free the random-init template
+
+            # cast f32 -> compute dtype ON HOST before the device put: the
+            # tunneled transfer is the restore path's wall-clock floor, and
+            # bf16 halves the bytes (measured: the f32 medium full-FT
+            # restore spent ~19 min mostly in transfer)
+            import ml_dtypes
+
+            def host_cast(x):
+                x = np.asarray(x)
+                if dtype == jnp.bfloat16 and x.dtype == np.float32:
+                    return x.astype(ml_dtypes.bfloat16)
+                return x
+
+            params = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(host_cast(x)), raw_params
+            )
+            if exp.train.mode == "lora" and raw_lora:
                 # bake the trained adapters into the serving weights —
                 # without this a lora run decodes the unadapted base model
                 from ..train.lora import merge_lora
 
-                params = merge_lora(params, state.lora, exp.train.lora)
-            variables = {"params": params, **state.buffers}
+                params = merge_lora(
+                    params,
+                    jax.tree_util.tree_map(
+                        lambda x: jnp.asarray(host_cast(x)), raw_lora
+                    ),
+                    exp.train.lora,
+                )
+            # raw_buffers mirrors TrainState.buffers: the dict of
+            # non-param collections, e.g. {"buffers": {"encoder": ...}}
+            variables = {"params": params, **raw_buffers}
             logging.info(
                 "restored step %d (epoch %d, mode %s) from %s",
-                int(state.step), epoch, exp.train.mode, ckpt_dir,
+                step_i, epoch, exp.train.mode, ckpt_dir,
             )
 
-    # split the combined variables into encoder/decoder scopes
-    enc_vars = {
+    # split the combined variables into encoder/decoder scopes; serving
+    # keeps weights in the COMPUTE dtype (decode is weight-bandwidth-bound:
+    # f32 params would double every per-token weight read for no accuracy
+    # benefit at inference — same rationale as bench.py)
+    def to_compute(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, dtype)
+            if np.dtype(getattr(x, "dtype", np.float32)) == np.float32
+            else jnp.asarray(x),
+            tree,
+        )
+
+    enc_vars = jax.jit(to_compute)({
         "params": variables["params"]["encoder"],
         "buffers": variables["buffers"]["encoder"],
-    }
-    dec_vars = {"params": variables["params"]["decoder"]}
+    })
+    dec_vars = jax.jit(to_compute)({"params": variables["params"]["decoder"]})
+    jax.block_until_ready((enc_vars, dec_vars))
     if emb_mode:
         from ..models.ts_encoder import SpkAdapterTSEncoder
 
@@ -349,11 +397,25 @@ def main(argv=None):
         maxlenratio=max(0.0, args.maxlenratio),
         minlenratio=max(0.0, args.minlenratio),
         eot=exp.model.eos,
-        init_tokens=st.sot_sequence(
-            args.language, "transcribe", not args.timestamps
-        )
-        if exp.model.vocab_size >= st.n_vocab
-        else (exp.model.sos,),
+        # An EXPLICIT decode_conf.init_tokens in the experiment/inference
+        # yaml is authoritative: checkpoints trained by cli.train condition
+        # on [sos; text] (ESPnet semantics — its whisper beam search starts
+        # from bare sot), so decoding them with the full OpenAI sot sequence
+        # would condition on lang/task tokens the model never saw (measured:
+        # that mismatch free-decodes an acc-0.996 overfit checkpoint to WER
+        # 1.34 garbage). Explicitness is a config-load flag, NOT a
+        # value-vs-default comparison — the case that matters is precisely
+        # an explicit bare [sos], which equals the default. The sot-sequence
+        # fallback serves converted pretrained checkpoints, which know the
+        # full sequence. --timestamps always rebuilds the sequence (it must
+        # drop <|notimestamps|>).
+        init_tokens=exp.decode.init_tokens
+        if exp.decode_init_tokens_explicit and not args.timestamps
+        else (
+            st.sot_sequence(args.language, "transcribe", not args.timestamps)
+            if exp.model.vocab_size >= st.n_vocab
+            else (exp.model.sos,)
+        ),
     )
     if dcfg.with_timestamps and exp.model.vocab_size < st.n_vocab:
         parser.error(

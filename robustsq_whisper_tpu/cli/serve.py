@@ -134,6 +134,10 @@ def main(argv=None):
                         for k, v in inf["decode_conf"].items()
                     }
                 ),
+                decode_init_tokens_explicit=(
+                    exp.decode_init_tokens_explicit
+                    or "init_tokens" in inf["decode_conf"]
+                ),
             )
 
     dims = exp.resolved_dims()
@@ -200,9 +204,16 @@ def main(argv=None):
         quantize_weights=args.int8_weights,
         quantize_cross_kv=args.quantize_cross_kv,
         eot=exp.model.eos,
-        init_tokens=st.sot_sequence(args.language, "transcribe", True)
-        if exp.model.vocab_size >= st.n_vocab
-        else (exp.model.sos,),
+        # same authority rule as cli.decode: an explicit decode_conf
+        # init_tokens (e.g. the bare [sos] cli.train checkpoints are
+        # conditioned on) wins over the pretrained-style sot sequence
+        init_tokens=exp.decode.init_tokens
+        if exp.decode_init_tokens_explicit
+        else (
+            st.sot_sequence(args.language, "transcribe", True)
+            if exp.model.vocab_size >= st.n_vocab
+            else (exp.model.sos,)
+        ),
     )
     if args.prefill_quantized:
         dcfg = dataclasses.replace(

@@ -27,7 +27,15 @@ def build_model_and_variables(exp, rng, pretrained=None, dev_batch=None):
     dims = exp.resolved_dims()
     dtype = jnp.bfloat16 if exp.compute_dtype == "bfloat16" else jnp.float32
     model = TSASRModel(dims, exp.ts, exp.model, dtype=dtype)
-    variables = model.init(rng, dev_batch, rng, 0, train=False)
+    # jit the init: eager flax init dispatches every param's op individually
+    # — thousands of ~30 ms round trips on a tunneled TPU (minutes for
+    # medium); one compiled program brings it to ~1 min
+    dev_batch = {
+        k: jnp.asarray(v) for k, v in dev_batch.items()
+    }
+    variables = jax.jit(
+        lambda r: model.init(r, dev_batch, r, 0, train=False)
+    )(rng)
     if pretrained:
         _, enc_p, dec_p = wload.load_openai_checkpoint(pretrained)
         if exp.ts.enroll_type == "embedding":
@@ -102,6 +110,17 @@ def main(argv=None):
                         help="embedding scp basename in the data dir "
                         "(default resnet -> resnet.scp; asr_my.sh "
                         "--enroll_prefix)")
+    parser.add_argument("--ckpt_every_steps", type=int, default=1000,
+                        help="mid-epoch checkpoint cadence in optimizer "
+                        "steps (0 disables mid-epoch saves; epoch-end "
+                        "saves are governed by --ckpt_every_epochs)")
+    parser.add_argument("--ckpt_every_epochs", type=int, default=1,
+                        help="epoch-end checkpoint cadence (default 1 = "
+                        "every epoch, the ESPnet behavior; raise for "
+                        "many-short-epoch runs where the ~10 GB full-FT "
+                        "state fetch per save dominates). The last epoch "
+                        "always saves; per-epoch saves are forced back on "
+                        "when --valid_dir drives n-best selection")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -168,6 +187,8 @@ def main(argv=None):
         ckpt_dir=f"{args.expdir}/checkpoints",
         nbest=args.nbest,
         patience=args.patience,
+        ckpt_every_epochs=max(1, args.ckpt_every_epochs),
+        ckpt_every_steps=max(0, args.ckpt_every_steps),
         wer_utts=max(0, args.valid_wer_utts),
         # eval-time WER decodes dense weights, no speculation, attention-only
         # (ValidWer is the greedy parity path; the joint CTC scorer is a

@@ -386,9 +386,22 @@ def build_beam_decoder(
             # position group adapts to any 8-multiple length, and padding
             # to a power of two was measured to OOM medium/b64/beam5 by
             # 45 MB (the beam-tiled cache grows with every padded position)
-            assert dec.self_kv_bits == 16 and dec.flat_self_cache, (
-                "defer_reorder needs the dense flat self cache"
-            )
+            # the EFFECTIVE layout, not just the request: the flat cache
+            # auto-disables when n_state doesn't tile 128 lanes (TextDecoder
+            # ._flat_self), and the deferred window/flush math is written
+            # against the flat (L, b*k, T, n_state) leaves only
+            hd = dec.dims.n_text_state // dec.dims.n_text_head
+            if not (
+                dec.self_kv_bits == 16
+                and dec.flat_self_cache
+                and dec.dims.n_text_state % 128 == 0
+                and 128 % hd == 0
+            ):
+                raise ValueError(
+                    "defer_reorder needs the dense flat self cache, which "
+                    f"these dims do not support (n_state="
+                    f"{dec.dims.n_text_state} must tile 128 lanes)"
+                )
             assert required <= 64, required
             mlt = math.lcm(required, 8)
             total = -(-(total + R) // mlt) * mlt

@@ -91,6 +91,40 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
         return mgr.latest_step()
 
 
+def restore_weights(
+    ckpt_dir: str,
+    step: Optional[int] = None,
+) -> Tuple[Any, Any, Any, int, int]:
+    """Serving-path restore: ``(params, buffers, lora, step, epoch)`` as
+    HOST numpy trees — no optimizer state, no device template.
+
+    ``restore_checkpoint`` needs a concrete state template, which for a
+    full-FT medium checkpoint means materializing params + Adam moments
+    (~8.5 GB) on device BEFORE the restored copy lands — two train states
+    never fit one 16 GB chip. Serving only needs the weight collections;
+    this reads the stored tree to host and returns them, leaving device
+    placement (and compute-dtype casting) to the caller."""
+    ocp = _ocp()
+    with ocp.CheckpointManager(os.path.abspath(ckpt_dir)) as mgr:
+        step = step if step is not None else mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {ckpt_dir}")
+        restored = mgr.restore(
+            step, args=ocp.args.Composite(meta=ocp.args.JsonRestore())
+        )
+        # StandardRestore with no template: stored tree as host arrays
+        raw = mgr.restore(
+            step, args=ocp.args.Composite(state=ocp.args.StandardRestore())
+        )["state"]
+    return (
+        raw["params"],
+        raw.get("buffers", {}),
+        raw.get("lora", {}),
+        int(np.asarray(raw["step"])),
+        int(restored["meta"]["epoch"]),
+    )
+
+
 def restore_checkpoint(
     ckpt_dir: str,
     state_template: Any,

@@ -48,6 +48,12 @@ class LoopConfig:
     ckpt_every_steps: int = 1000
     ckpt_dir: Optional[str] = None
     keep_ckpts: int = 3
+    # epoch-end checkpoint cadence (ESPnet saves every epoch = default 1).
+    # Raise for many-short-epoch runs: each save device_gets the full
+    # params+moments state (~10 GB for full-FT medium) over the tunnel, so
+    # per-epoch saves can dominate a 70-epoch overfit run's wall time. The
+    # LAST epoch always saves regardless.
+    ckpt_every_epochs: int = 1
     # validation / model selection (ESPnet semantics)
     nbest: int = 5  # checkpoints kept + averaged, ranked by best_metric
     best_metric: str = "acc"  # key of the valid stats dict
@@ -164,7 +170,11 @@ def run_training(
                 )
                 _prune()
 
-        if lcfg.ckpt_dir:
+        if lcfg.ckpt_dir and (
+            tracker is not None  # n-best averaging needs every epoch's step
+            or (epoch + 1) % max(1, lcfg.ckpt_every_epochs) == 0
+            or epoch + 1 == lcfg.num_epochs
+        ):
             # a mid-loop save (this run or a previous one) may have landed on
             # this exact step; always replace it with the epoch-end metadata
             # (epoch+1 => resume starts the next epoch)

@@ -37,6 +37,12 @@ class ExperimentConfig:
     num_epochs: int = 10
     utt_style: str = "libri2mix"
     compute_dtype: str = "bfloat16"
+    # True when decode_conf.init_tokens was EXPLICITLY set in the yaml.
+    # cli.decode needs this to honor an explicit [sos] (the conditioning
+    # cli.train checkpoints are trained with): comparing the value against
+    # the dataclass default cannot distinguish "unset" from "explicitly
+    # the default" — exactly the bare-sos case that matters.
+    decode_init_tokens_explicit: bool = False
 
     def resolved_dims(self) -> WhisperDims:
         return self.dims or whisper_dims(self.whisper_model)
@@ -106,6 +112,7 @@ def experiment_from_dict(d: Dict[str, Any]) -> ExperimentConfig:
         dd = dict(d.pop("decode_conf"))
         if "init_tokens" in dd:
             dd["init_tokens"] = tuple(dd["init_tokens"])
+            exp = dataclasses.replace(exp, decode_init_tokens_explicit=True)
         exp = dataclasses.replace(
             exp, decode=_update_dataclass(exp.decode, dd, "decode_conf")
         )

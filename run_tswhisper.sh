@@ -27,6 +27,9 @@ num_epochs=""
 lang=en
 enroll_type=""           # audio | embedding (asr_my.sh --enroll_type)
 enroll_prefix=""         # embedding scp basename, default resnet
+train_args=""            # extra cli.train flags (reference asr_args pattern)
+inference_args=""        # extra cli.decode flags (reference inference_args,
+                         # run_tswhisper.sh:20)
 
 # data-prep knobs
 src_dir=""               # clean single-speaker dir for stage 101
@@ -97,7 +100,8 @@ if [ "${stage}" -le 11 ] && [ "${stop_stage}" -ge 11 ]; then
     ${num_epochs:+--num_epochs "${num_epochs}"} \
     ${enroll_type:+--enroll_type "${enroll_type}"} \
     ${enroll_prefix:+--enroll_prefix "${enroll_prefix}"} \
-    ${fsdp:+--fsdp "${fsdp}"}
+    ${fsdp:+--fsdp "${fsdp}"} \
+    ${train_args}
 fi
 
 if [ "${stage}" -le 12 ] && [ "${stop_stage}" -ge 12 ]; then
@@ -113,7 +117,8 @@ if [ "${stage}" -le 12 ] && [ "${stop_stage}" -ge 12 ]; then
       --language "${lang}" \
       ${enroll_type:+--enroll_type "${enroll_type}"} \
       ${enroll_prefix:+--enroll_prefix "${enroll_prefix}"} \
-      ${tokenizer_assets:+--tokenizer_assets "${tokenizer_assets}"}
+      ${tokenizer_assets:+--tokenizer_assets "${tokenizer_assets}"} \
+      ${inference_args}
   done
 fi
 

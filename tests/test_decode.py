@@ -1276,3 +1276,30 @@ def test_deferred_beam_with_quantized_cross_and_weights():
     np.testing.assert_allclose(
         np.asarray(s_ref), np.asarray(s_d), rtol=1e-4, atol=1e-4
     )
+
+
+def test_deferred_beam_rejects_nonflat_dims():
+    """defer_reorder's window/flush math is written against the flat
+    (L, b*k, T, n_state) cache leaves; dims that auto-disable the flat
+    layout (n_state not a 128 multiple) must raise the scope guard, not
+    fail downstream with a shape error."""
+    dims = WhisperDims(
+        n_mels=80, n_vocab=64, n_audio_ctx=16, n_audio_state=64,
+        n_audio_head=2, n_audio_layer=1, n_text_ctx=64, n_text_state=64,
+        n_text_head=2, n_text_layer=2,
+    )
+    rng = np.random.default_rng(7)
+    memory = jnp.asarray(rng.standard_normal((2, 10, 64)) * 0.3, jnp.float32)
+    prompt = jnp.asarray(rng.standard_normal((2, 2, 64)) * 0.3, jnp.float32)
+    ys = jnp.asarray(rng.integers(0, 64, (2, 4)))
+    dec = TSDecoder(dims, startofprev_token=3)
+    variables = dec.init(jax.random.PRNGKey(7), memory, ys, prompt)
+    run = build_beam_decoder(
+        dec, variables,
+        DecodeConfig(
+            max_new_tokens=8, eot=2, init_tokens=(1,), beam_size=2,
+            defer_reorder=8,
+        ),
+    )
+    with pytest.raises(ValueError, match="dense flat self cache"):
+        run(memory, prompt)

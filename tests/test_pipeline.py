@@ -230,6 +230,21 @@ class TestConfig:
         with pytest.raises(KeyError, match="top-level"):
             experiment_from_dict({"nonsense": {}})
 
+    def test_init_tokens_explicitness_is_tracked(self):
+        """cli.decode must honor an EXPLICIT decode_conf.init_tokens even
+        when it equals the dataclass default — the bare [sos] a cli.train
+        checkpoint is conditioned on IS the default, so a value-vs-default
+        comparison misreads it as unset and silently decodes with the full
+        OpenAI sot sequence (measured: WER 1.34 on an acc-0.996 overfit
+        checkpoint)."""
+        exp = experiment_from_dict({})
+        assert not exp.decode_init_tokens_explicit
+        exp = experiment_from_dict({"decode_conf": {"beam_size": 2}})
+        assert not exp.decode_init_tokens_explicit
+        exp = experiment_from_dict({"decode_conf": {"init_tokens": [50258]}})
+        assert exp.decode_init_tokens_explicit
+        assert exp.decode.init_tokens == (50258,)
+
 
 class TestFbankAndResnet:
     def test_fbank_shapes_and_cmn(self):
