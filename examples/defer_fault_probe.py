@@ -55,6 +55,9 @@ def main(argv=None):
     p.add_argument("--min_new", type=int, default=0)
     p.add_argument("--check", action="store_true",
                    help="also run the eager control and compare tokens")
+    p.add_argument("--trace_dir", default="",
+                   help="capture one profiled run (parse with "
+                   "utils.profiling.op_stats)")
     p.add_argument("--iters", type=int, default=2)
     args = p.parse_args(argv)
 
@@ -122,6 +125,13 @@ def main(argv=None):
         toks, scores = run(memory, spk_prompt)
         toks = np.asarray(toks)
         print(f"iter {i}: {(time.time()-t0)*1000:.1f} ms")
+
+    if args.trace_dir:
+        jax.profiler.start_trace(args.trace_dir)
+        toks, _ = run(memory, spk_prompt)
+        np.asarray(toks)
+        jax.profiler.stop_trace()
+        print(f"trace written to {args.trace_dir}")
 
     if args.check and args.defer > 0:
         ctl = build_beam_decoder(
