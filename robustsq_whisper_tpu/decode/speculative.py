@@ -90,10 +90,24 @@ def build_speculative_decoder(
     variables: Any,
     cfg: DecodeConfig,
     return_stats: bool = False,
+    draft_vars: Any = None,
 ) -> Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]:
     """Returns jitted ``run(memory, spk_prompt) -> (tokens, scores)`` with
     the same contract as ``build_greedy_decoder`` — eot-padded token rows
     and per-row summed log-probs of the emitted tokens.
+
+    ``draft_vars=None`` (default) self-drafts: the draft is the first
+    ``cfg.draft_layers`` blocks of the target's own weights, so its cross
+    K/V and prefix cache are SLICES of the target's (zero extra compute).
+    Passing ``draft_vars`` (a TSDecoder variables dict at
+    ``n_text_layer=cfg.draft_layers``, e.g. a distilled draft from
+    ``train.distill.distill_draft``) switches to separate-draft mode: the
+    draft computes its OWN cross K/V, prefill and per-chunk cache writes
+    from its own weights (one extra draft step per chunk processes the
+    last proposal so the draft cache stays complete without copying from
+    the target — target-cache entries are wrong for non-target draft
+    weights). Either way every emitted token is an argmax of FULL-model
+    logits, so the output is exactly the target's greedy transcript.
 
     With ``return_stats=True`` the runner returns a third element, a dict
     of per-row int32 counters for measuring DRAFT ACCEPTANCE on real
@@ -147,10 +161,12 @@ def build_speculative_decoder(
         self_kv_bits=dec.self_kv_bits,
         flat_self_cache=False,
     )
-    dvars = draft_variables(variables, d)
+    separate = draft_vars is not None
+    dvars = draft_vars if separate else draft_variables(variables, d)
     qw = _step_weights(dec, variables, cfg)
     dqw = (
-        None if qw is None
+        _step_weights(draft, dvars, cfg) if separate
+        else None if qw is None
         else {"layers": _slice_stack(qw["layers"], d), "emb": qw["emb"]}
     )
     max_new = cfg.max_new_tokens
@@ -178,10 +194,22 @@ def build_speculative_decoder(
         logits, cache = m(TSDecoder.prefill, init, spk_prompt, cache, cross)
         if cfg.quantize_cross_kv and not pq:
             cross = m(TSDecoder.quantize_cross, cross)
-        # the draft reads the SAME cross K/V and prefix cache, sliced to
-        # its depth (identical weights -> identical entries)
-        dcross = _slice_stack(cross, d)
-        dcache = _slice_stack(cache, d)
+        if separate:
+            # distilled draft: its own cross K/V projections and prefix
+            # cache — target-cache slices would be wrong for its weights
+            dcross = md(TSDecoder.cross_kv, memory, quantize=pq)
+            dcache = md(TSDecoder.init_cache, b, total)
+            _, dcache = md(
+                TSDecoder.prefill, init, spk_prompt, dcache, dcross
+            )
+            if cfg.quantize_cross_kv and not pq:
+                dcross = md(TSDecoder.quantize_cross, dcross)
+        else:
+            # self-draft: the draft reads the SAME cross K/V and prefix
+            # cache, sliced to its depth (identical weights -> identical
+            # entries)
+            dcross = _slice_stack(cross, d)
+            dcache = _slice_stack(cache, d)
 
         # first emitted token: argmax of the prefill logits (as in greedy);
         # min_new_tokens masks eot from the raw logits exactly like the
@@ -238,10 +266,15 @@ def build_speculative_decoder(
                 nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
                 return (dcache, nxt, p + 1, ei + 1), nxt
 
+            # separate-draft mode runs ONE extra step processing the last
+            # proposal d_g (output discarded) so the draft's own cache is
+            # complete through pos+g — the full-acceptance bonus position
+            # that sync_draft would otherwise copy from the target
             (dcache, _, _, _), drafts = jax.lax.scan(
-                dstep, (dcache, pending, pos, count), None, length=g
+                dstep, (dcache, pending, pos, count), None,
+                length=g + 1 if separate else g,
             )
-            drafts = jnp.moveaxis(drafts, 0, 1)  # (b, g)
+            drafts = jnp.moveaxis(drafts, 0, 1)[:, :g]  # (b, g)
 
             # ---- verify: one causal chunk through the full decoder ----
             ver_in = jnp.concatenate([pending[:, None], drafts], axis=1)
@@ -292,10 +325,17 @@ def build_speculative_decoder(
                 pending,
             )
             pos = pos + n_emit
-            dcache = tuple(
-                sync_draft(dl, tl, pos - n_emit)
-                for dl, tl in zip(dcache, cache)
-            )
+            if not separate:
+                # self-draft: copy the verify chunk's first-d-layer entries
+                # (exact for shared weights). The separate draft's own
+                # sequential writes already cover every position the next
+                # chunk can read — accepted-prefix entries match by
+                # construction, and any stale rejected-draft slot is
+                # rewritten (write-before-attend) before it is attended.
+                dcache = tuple(
+                    sync_draft(dl, tl, pos - n_emit)
+                    for dl, tl in zip(dcache, cache)
+                )
             return done, pending, pos, count, score, out, cache, dcache, st
 
         zeros = jnp.zeros((b,), jnp.int32)

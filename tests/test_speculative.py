@@ -203,6 +203,130 @@ def test_draft_variables_slices_blocks(dec_and_params):
     )
 
 
+def test_separate_draft_vars_exactness(dec_and_params):
+    """draft_vars mode (distilled-draft plumbing): the output must be
+    exactly greedy for ARBITRARY draft weights — a randomly re-initialized
+    draft proposes garbage, acceptance collapses, tokens don't change."""
+    dec, variables, memory, prompt = dec_and_params
+    d = 2
+    draft = TSDecoder(
+        DIMS.replace(n_text_layer=d), startofprev_token=3,
+        flat_self_cache=False,
+    )
+    ys = jnp.asarray(np.random.default_rng(1).integers(0, 50, (3, 4)))
+    rand_dv = draft.init(jax.random.PRNGKey(99), memory, ys, prompt)
+    cfg = dataclasses.replace(CFG, speculative_gamma=3, draft_layers=d)
+    g = build_greedy_decoder(
+        dec, variables, dataclasses.replace(cfg, speculative_gamma=0)
+    )
+    s = build_speculative_decoder(dec, variables, cfg, draft_vars=rand_dv)
+    tg, sg_ = g(memory, prompt)
+    ts, ss = s(memory, prompt)
+    np.testing.assert_array_equal(np.asarray(tg), np.asarray(ts))
+    np.testing.assert_allclose(
+        np.asarray(sg_), np.asarray(ss), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_separate_draft_with_teacher_slice_matches_self_mode(dec_and_params):
+    """Passing draft_vars = the teacher's own sliced layers must reproduce
+    self-draft mode exactly — same tokens AND same acceptance counters
+    (the separate path's own prefill/cross/cache writes equal the slices
+    they replace when the weights are identical)."""
+    dec, variables, memory, prompt = dec_and_params
+    cfg = dataclasses.replace(CFG, speculative_gamma=3, draft_layers=2)
+    dv = draft_variables(variables, 2)
+    s_self = build_speculative_decoder(
+        dec, variables, cfg, return_stats=True
+    )
+    s_sep = build_speculative_decoder(
+        dec, variables, cfg, return_stats=True, draft_vars=dv
+    )
+    t1, s1, st1 = s_self(memory, prompt)
+    t2, s2, st2 = s_sep(memory, prompt)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_allclose(
+        np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st1["accepted"]), np.asarray(st2["accepted"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st1["chunks"]), np.asarray(st2["chunks"])
+    )
+
+
+def test_separate_draft_quantized_cross(dec_and_params):
+    """Separate-draft mode under int8 cross-KV still equals the quantized
+    greedy loop (both the target and the draft quantize their own cross)."""
+    dec, variables, memory, prompt = dec_and_params
+    d = 2
+    draft = TSDecoder(
+        DIMS.replace(n_text_layer=d), startofprev_token=3,
+        flat_self_cache=False,
+    )
+    ys = jnp.asarray(np.random.default_rng(2).integers(0, 50, (3, 4)))
+    rand_dv = draft.init(jax.random.PRNGKey(5), memory, ys, prompt)
+    cfg = dataclasses.replace(
+        CFG, speculative_gamma=2, draft_layers=d, quantize_cross_kv=True
+    )
+    g = build_greedy_decoder(
+        dec, variables, dataclasses.replace(cfg, speculative_gamma=0)
+    )
+    s = build_speculative_decoder(dec, variables, cfg, draft_vars=rand_dv)
+    np.testing.assert_array_equal(
+        np.asarray(g(memory, prompt)[0]), np.asarray(s(memory, prompt)[0])
+    )
+
+
+def test_distill_draft_learns_teacher(dec_and_params):
+    """train/distill.py end-to-end at tiny dims: distilling a 1-layer draft
+    against the 4-layer teacher's greedy transcripts must (a) reach high
+    teacher-forced argmax agreement, (b) raise measured decode-time
+    acceptance above the undistilled draft's, (c) keep the output exactly
+    greedy."""
+    from robustsq_whisper_tpu.decode.search import strip_eot
+    from robustsq_whisper_tpu.train.distill import (
+        distill_draft,
+        teacher_forcing_inputs,
+    )
+
+    dec, variables, memory, prompt = dec_and_params
+    cfg = dataclasses.replace(CFG, speculative_gamma=3, draft_layers=1)
+    greedy = build_greedy_decoder(
+        dec, variables, dataclasses.replace(cfg, speculative_gamma=0)
+    )
+    tg, _ = greedy(memory, prompt)
+    rows = strip_eot(np.asarray(tg), CFG.eot)
+    L = max(len(r) for r in rows)
+    text = np.full((len(rows), L), -1, np.int32)
+    lens = np.zeros((len(rows),), np.int32)
+    for i, r in enumerate(rows):
+        text[i, : len(r)] = r
+        lens[i] = len(r)
+    ys_in, mask = teacher_forcing_inputs(text, lens, sot=1, eot=CFG.eot)
+
+    def acceptance(dv):
+        s = build_speculative_decoder(
+            dec, variables, cfg, return_stats=True, draft_vars=dv
+        )
+        ts, _, st = s(memory, prompt)
+        np.testing.assert_array_equal(np.asarray(tg), np.asarray(ts))
+        ch = int(np.sum(np.asarray(st["chunks"])))
+        return int(np.sum(np.asarray(st["accepted"]))) / max(
+            ch * cfg.speculative_gamma, 1
+        )
+
+    base = acceptance(draft_variables(variables, 1))
+    dv, stats = distill_draft(
+        dec, variables, 1, memory, prompt, ys_in, mask,
+        steps=200, lr=3e-3, batch_size=3, seed=0,
+    )
+    after = acceptance(dv)
+    assert stats["final_agreement"] > 0.8, stats
+    assert after > max(base, 0.5), (base, after, stats)
+
+
 def test_ragged_step_matches_uniform_step(dec_and_params):
     """TextDecoder.step with a per-row position VECTOR (all equal) must
     reproduce the scalar-position step bit-for-bit — the ragged machinery
