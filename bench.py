@@ -76,7 +76,21 @@ BENCH_GUARD (default 1: composite accuracy guard — decode a small
 sub-batch with the exact-fp dense config AND the headline config at real
 model dims, record {"tokens_match_dense", "max_score_drift"} in the JSON;
 the machine-checkable proxy for the WER-within-0.1 north star),
-BENCH_GUARD_BATCH (guard sub-batch rows, default 8).
+BENCH_GUARD_BATCH (guard sub-batch rows, default 8),
+BENCH_SUBPROC (default 1: run each lane — serve, train:lora, train:full —
+in its OWN subprocess so nothing the serving sections pinned can OOM the
+train lanes [the r4 artifact lost train.full to exactly that]; the parent
+never opens the chip, just merges the partial JSONs and flags any lane
+that produced no record in "missing_lanes". 0 = legacy single-process),
+BENCH_LANE (internal: set by the orchestrator on lane subprocesses),
+BENCH_DISTILL_STEPS / BENCH_DISTILL_LR (draft-head distillation in the
+trained lane, defaults 400 / 3e-4: the speculative sub-record now
+measures a DISTILLED draft — self-drafting measured 1.1% acceptance in
+r4 — via train/distill.py).
+
+With the trained lane on, the HEADLINE record (top-level metric/value/
+accuracy_guard) is the trained-weights stop_early lane; the random-init
+fixed-token-budget numbers are demoted to "fixed_length_random_init".
 """
 
 from __future__ import annotations
@@ -575,10 +589,18 @@ def bench_trained_lane(model_name, dims, ts, st, dcfg, dec, progs):
         log(f"[trained] beam stop_early RTF={brtf:.1f}x")
         del btok
 
-    # ---- measured speculative acceptance + e2e RTF point ----
+    # ---- speculative: distill a draft head from the trained teacher,
+    # then measure acceptance + an e2e RTF point (VERDICT r4 weak #3 /
+    # next-step #3: self-drafting measured 1.1% acceptance in r4 — the
+    # distilled draft is what the speedup_at_acceptance curve needs to be
+    # validated end-to-end at its high-acceptance operating point) ----
     if os.environ.get("BENCH_TRAINED_SPEC", "1") == "1":
         from robustsq_whisper_tpu.decode.speculative import (
             build_speculative_decoder,
+        )
+        from robustsq_whisper_tpu.train.distill import (
+            distill_draft,
+            teacher_forcing_inputs,
         )
 
         sb = int(os.environ.get("BENCH_TRAINED_SPEC_BATCH", "32"))
@@ -591,8 +613,31 @@ def bench_trained_lane(model_name, dims, ts, st, dcfg, dec, progs):
         scfg = dataclasses.replace(
             dcfg, speculative_gamma=sg, draft_layers=sd
         )
+        # distillation context = the SERVING encoder output on the corpus
+        # (what the draft will actually cross-attend at decode time)
+        c_mem, c_prompt = chunked_encode(
+            lambda m_, f_, em_, e_: encode(
+                enc_vars, enc_qw, m_, f_, em_, e_
+            ),
+            jnp.asarray(mel), jnp.asarray(fl), jnp.asarray(emel),
+            jnp.asarray(el), progs["enc_chunk"],
+        )
+        ys_in, d_mask = teacher_forcing_inputs(
+            corpus["text"], corpus["text_lens"],
+            sot=dcfg.init_tokens[0], eot=st.eot,
+        )
+        d_steps = int(os.environ.get("BENCH_DISTILL_STEPS", "400"))
+        d_lr = float(os.environ.get("BENCH_DISTILL_LR", "3e-4"))
+        t0 = time.time()
+        draft_v, dstats = distill_draft(
+            spec_dec, dec_vars, sd, c_mem, c_prompt, ys_in, d_mask,
+            steps=d_steps, lr=d_lr, batch_size=8, seed=0, log=log,
+        )
+        dstats["wall_s"] = round(time.time() - t0, 1)
+        log(f"[trained] distilled draft: {dstats}")
         spec_run = build_speculative_decoder(
-            spec_dec, dec_vars, scfg, return_stats=True
+            spec_dec, dec_vars, scfg, return_stats=True,
+            draft_vars=draft_v,
         )
         smel, sfl = tiled(mel, sb), tiled(fl, sb)
         semel, sel = tiled(emel, sb), tiled(el, sb)
@@ -623,6 +668,8 @@ def bench_trained_lane(model_name, dims, ts, st, dcfg, dec, progs):
             gtimes.append(time.time() - t0)
         record["speculative"] = {
             "batch": sb, "gamma": sg, "draft_layers": sd,
+            "draft": "distilled", "distill": dstats,
+            "prefill_quantized_cross": bool(scfg.prefill_quantized),
             "acceptance_rate": round(
                 accepted / max(chunks * sg, 1), 4
             ),
@@ -638,22 +685,56 @@ def bench_trained_lane(model_name, dims, ts, st, dcfg, dec, progs):
             ),
         }
         log(f"[trained] speculative: {record['speculative']}")
-        del spec_run, s_mem, s_prompt, stok, gtok
+        del spec_run, s_mem, s_prompt, stok, gtok, c_mem, c_prompt, draft_v
     gc.collect()
     return record, enc_vars, dec_vars, enc_qw
 
 
-def main():
+def _compile_cache():
+    """BENCH_COMPILE_CACHE=<dir>: persistent XLA compile cache for repeated
+    local runs at one operating point (driver runs stay cold by default —
+    no env set — so round records always include a fresh compile)."""
     import jax
-    import jax.numpy as jnp
 
-    # BENCH_COMPILE_CACHE=<dir>: persistent XLA compile cache for repeated
-    # local runs at one operating point (driver runs stay cold by default —
-    # no env set — so round records always include a fresh compile).
     cache_dir = os.environ.get("BENCH_COMPILE_CACHE", "")
     if cache_dir:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _device_watchdog(metric: str):
+    """If the tunneled-TPU relay is down, jax.devices() hangs forever inside
+    backend init. Emit the contract's one JSON line (value 0 + error note)
+    instead of producing no record at all. Call ``.set()`` once devices are
+    up."""
+    import threading
+
+    ok = threading.Event()
+
+    def _watch():
+        if not ok.wait(int(os.environ.get("BENCH_DEVICE_TIMEOUT", "300"))):
+            print(json.dumps({
+                "metric": metric,
+                "value": 0.0, "unit": "x_realtime", "vs_baseline": 0.0,
+                "error": "device init timed out (TPU tunnel relay down?)",
+            }), flush=True)
+            os._exit(17)
+
+    threading.Thread(target=_watch, daemon=True).start()
+    return ok
+
+
+def serve_lane() -> dict:
+    """Decode headline + guard + beam sub-record + trained-weights lane.
+    Returns the serving half of the bench record; with the trained lane on,
+    the headline (top-level metric/value/guard) IS the trained lane's
+    stop_early record — honest output lengths, green guard — and the
+    random-init fixed-token-budget numbers are demoted to the
+    ``fixed_length_random_init`` diagnostic sub-record (VERDICT r4 #2)."""
+    import jax
+    import jax.numpy as jnp
+
+    _compile_cache()
 
     from robustsq_whisper_tpu.decode.search import DecodeConfig, build_beam_decoder
     from robustsq_whisper_tpu.models import (
@@ -679,23 +760,7 @@ def main():
         flash_tmaj=os.environ.get("BENCH_FLASH_TMAJ", "1") == "1",
         gelu_approx=os.environ.get("BENCH_GELU_APPROX", "1") == "1",
     )
-    # Device-init watchdog: if the tunneled-TPU relay is down, jax.devices()
-    # hangs forever inside backend init. Emit the contract's one JSON line
-    # (value 0 + error note) instead of producing no record at all.
-    import threading
-
-    _dev_ok = threading.Event()
-
-    def _watchdog():
-        if not _dev_ok.wait(int(os.environ.get("BENCH_DEVICE_TIMEOUT", "300"))):
-            print(json.dumps({
-                "metric": f"ts_asr_decode_rtf_{model_name}_b{batch}",
-                "value": 0.0, "unit": "x_realtime", "vs_baseline": 0.0,
-                "error": "device init timed out (TPU tunnel relay down?)",
-            }), flush=True)
-            os._exit(17)
-
-    threading.Thread(target=_watchdog, daemon=True).start()
+    _dev_ok = _device_watchdog(f"ts_asr_decode_rtf_{model_name}_b{batch}")
     log(f"devices: {jax.devices()}")
     _dev_ok.set()
     dev = jax.devices()[0]
@@ -1163,31 +1228,190 @@ def main():
         )
         result["trained"] = trained_rec
         tokens = scores = None
-    if os.environ.get("BENCH_TRAIN", "1") == "1":
-        # free EVERYTHING the decode sections pinned before the train probes:
-        # full-FT b8 needs params + Adam moments ~8.5 GB resident and the
-        # partial-bound programs (greedy/beam_run) hold the random-init
-        # decoder weights alive even after `del dec_vars`
-        del enc_vars, enc_qw, dec_vars, tokens, scores, greedy, encode
-        beam_run = None
-        del mel, emel, feats_lens, emel_lens
-        import gc
+    return promote_trained_headline(result)
 
-        gc.collect()
-        # one sub-record per mode: "lora" (the lora_qkvo_r16 config) and
-        # "full" (the mode the reference actually trains,
-        # run_tswhisper.sh:17) — both tracked metrics, not TRAINING.md prose
-        train_block = {}
-        for mode in os.environ.get("BENCH_TRAIN_MODES", "lora,full").split(","):
-            mode = mode.strip()
-            if not mode:
+
+def promote_trained_headline(result: dict) -> dict:
+    """Make the trained-weights stop_early lane the HEADLINE record.
+
+    The trained lane is the honest operating point — real eot emissions,
+    stop_early doing real work, composite guard green at trained margins —
+    while the random-init fixed-token-budget numbers measure compile/
+    throughput mechanics with a knife-edge-argmax red guard (the r4
+    measurement settled that: agreement 0.9873 at random init vs 1.0
+    trained, drift 5.26 vs 0.04). Headline = trained stop_early + trained
+    guard; the random-init numbers move to ``fixed_length_random_init``
+    (VERDICT r4 next-step #2). Pure function so the contract test can pin
+    the schema without a chip."""
+    tr = result.get("trained")
+    if not tr or "stop_early" not in tr or "guard" not in tr:
+        return result
+    demoted = {
+        k: result[k]
+        for k in ("metric", "value", "unit", "vs_baseline", "accuracy_guard",
+                  "beam", "speculative")
+        if k in result
+    }
+    promoted = dict(result)
+    promoted.pop("speculative", None)
+    promoted.update(
+        metric=tr["stop_early"]["metric"],
+        value=tr["stop_early"]["value"],
+        unit=tr["stop_early"]["unit"],
+        vs_baseline=tr["stop_early"]["vs_baseline"],
+        accuracy_guard={**tr["guard"], "weights": "trained"},
+        fixed_length_random_init=demoted,
+    )
+    if "beam" in tr:
+        promoted["beam"] = tr["beam"]
+    return promoted
+
+
+def train_lane(mode: str):
+    """One training-throughput sub-record in a FRESH process: nothing from
+    the decode/trained lanes can pin HBM here (VERDICT r4 #1 — the r4
+    in-process run OOM-cascaded full-FT 8->4->2 after the serving sections,
+    despite the del/gc cleanup: a chip-clean subprocess beats heuristic
+    in-process cleanup)."""
+    import jax
+    import jax.numpy as jnp  # noqa: F401  (backend init)
+
+    _compile_cache()
+    model_name = os.environ.get("BENCH_MODEL", "medium")
+    from robustsq_whisper_tpu.models import TSEncoderConfig, whisper_dims
+
+    dims = whisper_dims(model_name)
+    ts = TSEncoderConfig(
+        num_query_tokens=16,
+        num_hidden_layers=2,
+        use_flash_attention=os.environ.get("BENCH_FLASH", "1") == "1",
+        flash_tmaj=os.environ.get("BENCH_FLASH_TMAJ", "1") == "1",
+        gelu_approx=os.environ.get("BENCH_GELU_APPROX", "1") == "1",
+    )
+    _dev_ok = _device_watchdog(f"ts_asr_train_{model_name}_{mode}")
+    log(f"[train:{mode}] devices: {jax.devices()}")
+    _dev_ok.set()
+    return bench_train(model_name, dims, ts, mode)
+
+
+def _train_modes():
+    if os.environ.get("BENCH_TRAIN", "1") != "1":
+        return []
+    return [
+        m.strip()
+        for m in os.environ.get("BENCH_TRAIN_MODES", "lora,full").split(",")
+        if m.strip()
+    ]
+
+
+def merge_lane_results(serve, trains: dict, expected_modes) -> dict:
+    """Assemble the final bench record from per-lane results. Any expected
+    lane that produced no usable record is named in ``missing_lanes`` so a
+    lane silently dropping out of the artifact is machine-visible (VERDICT
+    r4 weak #1: BENCH_r04 shipped with no train.full and nothing flagged
+    it). Pure function — unit-tested in tests/test_driver_contracts.py."""
+    missing = []
+    if serve and "value" in serve:
+        result = dict(serve)
+    else:
+        result = {
+            "metric": "ts_asr_decode_rtf",
+            "value": 0.0,
+            "unit": "audio-sec/chip-sec",
+            "vs_baseline": 0.0,
+            "error": "serve lane produced no record",
+        }
+        missing.append("serve")
+    train_block = {}
+    for mode in expected_modes:
+        rec = (trains or {}).get(mode)
+        if rec and "value" in rec:
+            train_block[mode] = rec
+        else:
+            missing.append(f"train:{mode}")
+    if train_block:
+        result["train"] = train_block
+    if missing:
+        result["missing_lanes"] = missing
+    return result
+
+
+def orchestrate():
+    """Run each lane in its own subprocess (fresh chip each time), merge the
+    partial records, print ONE JSON line. The serve lane (decode + guard +
+    beam + trained) stays one process so the trained lane can re-drive the
+    already-compiled serving programs; each train mode gets a clean chip."""
+    import subprocess
+
+    modes = _train_modes()
+    lanes = ["serve"] + [f"train:{m}" for m in modes]
+    results = {}
+    for lane in lanes:
+        env = dict(os.environ)
+        env["BENCH_LANE"] = lane
+        log(f"[bench] lane {lane}: starting subprocess")
+        t0 = time.time()
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, stdout=subprocess.PIPE, text=True,
+        )
+        log(
+            f"[bench] lane {lane}: rc={p.returncode} "
+            f"wall={time.time()-t0:.0f}s"
+        )
+        payload = None
+        for line in reversed((p.stdout or "").strip().splitlines()):
+            try:
+                payload = json.loads(line)
+                break
+            except (json.JSONDecodeError, ValueError):
                 continue
-            train_stats = bench_train(model_name, dims, ts, mode)
-            if train_stats is not None:
-                train_block[mode] = train_stats
-        if train_block:
-            result["train"] = train_block
-    print(json.dumps(result))
+        results[lane] = payload
+    merged = merge_lane_results(
+        results.get("serve"),
+        {m: results.get(f"train:{m}") for m in modes},
+        modes,
+    )
+    print(json.dumps(merged))
+
+
+def main():
+    lane = os.environ.get("BENCH_LANE", "")
+    if lane == "serve":
+        print(json.dumps(serve_lane()))
+        return
+    if lane.startswith("train:"):
+        rec = train_lane(lane.split(":", 1)[1])
+        print(json.dumps(rec if rec is not None else {"error": "no record"}))
+        return
+    if os.environ.get("BENCH_SUBPROC", "1") == "1":
+        orchestrate()
+        return
+    # BENCH_SUBPROC=0: single-process fallback (debug / CPU contract tests)
+    serve = serve_lane()
+    import gc
+
+    gc.collect()
+    modes = _train_modes()
+    trains = {m: bench_train_entry(m) for m in modes}
+    print(json.dumps(merge_lane_results(serve, trains, modes)))
+
+
+def bench_train_entry(mode: str):
+    """In-process train probe for the BENCH_SUBPROC=0 fallback (the backend
+    is already up from serve_lane; best-effort cleanup only)."""
+    from robustsq_whisper_tpu.models import TSEncoderConfig, whisper_dims
+
+    model_name = os.environ.get("BENCH_MODEL", "medium")
+    dims = whisper_dims(model_name)
+    ts = TSEncoderConfig(
+        num_query_tokens=16,
+        num_hidden_layers=2,
+        use_flash_attention=os.environ.get("BENCH_FLASH", "1") == "1",
+        flash_tmaj=os.environ.get("BENCH_FLASH_TMAJ", "1") == "1",
+        gelu_approx=os.environ.get("BENCH_GELU_APPROX", "1") == "1",
+    )
+    return bench_train(model_name, dims, ts, mode)
 
 
 if __name__ == "__main__":

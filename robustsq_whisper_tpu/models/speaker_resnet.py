@@ -13,6 +13,7 @@ is available (zero-egress safe: loader is offline, gated on the path).
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any, Dict, Optional
 
@@ -308,8 +309,13 @@ def extract_embeddings_for_dir(
     rng = jax.random.PRNGKey(seed)
     max_samples = int(max_seconds * 16000)
 
+    # jitted init: eager flax init dispatches one ~30 ms tunneled round trip
+    # per parameter leaf (~80 s for ResNet34 — measured; the dominant cost
+    # of RECIPE_E2E s103 before this)
     dummy = jnp.zeros((1, 398, 80), jnp.float32)
-    variables = model.init(rng, dummy, jnp.asarray([398]))
+    variables = jax.jit(
+        lambda r: model.init(r, dummy, jnp.asarray([398]))
+    )(rng)
     inits = load_onnx_weights(onnx_model)
     if inits is not None:
         variables = map_onnx_to_flax(inits, variables)
@@ -325,22 +331,48 @@ def extract_embeddings_for_dir(
     scp: Dict[str, str] = {}
     utts = sorted(wav)
     # fixed (batch_size, max_samples) shape: ONE jit compilation serves every
-    # chunk, including the ragged last one (padded rows are discarded)
+    # chunk, including the ragged last one (padded rows are discarded).
+    # Phase timing: on a tunneled TPU the first call's compile dominates
+    # small dirs (RECIPE_E2E s103 measured 647.7 s for 64 utts = compile +
+    # relay dispatch, not compute) — log the split so the wall is explained.
+    import time as _time
+
+    t_io = t_dev = 0.0
+    n_calls = 0
+    t_first = None
     for i in range(0, len(utts), batch_size):
         chunk = utts[i : i + batch_size]
         batch = np.zeros((batch_size, max_samples), np.float32)
         lens = np.full((batch_size,), 400, np.int32)
+        t0 = _time.time()
         for j, u in enumerate(chunk):
             a, _ = kaldi_io.read_wav(wav[u].split()[0])
             a = a[:max_samples]
             batch[j, : len(a)] = a
             lens[j] = max(len(a), 400)
+        t_io += _time.time() - t0
+        t0 = _time.time()
         embs = np.asarray(
             embed(variables, jnp.asarray(batch), jnp.asarray(lens))
         )
+        dt = _time.time() - t0
+        if t_first is None:
+            t_first = dt
+        else:
+            t_dev += dt
+        n_calls += 1
+        t0 = _time.time()
         for j, u in enumerate(chunk):
             p = os.path.join(out_dir, f"{u}.npy")
             np.save(p, embs[j])
             scp[u] = p
+        t_io += _time.time() - t0
     kaldi_io.write_scp(os.path.join(data_dir, "resnet.scp"), scp)
+    if t_first is not None:
+        steady = t_dev / max(n_calls - 1, 1)
+        logging.info(
+            "extract_embeddings: %d utts in %d batches of %d — "
+            "compile+first batch %.1fs, steady %.2fs/batch, io %.1fs",
+            len(scp), n_calls, batch_size, t_first, steady, t_io,
+        )
     return {"num_utts": len(scp), "embed_dim": embed_dim}

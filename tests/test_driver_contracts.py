@@ -22,6 +22,68 @@ def _run(code: str, env_extra=None, timeout=420):
     )
 
 
+def test_merge_lane_results_flags_missing_lanes():
+    """A lane that silently produced no record must be NAMED in the
+    artifact (VERDICT r4 weak #1: BENCH_r04 shipped without train.full and
+    nothing flagged it) — pure-function check, no chip needed."""
+    import bench
+
+    serve = {"metric": "m", "value": 1.0, "unit": "u", "vs_baseline": 0.1}
+    ok = bench.merge_lane_results(
+        serve, {"lora": {"value": 2.0}, "full": {"value": 3.0}},
+        ["lora", "full"],
+    )
+    assert "missing_lanes" not in ok
+    assert ok["train"]["full"]["value"] == 3.0
+
+    dropped = bench.merge_lane_results(
+        serve, {"lora": {"value": 2.0}, "full": None}, ["lora", "full"]
+    )
+    assert dropped["missing_lanes"] == ["train:full"]
+    assert "full" not in dropped["train"]
+
+    no_serve = bench.merge_lane_results(None, {}, ["lora"])
+    assert set(no_serve["missing_lanes"]) == {"serve", "train:lora"}
+    assert no_serve["value"] == 0.0 and "error" in no_serve
+
+
+def test_promote_trained_headline_schema():
+    """With a trained lane present, the headline becomes the trained
+    stop_early record + trained guard, and the random-init numbers move to
+    fixed_length_random_init (VERDICT r4 next-step #2)."""
+    import bench
+
+    raw = {
+        "metric": "ts_asr_decode_rtf_medium_b128", "value": 1055.7,
+        "unit": "audio-sec/chip-sec", "vs_baseline": 21.1,
+        "accuracy_guard": {"tokens_match_dense": False},
+        "beam": {"value": 343.7},
+        "trained": {
+            "guard": {"tokens_match_dense": True},
+            "stop_early": {
+                "metric": "ts_asr_decode_rtf_medium_b128_stop_early",
+                "value": 1698.9, "unit": "audio-sec/chip-sec",
+                "vs_baseline": 34.0,
+            },
+            "beam": {"value": 615.7},
+        },
+    }
+    out = bench.promote_trained_headline(raw)
+    assert out["metric"].endswith("_stop_early")
+    assert out["value"] == 1698.9
+    assert out["accuracy_guard"]["tokens_match_dense"] is True
+    assert out["accuracy_guard"]["weights"] == "trained"
+    assert out["beam"]["value"] == 615.7
+    fx = out["fixed_length_random_init"]
+    assert fx["value"] == 1055.7
+    assert fx["accuracy_guard"]["tokens_match_dense"] is False
+    assert fx["beam"]["value"] == 343.7
+    # without a trained lane the record passes through unchanged
+    assert bench.promote_trained_headline({"metric": "m", "value": 1.0}) == {
+        "metric": "m", "value": 1.0
+    }
+
+
 @pytest.mark.slow
 def test_bench_emits_json_line():
     r = _run(
@@ -38,6 +100,7 @@ def test_bench_emits_json_line():
             # subprocess timeout on the compile-bound CPU test host
             "BENCH_TRAIN": "0",
             "BENCH_TRAINED": "0",
+            "BENCH_SUBPROC": "0",
         },
     )
     assert r.returncode == 0, r.stderr[-2000:]
@@ -63,6 +126,7 @@ def test_bench_train_leg_emits_train_record():
             "BENCH_TRAIN_BATCH": "2",
             "BENCH_TRAIN_MODES": "lora",  # one mode holds the CPU timeout
             "BENCH_TRAINED": "0",
+            "BENCH_SUBPROC": "0",
         },
     )
     assert r.returncode == 0, r.stderr[-2000:]
@@ -70,6 +134,37 @@ def test_bench_train_leg_emits_train_record():
     assert "train" in payload, payload
     assert payload["train"]["lora"]["value"] > 0
     assert payload["train"]["lora"]["unit"] == "audio-sec/chip-sec"
+    assert "missing_lanes" not in payload, payload
+
+
+@pytest.mark.slow
+def test_bench_orchestrator_runs_lanes_in_subprocesses():
+    """Default mode (BENCH_SUBPROC=1): the parent never opens a device;
+    each lane gets a fresh process — the structural fix for the r4
+    full-FT OOM cascade. Asserts the merged record carries both the serve
+    headline and the train sub-record with no missing lanes."""
+    r = _run(
+        "import bench; bench.main()",
+        env_extra={
+            "BENCH_MODEL": "dev",
+            "BENCH_BATCH": "2",
+            "BENCH_NEW_TOKENS": "2",
+            "BENCH_ITERS": "1",
+            "BENCH_FLASH": "0",
+            "BENCH_TRAIN": "1",
+            "BENCH_TRAIN_BATCH": "2",
+            "BENCH_TRAIN_MODES": "lora",
+            "BENCH_TRAINED": "0",
+            "BENCH_GUARD": "0",
+            "BENCH_BEAM_SUB": "0",
+        },
+        timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["value"] > 0
+    assert payload["train"]["lora"]["value"] > 0
+    assert "missing_lanes" not in payload, payload
 
 
 @pytest.mark.slow
@@ -96,10 +191,12 @@ def test_bench_trained_lane_emits_records():
             "BENCH_TRAINED_SPEC_BATCH": "4",
             "BENCH_SPEC_GAMMA": "2",
             "BENCH_SPEC_DRAFT": "1",
+            "BENCH_DISTILL_STEPS": "8",
+            "BENCH_SUBPROC": "0",
         },
-        # ~7 compiled programs end-to-end; measured ~8 min alone on the
+        # ~8 compiled programs end-to-end; measured ~8 min alone on the
         # 1-core test host, so 600 s trips whenever anything shares the core
-        timeout=1200,
+        timeout=1500,
     )
     assert r.returncode == 0, r.stderr[-3000:]
     payload = json.loads(r.stdout.strip().splitlines()[-1])
@@ -113,6 +210,13 @@ def test_bench_trained_lane_emits_records():
     assert tr["beam"]["value"] > 0
     assert 0.0 <= tr["speculative"]["acceptance_rate"] <= 1.0
     assert tr["speculative"]["tokens_match_greedy"] in (True, False)
+    assert tr["speculative"]["draft"] == "distilled"
+    assert tr["speculative"]["distill"]["steps"] == 8
+    # trained lane present -> it IS the headline (VERDICT r4 #2)
+    assert payload["metric"].endswith("_stop_early")
+    assert payload["value"] == tr["stop_early"]["value"]
+    assert payload["accuracy_guard"]["weights"] == "trained"
+    assert payload["fixed_length_random_init"]["value"] > 0
 
 
 @pytest.mark.slow
