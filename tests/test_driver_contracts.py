@@ -22,6 +22,40 @@ def _run(code: str, env_extra=None, timeout=420):
     )
 
 
+def test_latest_bench_artifact_schema():
+    """The newest checked-in bench record (round >= 5, when lane isolation
+    + headline promotion landed) must carry every tracked lane: a lane
+    silently dropping out of the artifact fails CI instead of shipping
+    (VERDICT r4 weak #1 / next-step #7). Historical artifacts predate the
+    contract and are skipped."""
+    import glob
+    import re
+
+    cands = {}
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = re.match(r"BENCH_r(\d+)", os.path.basename(p))
+        if m:
+            cands.setdefault(int(m.group(1)), []).append(p)
+    if not cands or max(cands) < 5:
+        pytest.skip("no round >= 5 bench artifact checked in yet")
+    for p in cands[max(cands)]:
+        with open(p) as f:
+            doc = json.load(f)
+        rec = doc.get("parsed", doc)  # driver wraps; builder copies are raw
+        assert "missing_lanes" not in rec, (p, rec.get("missing_lanes"))
+        assert rec["value"] > 0 and rec["unit"] == "audio-sec/chip-sec", p
+        assert rec["accuracy_guard"]["tokens_match_dense"] is True, p
+        assert rec["accuracy_guard"].get("weights") == "trained", p
+        assert rec["metric"].endswith("_stop_early"), p
+        tr = rec["trained"]
+        assert tr["guard"]["tokens_match_dense"] is True, p
+        assert tr["stop_early"]["value"] > 0 and tr["beam"]["value"] > 0, p
+        assert 0.0 <= tr["speculative"]["acceptance_rate"] <= 1.0, p
+        for mode in ("lora", "full"):
+            assert rec["train"][mode]["value"] > 0, (p, mode)
+        assert rec["fixed_length_random_init"]["value"] > 0, p
+
+
 def test_merge_lane_results_flags_missing_lanes():
     """A lane that silently produced no record must be NAMED in the
     artifact (VERDICT r4 weak #1: BENCH_r04 shipped without train.full and
