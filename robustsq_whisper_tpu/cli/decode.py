@@ -297,47 +297,12 @@ def main(argv=None):
             ckpt_dir = ave_dir
             logging.info("using averaged n-best checkpoint %s", ave_dir)
         if latest_step(ckpt_dir) is not None:
-            # weights-only restore to HOST: materializing a concrete train
-            # state as the restore template would put params + optimizer
-            # moments (~8.5 GB at full-FT medium) on device NEXT TO the
-            # restored copy — two train states never fit one chip
-            from ..train.checkpoint import restore_weights
+            from ..train.checkpoint import restore_serving_variables
 
-            raw_params, raw_buffers, raw_lora, step_i, epoch = (
-                restore_weights(ckpt_dir)
-            )
             variables = None  # free the random-init template
-
-            # cast f32 -> compute dtype ON HOST before the device put: the
-            # tunneled transfer is the restore path's wall-clock floor, and
-            # bf16 halves the bytes (measured: the f32 medium full-FT
-            # restore spent ~19 min mostly in transfer)
-            import ml_dtypes
-
-            def host_cast(x):
-                x = np.asarray(x)
-                if dtype == jnp.bfloat16 and x.dtype == np.float32:
-                    return x.astype(ml_dtypes.bfloat16)
-                return x
-
-            params = jax.tree_util.tree_map(
-                lambda x: jnp.asarray(host_cast(x)), raw_params
+            variables, step_i, epoch = restore_serving_variables(
+                ckpt_dir, dtype, exp.train
             )
-            if exp.train.mode == "lora" and raw_lora:
-                # bake the trained adapters into the serving weights —
-                # without this a lora run decodes the unadapted base model
-                from ..train.lora import merge_lora
-
-                params = merge_lora(
-                    params,
-                    jax.tree_util.tree_map(
-                        lambda x: jnp.asarray(host_cast(x)), raw_lora
-                    ),
-                    exp.train.lora,
-                )
-            # raw_buffers mirrors TrainState.buffers: the dict of
-            # non-param collections, e.g. {"buffers": {"encoder": ...}}
-            variables = {"params": params, **raw_buffers}
             logging.info(
                 "restored step %d (epoch %d, mode %s) from %s",
                 step_i, epoch, exp.train.mode, ckpt_dir,

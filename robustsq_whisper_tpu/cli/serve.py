@@ -117,8 +117,7 @@ def main(argv=None):
         load_tokenizer,
         special_tokens_for_vocab,
     )
-    from ..train.checkpoint import latest_step, restore_checkpoint
-    from ..train.step import create_train_state
+    from ..train.checkpoint import latest_step
     from ..utils.config import load_experiment, load_yaml
     from .train import build_model_and_variables
 
@@ -172,17 +171,18 @@ def main(argv=None):
             ckpt_dir = ave_dir
             logging.info("serving averaged n-best checkpoint %s", ave_dir)
         if latest_step(ckpt_dir) is not None:
-            state_t, _ = create_train_state(rng, variables, exp.train)
-            state, epoch, _ = restore_checkpoint(ckpt_dir, state_t)
-            params = state.params
-            if exp.train.mode == "lora" and state.lora:
-                from ..train.lora import merge_lora
+            # weights-only restore shared with cli.decode: a full-state
+            # restore template (params + Adam moments) next to the restored
+            # copy OOMs the chip for a full-FT medium checkpoint
+            from ..train.checkpoint import restore_serving_variables
 
-                params = merge_lora(params, state.lora, exp.train.lora)
-            variables = {"params": params, **state.buffers}
+            variables = None  # free the random-init template
+            variables, step_i, epoch = restore_serving_variables(
+                ckpt_dir, dtype, exp.train
+            )
             logging.info(
-                "restored step %d (epoch %d) from %s",
-                int(state.step), epoch, ckpt_dir,
+                "restored step %d (epoch %d, mode %s) from %s",
+                step_i, epoch, exp.train.mode, ckpt_dir,
             )
 
     enc_vars = {

@@ -125,6 +125,53 @@ def restore_weights(
     )
 
 
+def restore_serving_variables(
+    ckpt_dir: str,
+    compute_dtype: Any,
+    train_cfg: Any,
+    step: Optional[int] = None,
+) -> Tuple[Any, int, int]:
+    """Serving restore shared by ``cli.decode`` and ``cli.serve``: a
+    weights-only host read (``restore_weights`` — the full-state
+    ``restore_checkpoint`` needs a concrete device template, and two
+    full-FT medium train states never fit one 16 GB chip), an f32 →
+    compute-dtype cast ON HOST before the device put (the tunneled
+    transfer is the restore wall; bf16 halves the bytes), and the LoRA
+    merge when the checkpoint trained adapters (without it a lora run
+    serves the unadapted base model).
+
+    Returns ``(variables, step, epoch)`` with ``variables = {"params": ...,
+    **buffer_collections}`` on device in the compute dtype.
+    """
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    raw_params, raw_buffers, raw_lora, step_i, epoch = restore_weights(
+        ckpt_dir, step
+    )
+
+    def host_cast(x):
+        x = np.asarray(x)
+        if compute_dtype == jnp.bfloat16 and x.dtype == np.float32:
+            return x.astype(ml_dtypes.bfloat16)
+        return x
+
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(host_cast(x)), raw_params
+    )
+    if train_cfg.mode == "lora" and raw_lora:
+        from .lora import merge_lora
+
+        params = merge_lora(
+            params,
+            jax.tree_util.tree_map(
+                lambda x: jnp.asarray(host_cast(x)), raw_lora
+            ),
+            train_cfg.lora,
+        )
+    return {"params": params, **raw_buffers}, step_i, epoch
+
+
 def restore_checkpoint(
     ckpt_dir: str,
     state_template: Any,
