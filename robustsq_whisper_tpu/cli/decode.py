@@ -132,6 +132,15 @@ def main(argv=None):
         help="early-exit draft depth for --speculative_gamma",
     )
     parser.add_argument(
+        "--draft_path", default=None,
+        help="distilled draft head for --speculative_gamma (a dir written "
+        "by cli.distill / train.distill.save_draft). Replaces the "
+        "self-drafting early exit with trained draft weights — measured "
+        "95.8%% acceptance / 1.14x vs plain greedy at medium dims "
+        "(docs/SERVING.md); output is still the exact greedy transcript. "
+        "Single-device only",
+    )
+    parser.add_argument(
         "--ctc_weight", type=float, default=0.0,
         help="decode-time joint CTC/attention scoring weight (ESPnet "
         "beam-search ctc_weight): combined score = (1-w)*attention + "
@@ -349,6 +358,36 @@ def main(argv=None):
         flat_self_cache=tp == 1 and not spec,
     )
 
+    draft_vars = None
+    if args.draft_path:
+        if not spec:
+            parser.error("--draft_path requires --speculative_gamma > 0")
+        if args.long_audio:
+            parser.error("--draft_path is incompatible with --long_audio")
+        from ..train.distill import load_draft
+
+        raw_draft, draft_meta = load_draft(args.draft_path)
+        meta_d = int(draft_meta.get("draft_layers", args.draft_layers))
+        if meta_d != args.draft_layers:
+            logging.info(
+                "--draft_layers %d -> %d (from the draft checkpoint meta)",
+                args.draft_layers, meta_d,
+            )
+            args.draft_layers = meta_d
+        draft_vars = jax.jit(to_compute)(raw_draft)
+        jax.block_until_ready(draft_vars)
+        if args.data_parallel and jax.device_count() > 1:
+            logging.warning(
+                "--draft_path decoding is single-device; dropping "
+                "--data_parallel"
+            )
+            args.data_parallel = False
+        logging.info(
+            "distilled draft: %s (teacher step %s, agreement %s)",
+            args.draft_path, draft_meta.get("teacher_step"),
+            draft_meta.get("final_agreement"),
+        )
+
     dcfg = dataclasses.replace(
         exp.decode,
         quantize_weights=args.int8_weights,
@@ -481,6 +520,7 @@ def main(argv=None):
             encoder, enc_vars, decoder, dec_vars, dataset, tokenizer, dcfg,
             batch_size=batch_size, output_dir=args.output_dir, mesh=mesh,
             enc_chunk=args.enc_chunk, ctc_vars=ctc_vars,
+            draft_vars=draft_vars,
         )
     logging.info(
         "decoded %d utts in %.1fs (RTF %.1fx): %s",

@@ -100,6 +100,7 @@ def build_decode_fns(
     mesh: Optional[Any] = None,
     batch_size: Optional[int] = None,
     ctc_vars: Optional[Any] = None,
+    draft_vars: Optional[Any] = None,
 ):
     """The serving program pair ``(encode, run)`` for every decode mode:
     single-device (greedy/beam/speculative), data-parallel shard_map, or
@@ -112,6 +113,15 @@ def build_decode_fns(
     ``encode(enc_vars, mel, flens, enroll_embed) -> (memory, empty_prompt)``
     instead — single-device or data-parallel; the decoder side is identical
     (prompt-free ``run``)."""
+    if draft_vars is not None and not (
+        dcfg.speculative_gamma > 0
+        and mesh is None
+        and dcfg.ctc_decode_weight == 0
+    ):
+        raise ValueError(
+            "draft_vars (a distilled draft head) requires the single-device "
+            "speculative path: speculative_gamma > 0, no mesh, no joint CTC"
+        )
     if dcfg.ctc_decode_weight > 0:
         # joint CTC/attention decode (ESPnet beam-search parity options):
         # plain-jit program, single device (decode/joint.py)
@@ -143,7 +153,8 @@ def build_decode_fns(
         return encode, run
     if isinstance(encoder, SpkAdapterTSEncoder):
         return _build_embedding_decode_fns(
-            encoder, enc_vars, decoder, dec_vars, dcfg, mesh, batch_size
+            encoder, enc_vars, decoder, dec_vars, dcfg, mesh, batch_size,
+            draft_vars=draft_vars,
         )
     if mesh is not None and mesh.shape.get("model", 1) > 1:
         # tensor-parallel serving (capacity mode): weights sharded over the
@@ -179,7 +190,8 @@ def build_decode_fns(
         from .speculative import build_speculative_decoder
 
         run = build_speculative_decoder(
-            decoder, dec_vars, dcfg, return_stats=True
+            decoder, dec_vars, dcfg, return_stats=True,
+            draft_vars=draft_vars,
         )
         encode = jax.jit(
             lambda v, mel, fl, emel, el: encoder.apply(v, mel, fl, emel, el)
@@ -200,6 +212,7 @@ def _build_embedding_decode_fns(
     dcfg: DecodeConfig,
     mesh: Optional[Any] = None,
     batch_size: Optional[int] = None,
+    draft_vars: Optional[Any] = None,
 ):
     """(encode, run) for the embedding-enrollment path (asr_my.sh
     --enroll_type embedding): ``encode(enc_vars, mel, flens, enroll_embed)``
@@ -251,7 +264,8 @@ def _build_embedding_decode_fns(
         from .speculative import build_speculative_decoder
 
         run = build_speculative_decoder(
-            decoder, dec_vars, dcfg, return_stats=True
+            decoder, dec_vars, dcfg, return_stats=True,
+            draft_vars=draft_vars,
         )
     else:
         run = build_beam_decoder(decoder, dec_vars, dcfg)
@@ -272,6 +286,7 @@ def decode_dataset(
     enc_chunk: int = 0,
     fns: Optional[Any] = None,
     ctc_vars: Optional[Any] = None,
+    draft_vars: Optional[Any] = None,
 ) -> DecodeResult:
     # ``fns`` = a prebuilt (encode, run) pair (build_decode_fns contract) —
     # lets a caller that decodes repeatedly with changing weights (e.g. the
@@ -279,7 +294,7 @@ def decode_dataset(
     # instead of rebuilding/recompiling here every call.
     encode, run = fns if fns is not None else build_decode_fns(
         encoder, enc_vars, decoder, dec_vars, dcfg, mesh, batch_size,
-        ctc_vars=ctc_vars,
+        ctc_vars=ctc_vars, draft_vars=draft_vars,
     )
 
     hyps: Dict[str, str] = {}

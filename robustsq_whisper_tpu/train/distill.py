@@ -29,6 +29,7 @@ quality (tests/test_speculative.py pins this for arbitrary draft_vars).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Tuple
 
 import jax
@@ -38,6 +39,47 @@ import optax
 
 from ..decode.speculative import draft_variables
 from ..models.ts_decoder import TSDecoder
+
+
+def save_draft(out_dir: str, draft_vars: Any, meta: Dict[str, Any]) -> str:
+    """Persist a distilled draft head (an orbax composite: the variables
+    pytree + a json meta dict carrying at least ``draft_layers`` and the
+    teacher checkpoint's step). Loaded back by ``load_draft`` for
+    ``cli.decode --draft_path``."""
+    import orbax.checkpoint as ocp
+
+    out_dir = os.path.abspath(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    with ocp.CheckpointManager(out_dir) as mgr:
+        if 0 in mgr.all_steps():
+            mgr.delete(0)
+        mgr.save(
+            0,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(draft_vars),
+                meta=ocp.args.JsonSave(meta),
+            ),
+        )
+        mgr.wait_until_finished()
+    return out_dir
+
+
+def load_draft(draft_dir: str) -> Tuple[Any, Dict[str, Any]]:
+    """Returns ``(draft_vars, meta)`` as host numpy trees; the caller casts
+    to the compute dtype (cli.decode reuses its ``to_compute``)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(os.path.abspath(draft_dir)) as mgr:
+        step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no draft checkpoint in {draft_dir}")
+        meta = mgr.restore(
+            step, args=ocp.args.Composite(meta=ocp.args.JsonRestore())
+        )["meta"]
+        state = mgr.restore(
+            step, args=ocp.args.Composite(state=ocp.args.StandardRestore())
+        )["state"]
+    return state, meta
 
 
 def teacher_forcing_inputs(

@@ -195,6 +195,93 @@ def test_decode_dataset_data_parallel_matches_single(tmp_path):
 
 
 @pytest.mark.slow
+def test_decode_dataset_distilled_draft_matches_greedy(tmp_path):
+    """Distilled-draft serving end-to-end (cli --draft_path path): a draft
+    head round-trips through save_draft/load_draft and decode_dataset with
+    draft_vars emits EXACTLY the greedy hypotheses — for an arbitrary
+    (here: re-initialized) draft, since drafting never changes content."""
+    from robustsq_whisper_tpu.audio.frontend import log_mel_spectrogram
+    from robustsq_whisper_tpu.train.distill import load_draft, save_draft
+
+    src = _make_clean_dir(tmp_path, n_speakers=4, utts_per_spk=2)
+    data_dir = str(tmp_path / "mix_draft")
+    simulate.generate_overlap_enrollment(
+        src, data_dir, simulate.OverlapConfig(num_mixtures=6, seed=0)
+    )
+    tok = ByteTokenizer()
+    speech_sec = (DIMS.n_audio_ctx * 2 * 160) / SR
+    dataset = KaldiTSDataset(
+        data_dir, tok,
+        speech_seconds=speech_sec, enroll_seconds=speech_sec / 2,
+        text_len=48, num_speakers=8, seed=0,
+    )
+    rng = jax.random.PRNGKey(0)
+    encoder = QFormerTSEncoder(DIMS, TS)
+    decoder = TSDecoder(
+        DIMS.replace(n_vocab=300), startofprev_token=259,
+        flat_self_cache=False,
+    )
+    b = next(dataset.batches(4, shuffle=False))
+    feats, fl = log_mel_spectrogram(
+        jnp.asarray(b["speech"]), jnp.asarray(b["speech_lens"])
+    )
+    efeats, el = log_mel_spectrogram(
+        jnp.asarray(b["enroll"]), jnp.asarray(b["enroll_lens"])
+    )
+    enc_vars = encoder.init(rng, feats, fl, efeats, el)
+    memory, _, prompt, _ = encoder.apply(enc_vars, feats, fl, efeats, el)
+    dec_vars = decoder.init(
+        rng, memory, jnp.zeros((4, 4), jnp.int32), prompt
+    )
+    # a DIFFERENT-init draft (not the teacher's slice): exercises the
+    # separate-draft cross/prefill/cache machinery, and exactness must hold
+    draft = TSDecoder(
+        DIMS.replace(n_vocab=300, n_text_layer=1), startofprev_token=259,
+        flat_self_cache=False,
+    )
+    draft_raw = draft.init(
+        jax.random.PRNGKey(7), memory, jnp.zeros((4, 4), jnp.int32), prompt
+    )
+    out = save_draft(
+        str(tmp_path / "draft_ckpt"), draft_raw,
+        {"draft_layers": 1, "teacher_step": 0},
+    )
+    loaded, meta = load_draft(out)
+    assert meta["draft_layers"] == 1
+    for a, c in zip(
+        jax.tree_util.tree_leaves(draft_raw),
+        jax.tree_util.tree_leaves(loaded),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+    greedy_cfg = DecodeConfig(
+        max_new_tokens=8, eot=258, init_tokens=(257,), beam_size=1
+    )
+    spec_cfg = dataclasses.replace(
+        greedy_cfg, speculative_gamma=2, draft_layers=1
+    )
+    r_greedy = decode_dataset(
+        encoder, enc_vars, decoder, dec_vars, dataset, tok, greedy_cfg,
+        batch_size=4,
+    )
+    r_draft = decode_dataset(
+        encoder, enc_vars, decoder, dec_vars, dataset, tok, spec_cfg,
+        batch_size=4, draft_vars=loaded,
+    )
+    assert r_greedy.hyps == r_draft.hyps
+    assert "spec_acceptance_rate" in r_draft.metrics
+
+    # guard: draft_vars demands the single-device speculative path
+    from robustsq_whisper_tpu.decode.pipeline import build_decode_fns
+
+    with pytest.raises(ValueError, match="single-device speculative"):
+        build_decode_fns(
+            encoder, enc_vars, decoder, dec_vars, greedy_cfg,
+            draft_vars=loaded,
+        )
+
+
+@pytest.mark.slow
 def test_decode_dataset_long_audio(tmp_path):
     """--long_audio dataset pass: full-length utterances decoded as batched
     windows with one shared speaker prompt per utterance; outputs written
