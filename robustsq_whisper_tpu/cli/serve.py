@@ -78,6 +78,25 @@ def main(argv=None):
     parser.add_argument("--cross_kv_bits", type=int, default=8, choices=(4, 8))
     parser.add_argument("--self_kv_bits", type=int, default=16, choices=(8, 16))
     parser.add_argument("--prefill_quantized", type=_str2bool, default=False)
+    parser.add_argument(
+        "--speculative_gamma", type=int, default=0,
+        help="speculative greedy serving: propose this many tokens per "
+        "round with a draft and verify them in one causal chunk "
+        "(decode/speculative.py) — transcripts are the exact greedy "
+        "output; throughput depends on the draft's acceptance rate on the "
+        "served checkpoint (measure with cli.decode first). 0 = off; "
+        "greedy only (beam_size 1)",
+    )
+    parser.add_argument(
+        "--draft_layers", type=int, default=4,
+        help="early-exit draft depth for --speculative_gamma",
+    )
+    parser.add_argument(
+        "--draft_path", default=None,
+        help="distilled draft head for --speculative_gamma (a dir written "
+        "by cli.distill) — measured 1.25x over the greedy serving default "
+        "at gamma 6 (docs/SERVING.md). Single-device only",
+    )
     parser.add_argument("--enc_chunk", type=int, default=0)
     parser.add_argument("--data_parallel", type=_str2bool, default=True)
     parser.add_argument("--model_parallel", type=int, default=1)
@@ -141,6 +160,24 @@ def main(argv=None):
 
     dims = exp.resolved_dims()
     tp = max(1, args.model_parallel)
+    spec = max(0, args.speculative_gamma)
+    if args.draft_path and not spec:
+        parser.error("--draft_path requires --speculative_gamma > 0")
+    if spec and tp > 1:
+        parser.error(
+            "--speculative_gamma is incompatible with --model_parallel: "
+            "the ragged verify path is single-chip/DP only"
+        )
+    if spec and exp.decode.beam_size > 1:
+        parser.error(
+            "--speculative_gamma serves greedy only: the config's "
+            f"decode beam_size is {exp.decode.beam_size}"
+        )
+    if args.draft_path and args.data_parallel and jax.device_count() > 1:
+        logging.warning(
+            "--draft_path serving is single-device; dropping --data_parallel"
+        )
+        args.data_parallel = False
     if tp > 1:
         assert jax.device_count() % tp == 0
         args.use_flash = False
@@ -197,12 +234,47 @@ def main(argv=None):
         dtype=dtype,
         cross_kv_bits=args.cross_kv_bits,
         self_kv_bits=args.self_kv_bits if tp == 1 else 16,
-        flat_self_cache=tp == 1,
+        # speculative decode needs the 5-D cache's per-row scatter writes
+        flat_self_cache=tp == 1 and not spec,
     )
+
+    draft_vars = None
+    if args.draft_path:
+        import numpy as np
+
+        from ..train.distill import load_draft
+
+        raw_draft, draft_meta = load_draft(args.draft_path)
+        meta_d = int(draft_meta.get("draft_layers", args.draft_layers))
+        if meta_d != args.draft_layers:
+            logging.info(
+                "--draft_layers %d -> %d (from the draft checkpoint meta)",
+                args.draft_layers, meta_d,
+            )
+            args.draft_layers = meta_d
+        # serving keeps weights in the compute dtype (same rationale as
+        # cli.decode: decode is weight-bandwidth-bound)
+        draft_vars = jax.jit(
+            lambda tree: jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, dtype)
+                if np.dtype(getattr(x, "dtype", np.float32)) == np.float32
+                else jnp.asarray(x),
+                tree,
+            )
+        )(raw_draft)
+        jax.block_until_ready(draft_vars)
+        logging.info(
+            "distilled draft: %s (teacher step %s, agreement %s)",
+            args.draft_path, draft_meta.get("teacher_step"),
+            draft_meta.get("final_agreement"),
+        )
+
     dcfg = dataclasses.replace(
         exp.decode,
         quantize_weights=args.int8_weights,
         quantize_cross_kv=args.quantize_cross_kv,
+        speculative_gamma=spec,
+        draft_layers=args.draft_layers,
         eot=exp.model.eos,
         # same authority rule as cli.decode: an explicit decode_conf
         # init_tokens (e.g. the bare [sos] cli.train checkpoints are
@@ -245,6 +317,7 @@ def main(argv=None):
             enc_chunk=args.enc_chunk,
         ),
         mesh=mesh,
+        draft_vars=draft_vars,
     )
     if args.warmup:
         logging.info("warmup compile ...")

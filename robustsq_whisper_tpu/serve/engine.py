@@ -63,6 +63,7 @@ class TranscriptionEngine:
         dcfg: DecodeConfig,
         cfg: EngineConfig = EngineConfig(),
         mesh: Optional[Any] = None,
+        draft_vars: Optional[Any] = None,
     ) -> None:
         import jax.numpy as jnp  # deferred: engine is importable without jax init
 
@@ -72,8 +73,12 @@ class TranscriptionEngine:
         self.tokenizer = tokenizer
         self.n_mels = encoder.dims.n_mels
         self.enc_vars = enc_vars
+        # draft_vars: a distilled draft head (train/distill.py) switches the
+        # run program to greedy-exact speculative decode — same transcripts,
+        # fewer per-token HBM reads (docs/SERVING.md "Speculative decode")
         self.encode, self.run = build_decode_fns(
-            encoder, enc_vars, decoder, dec_vars, dcfg, mesh, cfg.batch_size
+            encoder, enc_vars, decoder, dec_vars, dcfg, mesh, cfg.batch_size,
+            draft_vars=draft_vars,
         )
         # one compiled program, one device queue: serialize compute callers;
         # staging (host pack + transfer + mel dispatch) has its own lock so

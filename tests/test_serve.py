@@ -112,6 +112,37 @@ def test_engine_matches_offline_program(engine):
     assert eng.transcribe(items[:1]) == want[:1]
 
 
+def test_engine_speculative_draft_matches_greedy(engine):
+    """The daemon's speculative path (cli.serve --speculative_gamma
+    [--draft_path]): an engine built with a draft head serves transcripts
+    identical to the plain greedy engine — speculation affects speed only,
+    never content (decode/speculative.py greedy-exactness)."""
+    import dataclasses
+
+    from robustsq_whisper_tpu.decode.speculative import draft_variables
+
+    eng, enc, enc_vars, dec, dec_vars, tok = engine
+    spec_dec = TSDecoder(DIMS, startofprev_token=3, flat_self_cache=False)
+    dcfg = dataclasses.replace(DCFG, speculative_gamma=2, draft_layers=1)
+    items = [
+        (_wav(21, 0.30), _wav(22, 0.15)),
+        (_wav(23, 0.12), _wav(24, 0.20)),
+    ]
+    want = eng.transcribe(items)
+    # separate-draft mode (a "distilled" draft: any TSDecoder variables at
+    # n_text_layer=draft_layers — here a slice of the target's own weights)
+    eng_draft = TranscriptionEngine(
+        enc, enc_vars, spec_dec, dec_vars, tok, dcfg, ECFG,
+        draft_vars=draft_variables(dec_vars, 1),
+    )
+    assert eng_draft.transcribe(items) == want
+    # self-draft mode (no draft weights) through the same engine surface
+    eng_self = TranscriptionEngine(
+        enc, enc_vars, spec_dec, dec_vars, tok, dcfg, ECFG
+    )
+    assert eng_self.transcribe(items) == want
+
+
 def test_engine_rejects_bad_sizes(engine):
     eng = engine[0]
     with pytest.raises(ValueError):
