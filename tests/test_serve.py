@@ -143,6 +143,30 @@ def test_engine_speculative_draft_matches_greedy(engine):
     assert eng_self.transcribe(items) == want
 
 
+def test_serve_cli_speculative_flag_validation():
+    """cli.serve refuses inconsistent speculative flags with actionable
+    parser errors before touching the model (mirrors cli.decode's guards)."""
+    import pytest as _pytest
+
+    from robustsq_whisper_tpu.cli import serve as serve_cli
+
+    import pathlib
+
+    cfg = str(
+        pathlib.Path(__file__).resolve().parents[1]
+        / "conf/tswhisper/train_tsasr_whisper_dev_smoke.yaml"
+    )
+    with _pytest.raises(SystemExit):
+        serve_cli.main([
+            "--config", cfg, "--draft_path", "/nonexistent",
+        ])  # draft without --speculative_gamma
+    with _pytest.raises(SystemExit):
+        serve_cli.main([
+            "--config", cfg, "--speculative_gamma", "2",
+            "--model_parallel", "2",
+        ])  # speculative is single-chip/DP only
+
+
 def test_engine_rejects_bad_sizes(engine):
     eng = engine[0]
     with pytest.raises(ValueError):
