@@ -225,6 +225,7 @@ def bench_train(model_name: str, dims, ts, mode: str) -> dict | None:
     rng = jax.random.PRNGKey(0)
     import gc
 
+    retried = set()  # batch sizes already given a same-size retry
     while batch_size >= 2:
         gc.collect()  # drop the previous attempt's (or mode's) buffers
         try:
@@ -283,11 +284,19 @@ def bench_train(model_name: str, dims, ts, mode: str) -> dict | None:
                 continue
             if "remote_compile" in msg or "INTERNAL" in msg:
                 # tunneled-TPU compile helper occasionally 500s on the
-                # largest programs; a smaller batch compiles reliably, and
-                # a partial record beats a missing one
+                # largest programs — a TRANSIENT infrastructure fault, not
+                # capacity: retry once at the SAME batch (the operating
+                # point is the record that matters) before degrading
+                if batch_size not in retried:
+                    retried.add(batch_size)
+                    log(
+                        f"[train] remote compile failed at batch "
+                        f"{batch_size}; retrying once at the same batch"
+                    )
+                    continue
                 log(
-                    f"[train] remote compile failed at batch {batch_size}; "
-                    "halving and retrying"
+                    f"[train] remote compile failed at batch {batch_size} "
+                    "twice; halving and retrying"
                 )
                 batch_size //= 2
                 continue
