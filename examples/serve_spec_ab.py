@@ -203,6 +203,7 @@ def manufacture(out_dir: str, steps: int, distill_steps: int) -> None:
 def serve_and_measure(
     weights_dir: str, mode: str, gamma: int, batch: int,
     concurrency: int, wait_ms: float, duration: float,
+    draft_subdir: str = "draft",
 ) -> dict:
     """Start the daemon (engine + MicroBatcher + HTTP) on the manufactured
     weights, drive it closed-loop, report the sustained operating point."""
@@ -253,8 +254,10 @@ def serve_and_measure(
         flat_self_cache=not spec,
     )
     draft_vars = None
+    draft_layers = 4
     if spec:
-        raw, meta = load_draft(os.path.join(weights_dir, "draft"))
+        raw, meta = load_draft(os.path.join(weights_dir, draft_subdir))
+        draft_layers = int(meta.get("draft_layers", 4))
         draft_vars = jax.jit(
             lambda t: jax.tree_util.tree_map(
                 lambda x: jnp.asarray(x, jnp.bfloat16)
@@ -263,7 +266,9 @@ def serve_and_measure(
             )
         )(raw)
         jax.block_until_ready(draft_vars)
-        log(f"[serve] draft: {meta.get('final_agreement')} agreement")
+        dcfg = dataclasses.replace(dcfg, draft_layers=draft_layers)
+        log(f"[serve] draft({draft_layers}L): "
+            f"{meta.get('final_agreement')} agreement")
 
     engine = TranscriptionEngine(
         encoder, enc_vars, decoder, dec_vars, load_tokenizer(None), dcfg,
@@ -356,6 +361,7 @@ def serve_and_measure(
     rec = {
         "mode": mode,
         "gamma": gamma if spec else 0,
+        "draft_layers": draft_layers if spec else 0,
         "batch": batch,
         "concurrency": concurrency,
         "wait_ms": wait_ms,
@@ -381,6 +387,9 @@ def main():
     p.add_argument("--steps", type=int, default=500)
     p.add_argument("--distill_steps", type=int, default=400)
     p.add_argument("--gamma", type=int, default=6)
+    p.add_argument("--draft_subdir", default="draft",
+                   help="draft checkpoint subdir under --dir (e.g. a "
+                   "smaller distilled draft saved as draft2)")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--concurrency", type=int, default=64)
     p.add_argument("--wait_ms", type=float, default=60.0)
@@ -393,6 +402,7 @@ def main():
     rec = serve_and_measure(
         args.dir, args.mode, args.gamma, args.batch,
         args.concurrency, args.wait_ms, args.duration,
+        draft_subdir=args.draft_subdir,
     )
     print(json.dumps(rec))
 
