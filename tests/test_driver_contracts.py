@@ -246,6 +246,11 @@ def test_bench_trained_lane_emits_records():
     assert tr["speculative"]["tokens_match_greedy"] in (True, False)
     assert tr["speculative"]["draft"] == "distilled"
     assert tr["speculative"]["distill"]["steps"] == 8
+    # e2e pipeline RTF sub-record (encode + speculative decode) — the
+    # audio-s/chip-s operating point of `cli.decode --draft_path`
+    assert tr["speculative"]["e2e"]["value"] > 0
+    assert tr["speculative"]["e2e"]["greedy_e2e_rtf"] > 0
+    assert tr["speculative"]["e2e"]["speedup_e2e"] > 0
     # trained lane present -> it IS the headline (VERDICT r4 #2)
     assert payload["metric"].endswith("_stop_early")
     assert payload["value"] == tr["stop_early"]["value"]
