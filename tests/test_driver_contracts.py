@@ -81,6 +81,20 @@ def test_merge_lane_results_flags_missing_lanes():
     assert no_serve["value"] == 0.0 and "error" in no_serve
 
 
+def test_lane_record_usable_predicate():
+    """The orchestrator's one-shot lane retry and merge_lane_results must
+    agree on what counts as a usable lane record (a lane that crashed
+    mid-measure prints either nothing or an {"error": ...} stub)."""
+    import bench
+
+    assert bench.lane_record_usable({"metric": "m", "value": 1.0})
+    assert not bench.lane_record_usable(None)
+    assert not bench.lane_record_usable({})
+    assert not bench.lane_record_usable({"error": "no record"})
+    assert not bench.lane_record_usable({"metric": "m"})
+    assert not bench.lane_record_usable({"value": 1.0, "error": "partial"})
+
+
 def test_promote_trained_headline_schema():
     """With a trained lane present, the headline becomes the trained
     stop_early record + trained guard, and the random-init numbers move to
@@ -199,6 +213,42 @@ def test_bench_orchestrator_runs_lanes_in_subprocesses():
     assert payload["value"] > 0
     assert payload["train"]["lora"]["value"] > 0
     assert "missing_lanes" not in payload, payload
+
+
+def test_bench_orchestrator_retries_failed_lane_once(tmp_path):
+    """A lane subprocess that dies on its first attempt (the transient
+    tunneled-compile 500 class) must be retried ONCE on a fresh process and
+    the merged record must ship complete — not with missing_lanes. Uses the
+    BENCH_FAULT_LATCH one-shot fault injector: the serve lane's first
+    attempt creates the latch file and dies; its retry (and the train lane,
+    which sees the latch) proceed normally."""
+    latch = str(tmp_path / "latch")
+    r = _run(
+        "import bench; bench.main()",
+        env_extra={
+            "BENCH_FAULT_LATCH": latch,
+            "BENCH_MODEL": "dev",
+            "BENCH_BATCH": "2",
+            "BENCH_NEW_TOKENS": "2",
+            "BENCH_ITERS": "1",
+            "BENCH_FLASH": "0",
+            "BENCH_TRAIN": "1",
+            "BENCH_TRAIN_BATCH": "2",
+            "BENCH_TRAIN_MODES": "lora",
+            "BENCH_TRAINED": "0",
+            "BENCH_GUARD": "0",
+            "BENCH_BEAM_SUB": "0",
+        },
+        timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "retrying once on a fresh chip" in r.stderr
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["value"] > 0
+    assert payload["train"]["lora"]["value"] > 0
+    assert "missing_lanes" not in payload, payload
+    with open(latch) as f:
+        assert f.read() == "serve"  # the fault hit the first lane attempt
 
 
 @pytest.mark.slow
