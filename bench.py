@@ -73,7 +73,10 @@ margins, stop_early greedy RTF, beam-5 under early stopping, measured
 speculative acceptance + e2e speculative RTF. Skipped when BENCH_BEAM >
 1), BENCH_TRAINED_MODE (lora|full, default lora), BENCH_TRAINED_STEPS
 (default 500), BENCH_TRAINED_LR (default 2.5e-4),
-BENCH_TRAINED_SPEC (default 1), BENCH_TRAINED_SPEC_BATCH (default 32),
+BENCH_TRAINED_SPEC (default 1), BENCH_TRAINED_SPEC_BATCH (default 32 —
+the measured e2e optimum: at b64 acceptance holds (87.9%) but the
+speculative win compresses, 1.78x->1.40x decode-phase / 1.284x->1.156x
+e2e, netting 1916.8x vs the b32 2048.8x; see docs/SERVING.md),
 BENCH_TRACE_DIR (capture one profiled pipeline run after the timed iters;
 parse with robustsq_whisper_tpu.utils.profiling.op_stats),
 BENCH_GUARD (default 1: composite accuracy guard — decode a small
