@@ -51,6 +51,7 @@ def test_latest_bench_artifact_schema():
         assert tr["guard"]["tokens_match_dense"] is True, p
         assert tr["stop_early"]["value"] > 0 and tr["beam"]["value"] > 0, p
         assert 0.0 <= tr["speculative"]["acceptance_rate"] <= 1.0, p
+        assert tr["speculative"]["e2e"]["value"] > 0, p
         for mode in ("lora", "full"):
             assert rec["train"][mode]["value"] > 0, (p, mode)
         assert rec["fixed_length_random_init"]["value"] > 0, p
