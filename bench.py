@@ -90,6 +90,13 @@ train lanes [the r4 artifact lost train.full to exactly that]; the parent
 never opens the chip, just merges the partial JSONs and flags any lane
 that produced no record in "missing_lanes". 0 = legacy single-process),
 BENCH_LANE (internal: set by the orchestrator on lane subprocesses),
+BENCH_LANE_RETRY_BUDGET_S (default 1200: a lane subprocess that dies
+WITHOUT a usable record is retried once on a fresh chip, but only if it
+failed faster than this — the transient tunneled-compile 500 dies in
+seconds, while a lane that ground through most of its measurements
+before dying would double the bench wall),
+BENCH_FAULT_LATCH (internal: one-shot lane fault injector for the
+retry-path contract test),
 BENCH_DISTILL_STEPS / BENCH_DISTILL_LR (draft-head distillation in the
 trained lane, defaults 400 / 3e-4: the speculative sub-record now
 measures a DISTILLED draft — self-drafting measured 1.1% acceptance in
@@ -1428,7 +1435,13 @@ def orchestrate():
         # 500s mid-lane (same transient the train lanes retry internally at
         # batch granularity) — a fresh subprocess on a clean chip usually
         # succeeds, and one retry is cheap insurance against shipping a
-        # record with missing_lanes for a transient.
+        # record with missing_lanes for a transient. Bounded: only failures
+        # faster than BENCH_LANE_RETRY_BUDGET_S retry (a lane that ground
+        # through most of its measurements before dying would double the
+        # bench wall; the transient-500 class dies in seconds).
+        retry_budget = float(
+            os.environ.get("BENCH_LANE_RETRY_BUDGET_S", "1200")
+        )
         for attempt in range(2):
             log(f"[bench] lane {lane}: starting subprocess"
                 + (" (retry)" if attempt else ""))
@@ -1449,6 +1462,12 @@ def orchestrate():
                 except (json.JSONDecodeError, ValueError):
                     continue
             if lane_record_usable(payload):
+                break
+            lane_wall = time.time() - t0
+            if attempt == 0 and lane_wall > retry_budget:
+                log(f"[bench] lane {lane}: no usable record after "
+                    f"{lane_wall:.0f}s — over the retry budget "
+                    f"({retry_budget:.0f}s), not retrying")
                 break
             log(f"[bench] lane {lane}: no usable record"
                 + ("; retrying once on a fresh chip" if attempt == 0

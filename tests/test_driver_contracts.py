@@ -252,6 +252,28 @@ def test_bench_orchestrator_retries_failed_lane_once(tmp_path):
         assert f.read() == "serve"  # the fault hit the first lane attempt
 
 
+def test_bench_orchestrator_respects_retry_budget(tmp_path):
+    """A lane that fails SLOWER than BENCH_LANE_RETRY_BUDGET_S is not
+    retried (a near-complete lane re-run would double the bench wall);
+    the record ships with the lane named in missing_lanes as before."""
+    latch = str(tmp_path / "latch")
+    r = _run(
+        "import bench; bench.main()",
+        env_extra={
+            "BENCH_FAULT_LATCH": latch,
+            "BENCH_LANE_RETRY_BUDGET_S": "0",
+            "BENCH_MODEL": "dev",
+            "BENCH_TRAIN": "0",
+        },
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "over the retry budget" in r.stderr
+    assert "(retry)" not in r.stderr
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["missing_lanes"] == ["serve"], payload
+
+
 @pytest.mark.slow
 def test_bench_trained_lane_emits_records():
     """The trained-weights lane's machinery (overfit -> guard -> stop_early
